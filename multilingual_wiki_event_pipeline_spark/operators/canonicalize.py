@@ -1,0 +1,107 @@
+"""Entity canonicalization: connected components over a similarity graph
+(north-star generalization of the reference's shared-URI clustering,
+xml_utils.py:435-447 — SURVEY A7/J10).
+
+GraphFrames-style label propagation without the GraphFrames dependency:
+iterative self-joins to fixpoint, the DataFrame equivalent of a recursive
+CTE. Each round: every vertex adopts the minimum component id among itself
+and its neighbors. Converges in O(diameter) rounds; bounded by ``max_iter``;
+``localCheckpoint`` every few rounds cuts the lineage chain so plans don't
+grow exponentially (the classic iterative-join trap).
+
+Skew note: mega-components (hot entities) concentrate edges on few keys —
+AQE skew-join splitting handles the joins; the per-round aggregation is a
+min(), which partial-aggregates map-side, so hot keys reduce early.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_iter: int = 20, checkpoint_every: int = 3) -> DataFrame:
+    """edges(src, dst) -> (vertex, component) with component = min vertex id
+    (lexicographic) in the component. Undirected."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("a").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+    )
+    for i in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["vertex"])
+            .groupBy(F.col("a").alias("vertex"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "vertex", "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "vertex")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
+    return labels
+
+
+def mention_similarity_edges(mentions_expanded: DataFrame) -> DataFrame:
+    """Similarity graph over mentions: nodes are mention keys
+    ``conv_id#eid``; edges between mentions sharing any external reference
+    (the reference's only signal) or an identical lowercased surface within
+    a document. Shared-ref blocking keys avoid the O(n^2) pair join."""
+    node = F.concat_ws("#", "conv_id", "eid")
+    by_ref = mentions_expanded.select(
+        node.alias("vertex"), F.explode("ext_refs").alias("key")
+    )
+    by_surface = mentions_expanded.select(
+        node.alias("vertex"),
+        F.concat_ws("|", "conv_id", F.lower("surface")).alias("key"),
+    )
+    keyed = by_ref.unionByName(by_surface)
+    # star edges: every vertex in a block connects to the block's min vertex
+    # (linear in block size, not quadratic pair enumeration)
+    hubs = keyed.groupBy("key").agg(F.min("vertex").alias("hub"))
+    return (
+        keyed.join(hubs, "key")
+        .filter(F.col("vertex") != F.col("hub"))
+        .select(F.col("hub").alias("src"), F.col("vertex").alias("dst"))
+        .distinct()
+    )
+
+
+def canonical_entities(mentions_expanded: DataFrame) -> DataFrame:
+    """(conv_id, eid) -> canonical cluster id via connected components over
+    the similarity graph."""
+    edges = mention_similarity_edges(mentions_expanded)
+    components = connected_components(edges)
+    nodes = mentions_expanded.select(
+        F.concat_ws("#", "conv_id", "eid").alias("vertex"),
+        "conv_id", "eid",
+    )
+    return (
+        nodes.join(components, "vertex", "left")
+        .select(
+            "conv_id", "eid",
+            F.coalesce("component", F.col("vertex")).alias("canonical_id"),
+        )
+    )

@@ -1,0 +1,250 @@
+"""Mention alignment, entity linking, and coreference clustering
+(SURVEY U2/J3/J4/J5/J6/J8/A7).
+
+Design: the only Python kernels are Arrow-batched ``mapInPandas`` over
+*pre-grouped* per-document rows — tokenization and char-offset -> token-id
+alignment are inherently per-document string work (reference
+pilot_utils.py:262-340 + xml_utils.py:237-258). Everything around them
+(langlink fanout, wiki->wd rewrite, coref eligibility + clustering) is
+relational: broadcast joins against dimension tables and aggregations,
+visible to Catalyst/AQE.
+
+Scale notes: the kernel input is one row per document (conv_id, content,
+packed annotations) — there is exactly one shuffle to group annotations per
+document, and document batches stream through Arrow. The alternative
+(materializing a token table and equi-joining mention offsets, SURVEY J6)
+costs a tokens-sized shuffle (~10 rows per turn); it is provided as
+``token_table`` for the NAF wf-layer output but is not on the hot path.
+"""
+
+from __future__ import annotations
+
+import urllib.parse
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import offset_alignment_maps, tokenize
+
+WD = "http://www.wikidata.org/entity/"
+SEM_EVENT = "http://semanticweb.cs.vu.nl/2009/11/sem/Event"
+
+TOKENS_SCHEMA = "conv_id string, tid int, offset int, length int, surface string"
+MENTIONS_SCHEMA = (
+    "conv_id string, eid int, begin_tid int, end_tid int, surface string, uri string"
+)
+
+
+def token_table(texts: DataFrame) -> DataFrame:
+    """NAF text/wf + terms layer analog: one row per token with stable
+    1-based ids (W1/W2). Arrow-batched; parallel across documents."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"conv_id": [], "tid": [], "offset": [], "length": [], "surface": []}
+            for conv_id, content in zip(pdf["conv_id"], pdf["content"]):
+                for tid, (off, surf) in enumerate(tokenize(content), start=1):
+                    out["conv_id"].append(conv_id)
+                    out["tid"].append(tid)
+                    out["offset"].append(off)
+                    out["length"].append(len(surf))
+                    out["surface"].append(surf)
+            yield pd.DataFrame(out)
+
+    return texts.select("conv_id", "content").mapInPandas(kernel, TOKENS_SCHEMA)
+
+
+def align_mentions(texts: DataFrame, annotations: DataFrame) -> DataFrame:
+    """J6/U2/F10: align annotation char offsets to token boundaries over the
+    (pilot-truncated) content; misaligned mentions are skipped
+    (pilot_utils.py:297-306). Returns one row per aligned mention with the
+    language-prefixed, percent-decoded wiki URI (load_annotations,
+    pilot_utils.py:233-253).
+
+    ``texts`` needs (conv_id, lang, content); annotation order inside a
+    document is by char offset — the reference's dict keyed by (start, end)
+    keeps the *last* annotation per span, reproduced here.
+    """
+    packed = annotations.groupBy("conv_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("offset", "surface_form", "uri"))
+        ).alias("anns")
+    )
+    joined = texts.select("conv_id", "lang", "content").join(packed, "conv_id")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("conv_id", "eid", "begin_tid", "end_tid", "surface", "uri")}
+            for conv_id, lang, content, anns in zip(
+                pdf["conv_id"], pdf["lang"], pdf["content"], pdf["anns"]
+            ):
+                start2tid, end2tid = offset_alignment_maps(tokenize(content))
+                prefix = f"https://{lang}.wikipedia.org/wiki/"
+                span2info: dict[tuple[int, int], tuple[str, str]] = {}
+                for ann in anns:
+                    start = ann["offset"]
+                    sf = ann["surface_form"]
+                    uri = urllib.parse.unquote(prefix + ann["uri"])
+                    span2info[(start, start + len(sf))] = (sf, uri)
+                eid = 1
+                for (start, end), (sf, uri) in span2info.items():
+                    if start not in start2tid or end not in end2tid:
+                        continue  # F10 misalignment -> skip, counted upstream
+                    out["conv_id"].append(conv_id)
+                    out["eid"].append(eid)
+                    out["begin_tid"].append(start2tid[start])
+                    out["end_tid"].append(end2tid[end])
+                    out["surface"].append(sf)
+                    out["uri"].append(uri)
+                    eid += 1
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(kernel, MENTIONS_SCHEMA)
+
+
+def expand_ext_refs(mentions: DataFrame, texts: DataFrame,
+                    langlinks: DataFrame, wiki_to_wd: DataFrame) -> DataFrame:
+    """J3 langlink fanout + J5 wiki->wd rewrite.
+
+    ext_refs[0] is always the mention's own wiki URI (the reference's first
+    externalRef, consumed by the SRL join); langlink URIs follow; Wikidata
+    URIs not already present are appended (xml_utils.py:377-398 dup guard).
+    Both dimensions broadcast.
+    """
+    m = mentions.join(texts.select("conv_id", "lang"), "conv_id")
+    fanout = (
+        m.join(
+            F.broadcast(langlinks),
+            (m["lang"] == langlinks["lang"]) & (m["uri"] == langlinks["uri"]),
+            "left",
+        )
+        .groupBy(m["conv_id"], "eid", "begin_tid", "end_tid", "surface", m["uri"])
+        .agg(
+            F.array_sort(
+                F.collect_set(F.col("other_uri"))
+            ).alias("link_uris")
+        )
+        .withColumn("ext_refs", F.concat(F.array(F.col("uri")), F.col("link_uris")))
+        .drop("link_uris")
+    )
+    exploded = fanout.select(
+        "conv_id", "eid", F.explode("ext_refs").alias("ref")
+    )
+    wd_adds = (
+        exploded.join(F.broadcast(wiki_to_wd), exploded["ref"] == wiki_to_wd["wiki_uri"])
+        .groupBy("conv_id", "eid")
+        .agg(F.array_sort(F.collect_set("wd_uri")).alias("wd_uris"))
+    )
+    return (
+        fanout.join(wd_adds, ["conv_id", "eid"], "left")
+        .withColumn(
+            "ext_refs",
+            F.concat(
+                F.col("ext_refs"),
+                F.array_except(
+                    F.coalesce(F.col("wd_uris"), F.array().cast("array<string>")),
+                    F.col("ext_refs"),
+                ),
+            ),
+        )
+        .drop("wd_uris")
+    )
+
+
+def structured_data_uris(incidents: DataFrame, incident_roles: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """get_uris (utils.py:642-688, deviation D2 — see oracle.py): returns
+    (uri_to_rels(qid, rels array), inc_to_wd_uris(incident_id, wd_uri))."""
+    rel_map = {
+        "sem:hasPlace": "http://semanticweb.cs.vu.nl/2009/11/sem/hasPlace",
+        "sem:hasActor": "http://semanticweb.cs.vu.nl/2009/11/sem/hasActor",
+    }
+    from .filters import packed_value_uri
+
+    role_vals = (
+        incident_roles.filter(F.col("role").isin(*rel_map.keys()))
+        .withColumn("val_uri", packed_value_uri(F.col("value")))
+        .filter(F.col("val_uri").startswith(WD))
+        .select(
+            "incident_id",
+            F.replace(F.col("val_uri"), F.lit(WD), F.lit("")).alias("qid"),
+            F.col("role"),
+        )
+        .join(F.broadcast(incidents.select("incident_id")), "incident_id", "left_semi")
+    )
+    rel_expr = F.when(F.col("role") == "sem:hasPlace", F.lit(rel_map["sem:hasPlace"])) \
+        .otherwise(F.lit(rel_map["sem:hasActor"]))
+    ent_rels = role_vals.select("qid", rel_expr.alias("rel"))
+    inc_rels = incidents.select(
+        F.col("incident_id").alias("qid"), F.lit(SEM_EVENT).alias("rel")
+    )
+    uri_to_rels = ent_rels.unionByName(inc_rels).groupBy("qid").agg(
+        F.collect_set("rel").alias("rels")
+    )
+    inc_to_wd = (
+        incidents.select("incident_id", F.concat(F.lit(WD), "incident_id").alias("wd_uri"))
+        .unionByName(
+            role_vals.select(
+                "incident_id", F.concat(F.lit(WD), "qid").alias("wd_uri")
+            )
+        )
+        .distinct()
+    )
+    return uri_to_rels, inc_to_wd
+
+
+def restrict_sitelinks(wd_sitelinks: DataFrame, uri_to_rels: DataFrame) -> DataFrame:
+    """wiki_to_wd map scope (native_api_utils.py:228-262): only URIs present
+    in the collection's structured data are mapped."""
+    return wd_sitelinks.join(
+        uri_to_rels.select(F.concat(F.lit(WD), "qid").alias("wd_uri")),
+        "wd_uri",
+        "left_semi",
+    ).select("wiki_uri", "wd_uri").distinct()
+
+
+def coref_clusters(mentions_expanded: DataFrame, texts: DataFrame,
+                   uri_to_rels: DataFrame, inc_to_wd: DataFrame) -> DataFrame:
+    """A7/J8 (xml_utils.py:411-548): group mention spans per (doc, wd uri),
+    eligibility = wd-prefixed AND in the incident's structured-data set;
+    clusters whose entity has 0 or >=2 sem rels are dropped; typed 'event'
+    iff the sole rel is sem:Event.
+
+    This is the degenerate shared-URI connected-components canonicalization;
+    the generalized similarity-graph version lives in canonicalize.py.
+    """
+    refs = (
+        mentions_expanded.select(
+            "conv_id", "eid",
+            F.sequence("begin_tid", "end_tid").alias("span"),
+            F.explode("ext_refs").alias("ref"),
+        )
+        .filter(F.col("ref").startswith(WD))
+    )
+    with_inc = refs.join(texts.select("conv_id", "incident_id"), "conv_id")
+    eligible = with_inc.join(
+        inc_to_wd.select("incident_id", F.col("wd_uri").alias("ref")),
+        ["incident_id", "ref"],
+        "left_semi",
+    )
+    clusters = eligible.groupBy("conv_id", "ref").agg(
+        F.array_sort(F.collect_set("span")).alias("spans")
+    )
+    typed = clusters.join(
+        F.broadcast(
+            uri_to_rels.select(
+                F.concat(F.lit(WD), "qid").alias("ref"), "rels"
+            )
+        ),
+        "ref",
+        "left",
+    ).filter(F.size(F.coalesce(F.col("rels"), F.array().cast("array<string>"))) == 1)
+    return typed.select(
+        "conv_id",
+        F.col("ref").alias("wd_uri"),
+        F.when(F.col("rels")[0] == SEM_EVENT, F.lit("event"))
+        .otherwise(F.lit("entity"))
+        .alias("coref_type"),
+        "spans",
+    )

@@ -1,0 +1,118 @@
+"""End-to-end KG-construction pipeline (reference main.py:241-505 lifecycle,
+SURVEY §3.1, re-expressed as one lazy DataFrame DAG):
+
+  transcripts --assemble--> docs --F8+A2--> full texts --serialize--> full triples
+       |                                        |
+       |                               F4..F3 pilot filters
+       |                                        |
+  annotations ----align (Arrow kernel)----> mentions --J3/J5--> linked mentions
+                                                |                   |
+                                   srl spans --J7--> srl links   A7 corefs
+                                                |
+                                 label backfill + serialize --> pilot triples
+
+Boundaries (shuffles) are chosen by Catalyst; explicit scale measures:
+two-phase skew-safe document assembly, broadcast dimension joins, hash-keyed
+dedup, salted partition column on writes (sinks.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import documents, mentions as M, pilot, srl, triples
+from ..sources.tables import CorpusTables
+
+LANGS_DEFAULT = ["en", "nl", "it"]
+
+
+@dataclass
+class PipelineOutputs:
+    docs: DataFrame
+    turns_out: DataFrame
+    full_texts: DataFrame
+    full_incidents: DataFrame
+    full_triples: DataFrame
+    pilot_incidents: DataFrame
+    pilot_texts: DataFrame
+    pilot_roles: DataFrame
+    pilot_triples: DataFrame
+    tokens: DataFrame
+    mentions: DataFrame
+    corefs: DataFrame
+    srl_links: DataFrame
+
+
+def build(t: CorpusTables, target_languages: list[str] = None,
+          must_have_all_languages: bool = True, must_have_english: bool = True,
+          one_page_per_language: bool = True,
+          max_pilot_incidents: int | None = None,
+          cache_intermediates: bool = False) -> PipelineOutputs:
+    """``cache_intermediates`` persists the shared fan-out nodes (full texts,
+    pilot texts, linked mentions) — useful when several outputs are consumed
+    in one session (tests); production runs materialize stage boundaries to
+    the checkpoint store instead (sinks.py)."""
+    target_languages = target_languages or LANGS_DEFAULT
+    maybe_cache = (lambda df: df.cache()) if cache_intermediates else (lambda df: df)
+
+    # --- ingest + stabilize -------------------------------------------------
+    docs = documents.assemble_documents(t.transcripts)
+    turns_out = documents.stable_turns(t.transcripts)
+
+    # --- full collection (F8 + A2 + serialize) ------------------------------
+    texts_full = maybe_cache(pilot.full_texts(t.conv_meta, docs))
+    incidents_full = pilot.incidents_with_texts(t.incidents, texts_full)
+    roles_full = t.incident_roles.join(
+        incidents_full.select("incident_id"), "incident_id", "left_semi"
+    )
+    full_triples = triples.serialize_collection(
+        incidents_full, texts_full, roles_full, t.type2mapping, t.role_mappings,
+        conv_sources=None,  # primary links not yet fetched at this stage
+    )
+
+    # --- pilot selection -----------------------------------------------------
+    inc_f4 = pilot.filter_missing_fes(
+        incidents_full, roles_full, t.type2mapping, t.role_mappings
+    )
+    texts_f4 = texts_full.join(inc_f4.select("incident_id"), "incident_id", "left_semi")
+    p_texts = pilot.pilot_texts(
+        texts_f4, target_languages, must_have_all_languages,
+        must_have_english, one_page_per_language,
+    )
+    p_incidents = pilot.deterministic_pilot_limit(
+        inc_f4.join(p_texts.select("incident_id").distinct(), "incident_id", "left_semi"),
+        max_pilot_incidents,
+    )
+    p_texts = maybe_cache(
+        p_texts.join(p_incidents.select("incident_id"), "incident_id", "left_semi")
+    )
+    p_roles = pilot.backfill_role_labels(
+        t.incident_roles.join(p_incidents.select("incident_id"), "incident_id", "left_semi"),
+        t.entity_labels,
+    )
+    pilot_triples = triples.serialize_collection(
+        p_incidents, p_texts, p_roles, t.type2mapping, t.role_mappings,
+        conv_sources=t.conv_sources,  # pilot stage fetched primary links
+    )
+
+    # --- NAF-side layers ------------------------------------------------------
+    tokens = M.token_table(p_texts)
+    aligned = M.align_mentions(p_texts, t.annotations)
+    uri_to_rels, inc_to_wd = M.structured_data_uris(incidents_full, roles_full)
+    wiki_to_wd = M.restrict_sitelinks(t.wd_sitelinks, uri_to_rels)
+    linked = maybe_cache(M.expand_ext_refs(aligned, p_texts, t.langlinks, wiki_to_wd))
+    corefs = M.coref_clusters(linked, p_texts, uri_to_rels, inc_to_wd)
+    spans = srl.role_spans(t.srl_predicates, t.srl_roles)
+    srl_links = srl.entity_frame_roles(aligned, spans)
+
+    return PipelineOutputs(
+        docs=docs, turns_out=turns_out,
+        full_texts=texts_full, full_incidents=incidents_full,
+        full_triples=full_triples,
+        pilot_incidents=p_incidents, pilot_texts=p_texts, pilot_roles=p_roles,
+        pilot_triples=pilot_triples,
+        tokens=tokens, mentions=linked, corefs=corefs, srl_links=srl_links,
+    )

@@ -1,0 +1,93 @@
+"""Engine <-> oracle parity: the Spark pipeline must reproduce the
+reference-semantics oracle exactly (P/R target >= 0.95; we assert exact)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from multilingual_wiki_event_pipeline_spark import oracle
+from multilingual_wiki_event_pipeline_spark.plans import pipeline
+from multilingual_wiki_event_pipeline_spark.sources.tables import CorpusTables
+
+
+@pytest.fixture(scope="module")
+def outputs(spark, corpus_dir):
+    t = CorpusTables(spark, corpus_dir)
+    return pipeline.build(t, cache_intermediates=True)
+
+
+@pytest.fixture(scope="module")
+def expected(corpus):
+    return oracle.run(corpus)
+
+
+def _triples(df):
+    return {
+        (r.subj, r.pred, r.obj, r.obj_is_literal, r.lang, r.datatype)
+        for r in df.collect()
+    }
+
+
+def _pr(got: set, want: set) -> tuple[float, float]:
+    if not got or not want:
+        return (0.0, 0.0)
+    tp = len(got & want)
+    return tp / len(got), tp / len(want)
+
+
+def test_full_triples_exact(outputs, expected):
+    got = _triples(outputs.full_triples)
+    want = expected.full_triples
+    p, r = _pr(got, want)
+    assert p >= 0.95 and r >= 0.95, (p, r, list(got - want)[:3], list(want - got)[:3])
+    assert got == want, (list(got - want)[:5], list(want - got)[:5])
+
+
+def test_pilot_triples_exact(outputs, expected):
+    got = _triples(outputs.pilot_triples)
+    want = expected.pilot_triples
+    assert got == want, (list(got - want)[:5], list(want - got)[:5])
+
+
+def test_pilot_incident_set(outputs, expected):
+    got = {r.incident_id for r in outputs.pilot_incidents.select("incident_id").collect()}
+    assert got == set(expected.pilot_incident_ids)
+
+
+def test_mentions(outputs, expected):
+    got = {
+        (r.conv_id, r.eid, r.begin_tid, r.end_tid, r.surface, frozenset(r.ext_refs))
+        for r in outputs.mentions.collect()
+    }
+    want = set(expected.mentions)
+    assert got == want, (list(got - want)[:3], list(want - got)[:3])
+
+
+def test_corefs(outputs, expected):
+    got = {
+        (r.conv_id, r.wd_uri, r.coref_type, frozenset(tuple(s) for s in r.spans))
+        for r in outputs.corefs.collect()
+    }
+    want = {
+        (c, u, t, frozenset(tuple(s) for s in spans))
+        for (c, u, t, spans) in expected.corefs
+    }
+    assert got == want, (list(got - want)[:3], list(want - got)[:3])
+
+
+def test_srl_links_multiset(outputs, expected):
+    got = Counter(
+        (r.conv_id, r.entity, r.frame, r.srl_role)
+        for r in outputs.srl_links.collect()
+    )
+    want = Counter(expected.srl_links)
+    assert got == want
+
+
+def test_turn_passthrough_byte_equality(outputs, expected):
+    got = {
+        (r.conv_id, r.turn_idx, r.text) for r in outputs.turns_out.collect()
+    }
+    assert got == set(expected.turns)
