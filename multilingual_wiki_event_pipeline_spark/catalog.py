@@ -1,0 +1,442 @@
+"""Query catalog: one Spark builder per operator from SURVEY.md §2 plus the
+training-data-pipeline operators, each with a DuckDB oracle in oracles.py.
+
+Every builder takes (spark, sf_dir) and returns a DataFrame over the driver
+testdata tables. Aliases match the oracle SQL exactly (the driver hashes
+values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import multimodal, similarity, text_analysis, text_dedup
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _is_gyear(c) -> F.Column:
+    return F.date_format(c, "MM-dd HH:mm:ss") == "01-01 00:00:00"
+
+
+# --- SURVEY §2 relational operators over the testdata tables ---------------
+
+
+def a1_incident_grouping(spark, sf_dir):
+    """A1 (utils.py:262-300): group bindings per id; set-union types; last
+    label. Partial+final hash agg — map-side combine for free."""
+    return _t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+            "types_csv"
+        ),
+        F.max_by("event_type", "event_id").alias("last_type"),
+    )
+
+
+def a2_dedup_window(spark, sf_dir):
+    """A2 (utils.py:386-398): keep-max-key dedup via ranking window —
+    replaces the reference's O(n²) pairwise scan."""
+    w = Window.partitionBy("lang", F.substring("text", 1, 40)).orderBy(
+        F.desc("doc_id")
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang")
+    )
+
+
+def f2_ref_text_filter(spark, sf_dir):
+    """F2 (pilot_utils.py:98-104): length-range + year-range-regex filter;
+    pushed to the scan by Catalyst (length via n_chars stats at scale)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(
+        F.length("text").between(100, 400)
+        & ~F.col("text").rlike("[1-2][0-9]{3}-[1-2][0-9]{3}")
+    ).select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+def f3_language_completeness(spark, sf_dir):
+    """F3 (pilot_utils.py:107-124): per-group language-completeness
+    predicate — aggregate then filter, not per-row loops."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sort_array(F.collect_set("lang")).alias("langs"),
+            F.count("*").alias("n_docs"),
+        )
+        .filter(
+            F.array_contains("langs", "en") & (F.size("langs") >= 4)
+        )
+        .select(
+            "source",
+            F.array_join("langs", ",").alias("langs_csv"),
+            "n_docs",
+        )
+    )
+
+
+def j1_outer_merge(spark, sf_dir):
+    """J1 (main.py:55-77): API-titles ⟕ incidents full-outer merge with
+    found_by provenance union."""
+    ev = _t(spark, sf_dir, "events")
+    l = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    r = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("r_user_id"))
+        .distinct()
+    )
+    return l.join(r, l.user_id == r.r_user_id, "full_outer").select(
+        F.coalesce("user_id", "r_user_id").alias("user_id"),
+        F.concat_ws(
+            ",",
+            F.when(F.col("user_id").isNotNull(), "purchase"),
+            F.when(F.col("r_user_id").isNotNull(), "error"),
+        ).alias("found_by"),
+    )
+
+
+def j2_dimension_join(spark, sf_dir):
+    """J2 (wikipedia_utils.py:81-99): hash-probe → broadcast dim joins.
+    nation/region are broadcast; the orders↔customer join shuffles on the
+    key Catalyst picks (AQE may also broadcast customer at this SF)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def j7_interval_containment(spark, sf_dir):
+    """J7 (xml_utils.py:118-187): span-containment join — equi on the
+    partition key (user/doc) + range predicates, shuffle-friendly."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("v_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        v.join(c, v.user_id == c.c_user_id)
+        .filter(
+            (F.col("c_ts") >= F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("view_id", "click_id")
+    )
+
+
+def j10_transitive_closure(spark, sf_dir):
+    """J10 (utils.py:489-569): ontology ancestor closure — iterative
+    self-join to fixpoint (recursive-CTE equivalent). Wikidata's subclass
+    DAG is ≤ ~20 deep; each round is one equi-join + distinct. At scale,
+    checkpoint between rounds to cut lineage."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    edges = n.select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("child"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("parent"),
+    ).unionByName(
+        r.select(
+            F.concat(F.lit("r"), F.col("r_regionkey").cast("string")).alias(
+                "child"
+            ),
+            F.lit("root").alias("parent"),
+        )
+    )
+    edges = F.broadcast(edges)
+    anc = edges.select(
+        F.col("child").alias("node"), F.col("parent").alias("ancestor")
+    ).distinct()
+    for _ in range(20):  # bound = max ontology depth
+        nxt = (
+            anc.join(edges, anc.ancestor == edges.child)
+            .select("node", F.col("parent").alias("ancestor"))
+            .unionByName(anc)
+            .distinct()
+        )
+        if nxt.count() == anc.count():
+            break
+        anc = nxt
+    return anc
+
+
+def w1_stable_ordering(spark, sf_dir):
+    """W1: THE stable-ordering window (input-hint invariant) — row_number
+    over (partition key, orderBy time + id tiebreak)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "rn", "event_id")
+    )
+
+
+def w5_sessionize(spark, sf_dir):
+    """W5: gap-based sessionization — lag + running sum (rowsBetween)."""
+    by_time = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(by_time)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTE")),
+        1,
+    ).otherwise(0)
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_seq",
+            F.sum("new_sess")
+            .over(by_time.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .select("user_id", "event_id", "session_seq")
+    )
+
+
+def o3_top_types(spark, sf_dir):
+    """O3 (classes.py:118): top-k by frequency, deterministic tiebreak."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+        .limit(10)
+    )
+
+
+def a3_collection_stats(spark, sf_dir):
+    """A3 (classes.py:27-125): the stats battery as one groupBy().agg()."""
+    return _t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
+    )
+
+
+def e2_set_difference(spark, sf_dir):
+    """E2 (old_scripts/extract.py:19): target-langs minus found langs."""
+    target = F.array(*[F.lit(x) for x in ["de", "en", "es", "fr", "zh"]])
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.collect_set("lang").alias("langs"))
+        .select(
+            "source",
+            F.array_join(F.array_except(target, "langs"), ",").alias(
+                "missing_langs"
+            ),
+        )
+    )
+
+
+def p4_gyear_rule(spark, sf_dir):
+    """P4 (classes.py:251-255): the gYear/date literal datatype rule."""
+    o = _t(spark, sf_dir, "orders")
+    g = _is_gyear(F.col("o_orderdate"))
+    return o.select(
+        "o_orderkey",
+        F.when(g, F.date_format("o_orderdate", "yyyy"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .alias("obj"),
+        F.when(g, "xsd:gYear").otherwise("xsd:date").alias("datatype"),
+    )
+
+
+def p1_scalar_chain(spark, sf_dir):
+    """P1/C1-C10: URI/id scalar projections (regexp_replace, split[-1],
+    substring_index, trim/upper) — all codegen'd, no UDF."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.regexp_replace("p_brand", "Brand#", "b:").alias("brand_id"),
+        F.element_at(F.split("p_type", " "), -1).alias("type_last"),
+        F.substring_index("p_name", " ", 1).alias("name_first"),
+        F.upper(F.trim(F.col("p_brand"))).alias("brand_uc"),
+    )
+
+
+def c12_json_extract(spark, sf_dir):
+    """C12 (wikipedia_utils.py:94): JSON field extraction with cast."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+def k4_inverted_index(spark, sf_dir):
+    """K4/A8 (json_utils.py:6-49): inverted index with sorted id lists."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("user_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("user_ids_csv")
+        )
+    )
+
+
+def triples_events(spark, sf_dir):
+    """K3 (classes.py:265-353): the triple emitter — subject mint, rdf:type,
+    actor edge, rdfs:label literal, gYear-ruled timestamp literal. Four
+    projections of one scan, unioned; at scale this is a single pass
+    (union of narrow maps, no shuffle until the partitioned write)."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    subj = F.concat(F.lit("inst:ev"), F.col("event_id").cast("string"))
+    g = _is_gyear(F.col("ts"))
+    t1 = e.select(
+        subj.alias("subj"),
+        F.lit("rdf:type").alias("pred"),
+        F.lit("sem:Event").alias("obj"),
+        F.lit(False).alias("obj_is_literal"),
+        F.lit("").alias("datatype"),
+    )
+    t2 = e.select(
+        subj.alias("subj"),
+        F.lit("sem:hasActor").alias("pred"),
+        F.concat(F.lit("usr:"), F.col("user_id").cast("string")).alias("obj"),
+        F.lit(False).alias("obj_is_literal"),
+        F.lit("").alias("datatype"),
+    )
+    t3 = e.select(
+        subj.alias("subj"),
+        F.lit("rdfs:label").alias("pred"),
+        F.col("event_type").alias("obj"),
+        F.lit(True).alias("obj_is_literal"),
+        F.lit("xsd:string").alias("datatype"),
+    )
+    t4 = e.select(
+        subj.alias("subj"),
+        F.lit("sem:hasTimeStamp").alias("pred"),
+        F.when(g, F.date_format("ts", "yyyy"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"))
+        .alias("obj"),
+        F.lit(True).alias("obj_is_literal"),
+        F.when(g, "xsd:gYear").otherwise("xsd:dateTime").alias("datatype"),
+    )
+    return t1.unionByName(t2).unionByName(t3).unionByName(t4)
+
+
+# --- training-data-pipeline operators ---------------------------------------
+
+
+def dedup_exact(spark, sf_dir):
+    return text_dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def dedup_jaccard(spark, sf_dir):
+    return text_dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), 0.9)
+
+
+def dedup_minhash_sig(spark, sf_dir):
+    return text_dedup.minhash_band_signatures(_t(spark, sf_dir, "documents"))
+
+
+def dedup_minhash_pairs(spark, sf_dir):
+    return text_dedup.minhash_candidate_pairs(
+        _t(spark, sf_dir, "documents")
+    ).agg(F.count("*").alias("n_candidate_pairs"))
+
+
+def dedup_simhash(spark, sf_dir):
+    return text_dedup.simhash(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "simhash"
+    )
+
+
+def dedup_simhash_pairs(spark, sf_dir):
+    return text_dedup.simhash_pairs(_t(spark, sf_dir, "documents"), 3)
+
+
+def knn_cosine(spark, sf_dir):
+    return similarity.brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), k=5, query_pred=F.col("query_id") < 20
+    )
+
+
+def ann_lsh_bucketed(spark, sf_dir):
+    return similarity.lsh_bucketed_topk(
+        _t(spark, sf_dir, "embeddings"), k=3, query_pred=F.col("query_id") < 50
+    ).select("query_id", "neighbor_id", "bucket", "sim")
+
+
+def lang_id_profile(spark, sf_dir):
+    return text_analysis.profile_id(_t(spark, sf_dir, "documents"))
+
+
+def quality_score(spark, sf_dir):
+    return text_analysis.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def token_count(spark, sf_dir):
+    return text_analysis.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def fingerprint(spark, sf_dir):
+    return text_analysis.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def multimodal_meta(spark, sf_dir):
+    return multimodal.decode_features(
+        multimodal.to_binary_table(_t(spark, sf_dir, "documents"))
+    )
+
+
+def kg_pipeline_triples(spark, sf_dir):
+    """The actual KG-construction pipeline (north rule) on the deterministic
+    synthetic transcript corpus — rows-only check here; exact-parity vs the
+    pure-Python reference oracle is enforced in tests/test_parity.py."""
+    import tempfile
+
+    from . import datagen
+    from .plans import pipeline
+    from .sources.tables import CorpusTables
+
+    out = tempfile.mkdtemp(prefix="mwep_corpus_")
+    datagen.generate_to_dir(out, n_incidents=20, seed=42)
+    t = CorpusTables(spark, out)
+    return pipeline.build(t, cache_intermediates=False).full_triples
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    f.__name__: f
+    for f in [
+        a1_incident_grouping, a2_dedup_window, f2_ref_text_filter,
+        f3_language_completeness, j1_outer_merge, j2_dimension_join,
+        j7_interval_containment, j10_transitive_closure, w1_stable_ordering,
+        w5_sessionize, o3_top_types, a3_collection_stats, e2_set_difference,
+        p4_gyear_rule, p1_scalar_chain, c12_json_extract, k4_inverted_index,
+        triples_events, dedup_exact, dedup_jaccard, dedup_minhash_sig,
+        dedup_minhash_pairs, dedup_simhash, dedup_simhash_pairs, knn_cosine,
+        ann_lsh_bucketed, lang_id_profile, quality_score, token_count,
+        fingerprint, multimodal_meta, kg_pipeline_triples,
+    ]
+}

@@ -1,0 +1,379 @@
+"""DuckDB oracle SQL for every relational query in ``catalog.py``.
+
+Each SQL string is the ANSI-SQL twin of the Spark DataFrame plan with the
+same key in ``catalog.QUERIES``; the driver runs both at sf=0.01 and compares
+row count + schema + order-insensitive value hash. Column aliases MUST match
+the Spark side exactly.
+
+Portability rules used throughout (so Spark and DuckDB agree bit-for-bit):
+- doubles are ROUND()ed after aggregation;
+- integer counts are cast to BIGINT (DuckDB count() is BIGINT, sum(int) is
+  HUGEINT — always cast);
+- hashing across engines uses md5() hex strings (identical in both);
+- rankings always carry a deterministic tiebreak column.
+"""
+
+from __future__ import annotations
+
+# Shared CTE fragments -------------------------------------------------------
+
+_DOC_TOKENS = """
+doc_tokens AS (
+  SELECT DISTINCT doc_id, lang, token FROM (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+)
+"""
+
+_MINHASH_BANDS = """
+doc_tokens AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+),
+sig AS (
+  SELECT doc_id, s.seed, MIN(md5(concat(CAST(s.seed AS VARCHAR), ':', token))) AS mh
+  FROM doc_tokens CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, CAST(seed // 2 AS BIGINT) AS band,
+         string_agg(mh, '|' ORDER BY seed) AS band_sig
+  FROM sig GROUP BY doc_id, CAST(seed // 2 AS BIGINT)
+)
+"""
+
+_SIMHASH = """
+doc_tokens AS (
+  SELECT DISTINCT doc_id, lang, token FROM (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+),
+bits AS (
+  SELECT doc_id, lang, b.b,
+         ((strpos('0123456789abcdef', substr(md5(token), 1 + CAST(b.b // 4 AS INT), 1)) - 1)
+           >> CAST(b.b % 4 AS INT)) & 1 AS bit
+  FROM doc_tokens CROSS JOIN (SELECT unnest(range(16)) AS b) b
+),
+sums AS (SELECT doc_id, lang, b, SUM(2 * bit - 1) AS s FROM bits GROUP BY doc_id, lang, b),
+sh AS (
+  SELECT doc_id, lang,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+  FROM sums GROUP BY doc_id, lang
+)
+"""
+
+_EMB = "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+_COS = ("list_dot_product(q.v, c.v) / "
+        "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))")
+
+_BUCKET = " + ".join(
+    f"(CASE WHEN v[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+)
+
+_TS_IS_GYEAR = "strftime({c}, '%m-%d %H:%M:%S') = '01-01 00:00:00'"
+
+ORACLES: dict[str, str] = {
+    # ---- SURVEY §2 relational operators over the testdata tables ----------
+    "a1_incident_grouping": """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
+               arg_max(event_type, event_id) AS last_type
+        FROM events GROUP BY user_id
+    """,
+    "a2_dedup_window": """
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang, substr(text, 1, 40)
+                                    ORDER BY doc_id DESC) AS rn
+          FROM documents
+        ) WHERE rn = 1
+    """,
+    "f2_ref_text_filter": """
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+        WHERE length(text) BETWEEN 100 AND 400
+          AND NOT regexp_matches(text, '[1-2][0-9]{3}-[1-2][0-9]{3}')
+    """,
+    "f3_language_completeness": """
+        SELECT source,
+               array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs_csv,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+        HAVING list_contains(list(DISTINCT lang), 'en') AND COUNT(DISTINCT lang) >= 4
+    """,
+    "j1_outer_merge": """
+        WITH l AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+             r AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        SELECT COALESCE(l.user_id, r.user_id) AS user_id,
+               concat_ws(',',
+                 CASE WHEN l.user_id IS NOT NULL THEN 'purchase' END,
+                 CASE WHEN r.user_id IS NOT NULL THEN 'error' END) AS found_by
+        FROM l FULL OUTER JOIN r ON l.user_id = r.user_id
+    """,
+    "j2_dimension_join": """
+        SELECT r_name AS region, n_name AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "j7_interval_containment": """
+        SELECT v.event_id AS view_id, c.event_id AS click_id
+        FROM events v JOIN events c
+          ON v.user_id = c.user_id
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+        WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+    "j10_transitive_closure": """
+        WITH RECURSIVE edges AS (
+          SELECT concat('n', CAST(n_nationkey AS VARCHAR)) AS child,
+                 concat('r', CAST(n_regionkey AS VARCHAR)) AS parent FROM nation
+          UNION ALL
+          SELECT concat('r', CAST(r_regionkey AS VARCHAR)), 'root' FROM region
+        ), anc AS (
+          SELECT child AS node, parent AS ancestor FROM edges
+          UNION
+          SELECT a.node, e.parent FROM anc a JOIN edges e ON a.ancestor = e.child
+        )
+        SELECT node, ancestor FROM anc
+    """,
+    "w1_stable_ordering": """
+        SELECT user_id, CAST(rn AS BIGINT) AS rn, event_id FROM (
+          SELECT user_id, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ) WHERE rn <= 3
+    """,
+    "w5_sessionize": """
+        SELECT user_id, event_id, CAST(session_seq AS BIGINT) AS session_seq FROM (
+          SELECT user_id, event_id,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                             OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events)
+        )
+    """,
+    "o3_top_types": """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+        ORDER BY n DESC, event_type LIMIT 10
+    """,
+    "a3_collection_stats": """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(AVG(l_extendedprice), 2) AS avg_price,
+               ROUND(VAR_SAMP(l_discount), 6) AS var_disc,
+               strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
+               strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "e2_set_difference": """
+        SELECT source,
+               COALESCE(array_to_string(
+                 [x for x in ['de','en','es','fr','zh'] if NOT list_contains(langs, x)],
+                 ','), '') AS missing_langs
+        FROM (SELECT source, list(DISTINCT lang) AS langs FROM documents GROUP BY source)
+    """,
+    "p4_gyear_rule": f"""
+        SELECT o_orderkey,
+               CASE WHEN {_TS_IS_GYEAR.format(c='o_orderdate')}
+                    THEN strftime(o_orderdate, '%Y')
+                    ELSE strftime(o_orderdate, '%Y-%m-%d') END AS obj,
+               CASE WHEN {_TS_IS_GYEAR.format(c='o_orderdate')}
+                    THEN 'xsd:gYear' ELSE 'xsd:date' END AS datatype
+        FROM orders
+    """,
+    "p1_scalar_chain": """
+        SELECT p_partkey,
+               regexp_replace(p_brand, 'Brand#', 'b:') AS brand_id,
+               list_extract(string_split(p_type, ' '), -1) AS type_last,
+               split_part(p_name, ' ', 1) AS name_first,
+               upper(trim(p_brand)) AS brand_uc
+        FROM part
+    """,
+    "c12_json_extract": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    """,
+    "k4_inverted_index": """
+        SELECT event_type,
+               array_to_string(list_sort(list(DISTINCT user_id)), ',') AS user_ids_csv
+        FROM events GROUP BY event_type
+    """,
+    "triples_events": f"""
+        WITH e AS (SELECT event_id, user_id, event_type, ts FROM events)
+        SELECT subj, pred, obj, obj_is_literal, datatype FROM (
+          SELECT concat('inst:ev', CAST(event_id AS VARCHAR)) AS subj,
+                 'rdf:type' AS pred, 'sem:Event' AS obj,
+                 FALSE AS obj_is_literal, '' AS datatype FROM e
+          UNION ALL
+          SELECT concat('inst:ev', CAST(event_id AS VARCHAR)), 'sem:hasActor',
+                 concat('usr:', CAST(user_id AS VARCHAR)), FALSE, '' FROM e
+          UNION ALL
+          SELECT concat('inst:ev', CAST(event_id AS VARCHAR)), 'rdfs:label',
+                 event_type, TRUE, 'xsd:string' FROM e
+          UNION ALL
+          SELECT concat('inst:ev', CAST(event_id AS VARCHAR)), 'sem:hasTimeStamp',
+                 CASE WHEN {_TS_IS_GYEAR.format(c='ts')}
+                      THEN strftime(ts, '%Y')
+                      ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') END,
+                 TRUE,
+                 CASE WHEN {_TS_IS_GYEAR.format(c='ts')}
+                      THEN 'xsd:gYear' ELSE 'xsd:dateTime' END FROM e
+        )
+    """,
+    # ---- training-data-pipeline operators ---------------------------------
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_jaccard": f"""
+        WITH {_DOC_TOKENS},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM doc_tokens GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+          FROM doc_tokens a JOIN doc_tokens b
+            ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT a_id, b_id, ROUND(shared / (sa.n + sb.n - shared), 6) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE shared / (sa.n + sb.n - shared) >= 0.9
+    """,
+    "dedup_minhash_sig": f"""
+        WITH {_MINHASH_BANDS}
+        SELECT doc_id, band, band_sig FROM bands
+    """,
+    "dedup_minhash_pairs": f"""
+        WITH {_MINHASH_BANDS},
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs FROM pairs
+    """,
+    "dedup_simhash": f"""
+        WITH {_SIMHASH}
+        SELECT doc_id, simhash FROM sh
+    """,
+    "dedup_simhash_pairs": f"""
+        WITH {_SIMHASH}
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    "knn_cosine": f"""
+        WITH {_EMB},
+        pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ROUND({_COS}, 6) AS sim
+          FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+        SELECT query_id, neighbor_id, sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rn
+          FROM pairs
+        ) WHERE rn <= 5
+    """,
+    "ann_lsh_bucketed": f"""
+        WITH {_EMB},
+        b AS (SELECT vec_id, v, {_BUCKET} AS bucket FROM e),
+        pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 CAST(q.bucket AS BIGINT) AS bucket,
+                 ROUND({_COS}, 6) AS sim
+          FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 50)
+        SELECT query_id, neighbor_id, bucket, sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rn
+          FROM pairs
+        ) WHERE rn <= 3
+    """,
+    "lang_id_profile": """
+        WITH padded AS (
+          SELECT doc_id, concat(' ', text, ' ') AS p FROM documents),
+        s AS (
+          SELECT doc_id,
+            (CASE WHEN p LIKE '% the %' THEN 1 ELSE 0 END
+             + CASE WHEN p LIKE '% a %' THEN 1 ELSE 0 END
+             + CASE WHEN p LIKE '% of %' THEN 1 ELSE 0 END) AS s_en,
+            (CASE WHEN p LIKE '% query %' THEN 1 ELSE 0 END
+             + CASE WHEN p LIKE '% join %' THEN 1 ELSE 0 END
+             + CASE WHEN p LIKE '% table %' THEN 1 ELSE 0 END) AS s_query,
+            (CASE WHEN p LIKE '% stream %' THEN 1 ELSE 0 END
+             + CASE WHEN p LIKE '% batch %' THEN 1 ELSE 0 END
+             + CASE WHEN p LIKE '% window %' THEN 1 ELSE 0 END) AS s_stream
+          FROM padded)
+        SELECT doc_id,
+               CASE WHEN s_en >= s_query AND s_en >= s_stream THEN 'en'
+                    WHEN s_query >= s_stream THEN 'query'
+                    ELSE 'stream' END AS pred_profile,
+               CAST(s_en AS BIGINT) AS s_en,
+               CAST(s_query AS BIGINT) AS s_query,
+               CAST(s_stream AS BIGINT) AS s_stream
+        FROM s
+    """,
+    "quality_score": """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS avg_len,
+                 len(list_filter(toks, x -> list_contains(['the','a','of','in'], x))) * 1.0
+                   / len(toks) AS stop_ratio
+          FROM t)
+        SELECT doc_id, n_tokens,
+               ROUND(avg_len, 4) AS avg_token_len,
+               ROUND(stop_ratio, 4) AS stopword_ratio,
+               ROUND(0.4 * least(n_tokens / 100.0, 1.0)
+                     + 0.3 * stop_ratio
+                     + 0.3 * least(avg_len / 8.0, 1.0), 4) AS quality
+        FROM m
+    """,
+    "token_count": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens,
+               CAST(length(text) // 4 AS BIGINT) AS approx_bpe
+        FROM documents
+    """,
+    "fingerprint": """
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 COUNT(DISTINCT md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS n_sh
+          FROM t, (SELECT unnest(range(1, 2000)) AS i) idx
+          WHERE i + 2 <= len(toks)
+          GROUP BY doc_id)
+        SELECT t.doc_id,
+               md5(array_to_string(toks, ' ')) AS fp,
+               CAST(COALESCE(sh.n_sh, 0) AS BIGINT) AS n_distinct_shingles
+        FROM t LEFT JOIN sh ON t.doc_id = sh.doc_id
+    """,
+    "multimodal_meta": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+        FROM documents
+    """,
+}
