@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Also reports turns/sec for the end-to-end KG pipeline (the BASELINE.md
+headline metric) on a deterministic synthetic transcript corpus sized to
+the scale factor. The two-parallelism scaling run lives in
+tools/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from multilingual_wiki_event_pipeline_spark import datagen  # noqa: E402
+from multilingual_wiki_event_pipeline_spark.catalog import QUERIES  # noqa: E402
+from multilingual_wiki_event_pipeline_spark.plans import pipeline  # noqa: E402
+from multilingual_wiki_event_pipeline_spark.session import get_spark  # noqa: E402
+from multilingual_wiki_event_pipeline_spark.sinks import CheckpointStore  # noqa: E402
+from multilingual_wiki_event_pipeline_spark.sources.tables import CorpusTables  # noqa: E402
+
+# Representative subset of the catalog: one per operator family, heaviest
+# variants preferred (full list runs in tools/check_oracle.py at sf0.01).
+HEADLINE = [
+    "a1_incident_grouping",    # hash agg w/ collect_set
+    "a2_dedup_window",         # ranking-window dedup
+    "a3_collection_stats",     # stats battery (TPC-H Q1 shape)
+    "j2_dimension_join",       # broadcast dim joins + shuffle join
+    "j7_interval_containment", # non-equi interval join
+    "j10_transitive_closure",  # iterative closure
+    "w5_sessionize",           # lag + running sum windows
+    "triples_events",          # K3 triple emitter (4-way union, one scan)
+    "dedup_minhash_pairs",     # MinHash+LSH candidate pairs
+    "dedup_simhash_pairs",     # SimHash hamming pairs
+    "knn_cosine",              # brute-force cosine top-k
+    "lang_id_profile",         # n-gram language ID
+    "quality_score",           # text quality metrics
+    "fingerprint",             # rolling-hash fingerprint
+]
+
+# KG-pipeline corpus size per sf of the operator tables (sf0.1 ~ 600k
+# lineitem rows -> 600 incidents ~ 160k turns).
+N_INCIDENTS = {"0.001": 30, "0.01": 120, "0.1": 600}
+
+
+def _sf_of(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base[2:] if base.startswith("sf") else base
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_of(sf_dir)
+    spark = get_spark(app_name="mwep-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        fn(spark, sf_dir).count()  # warm file listing + JIT once
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # End-to-end KG pipeline: corpus generation is NOT timed; the timed
+    # section is ingest -> filters -> mentions -> linking -> corefs -> triples.
+    n_inc = N_INCIDENTS.get(sf, 120)
+    out = tempfile.mkdtemp(prefix="mwep_bench_corpus_")
+    ckpt = tempfile.mkdtemp(prefix="mwep_bench_ckpt_")
+    try:
+        datagen.generate_to_dir(out, n_incidents=n_inc, seed=42)
+        t = CorpusTables(spark, out)
+        n_turns = t.transcripts.count()
+        t0 = time.perf_counter()
+        # production path: stage boundaries materialized to the checkpoint
+        # store (resumable, lineage-recorded, plan-truncating).
+        o = pipeline.build(t, store=CheckpointStore(spark, ckpt))
+        n_triples = o.full_triples.count() + o.pilot_triples.count()
+        n_mentions = o.mentions.count()
+        kg_sec = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    timings["kg_pipeline"] = kg_sec
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "kg_turns": n_turns,
+        "kg_triples": n_triples,
+        "kg_mentions": n_mentions,
+        "kg_turns_per_sec": round(n_turns / kg_sec, 1) if kg_sec else None,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -418,12 +418,14 @@ def kg_pipeline_triples(spark, sf_dir):
 
     from . import datagen
     from .plans import pipeline
+    from .sinks import CheckpointStore
     from .sources.tables import CorpusTables
 
     out = tempfile.mkdtemp(prefix="mwep_corpus_")
     datagen.generate_to_dir(out, n_incidents=20, seed=42)
     t = CorpusTables(spark, out)
-    return pipeline.build(t, cache_intermediates=False).full_triples
+    store = CheckpointStore(spark, tempfile.mkdtemp(prefix="mwep_ckpt_"))
+    return pipeline.build(t, store=store).full_triples
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

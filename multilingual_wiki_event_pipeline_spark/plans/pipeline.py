@@ -23,8 +23,13 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from typing import TYPE_CHECKING
+
 from ..operators import documents, mentions as M, pilot, srl, triples
 from ..sources.tables import CorpusTables
+
+if TYPE_CHECKING:  # pragma: no cover
+    from ..sinks import CheckpointStore
 
 LANGS_DEFAULT = ["en", "nl", "it"]
 
@@ -50,20 +55,27 @@ def build(t: CorpusTables, target_languages: list[str] = None,
           must_have_all_languages: bool = True, must_have_english: bool = True,
           one_page_per_language: bool = True,
           max_pilot_incidents: int | None = None,
-          cache_intermediates: bool = False) -> PipelineOutputs:
-    """``cache_intermediates`` persists the shared fan-out nodes (full texts,
-    pilot texts, linked mentions) — useful when several outputs are consumed
-    in one session (tests); production runs materialize stage boundaries to
-    the checkpoint store instead (sinks.py)."""
+          cache_intermediates: bool = False,
+          store: "CheckpointStore | None" = None) -> PipelineOutputs:
+    """``store`` (sinks.CheckpointStore) materializes every shared stage
+    boundary to the checkpoint store: resumable after failure (complete
+    stages are skipped), per-partition lineage recorded, and downstream
+    plans read shallow scans instead of re-analyzing the whole upstream DAG.
+    ``cache_intermediates`` is the in-session alternative for tests."""
     target_languages = target_languages or LANGS_DEFAULT
-    maybe_cache = (lambda df: df.cache()) if cache_intermediates else (lambda df: df)
+    if store is not None:
+        maybe_cache = lambda df, name: store.materialize(df, name)  # noqa: E731
+    elif cache_intermediates:
+        maybe_cache = lambda df, name: df.cache()  # noqa: E731
+    else:
+        maybe_cache = lambda df, name: df  # noqa: E731
 
     # --- ingest + stabilize -------------------------------------------------
     docs = documents.assemble_documents(t.transcripts)
     turns_out = documents.stable_turns(t.transcripts)
 
     # --- full collection (F8 + A2 + serialize) ------------------------------
-    texts_full = maybe_cache(pilot.full_texts(t.conv_meta, docs))
+    texts_full = maybe_cache(pilot.full_texts(t.conv_meta, docs), "s01_texts_full")
     incidents_full = pilot.incidents_with_texts(t.incidents, texts_full)
     roles_full = t.incident_roles.join(
         incidents_full.select("incident_id"), "incident_id", "left_semi"
@@ -87,7 +99,8 @@ def build(t: CorpusTables, target_languages: list[str] = None,
         max_pilot_incidents,
     )
     p_texts = maybe_cache(
-        p_texts.join(p_incidents.select("incident_id"), "incident_id", "left_semi")
+        p_texts.join(p_incidents.select("incident_id"), "incident_id", "left_semi"),
+        "s02_pilot_texts",
     )
     p_roles = pilot.backfill_role_labels(
         t.incident_roles.join(p_incidents.select("incident_id"), "incident_id", "left_semi"),
@@ -100,10 +113,21 @@ def build(t: CorpusTables, target_languages: list[str] = None,
 
     # --- NAF-side layers ------------------------------------------------------
     tokens = M.token_table(p_texts)
-    aligned = M.align_mentions(p_texts, t.annotations)
+    # aligned feeds both the linking chain and the SRL join — cache it so the
+    # Arrow alignment kernel runs once per session (production: stage
+    # materialization via sinks.py).
+    aligned = maybe_cache(M.align_mentions(p_texts, t.annotations),
+                          "s03_aligned_mentions")
     uri_to_rels, inc_to_wd = M.structured_data_uris(incidents_full, roles_full)
-    wiki_to_wd = M.restrict_sitelinks(t.wd_sitelinks, uri_to_rels)
-    linked = maybe_cache(M.expand_ext_refs(aligned, p_texts, t.langlinks, wiki_to_wd))
+    # tiny dimensions, but each is consumed by 2+ downstream joins — pin them
+    # so their (deep) defining subplans are analyzed once.
+    uri_to_rels = maybe_cache(uri_to_rels, "d01_uri_to_rels")
+    inc_to_wd = maybe_cache(inc_to_wd, "d02_inc_to_wd")
+    wiki_to_wd = maybe_cache(
+        M.restrict_sitelinks(t.wd_sitelinks, uri_to_rels), "d03_wiki_to_wd"
+    )
+    linked = maybe_cache(M.expand_ext_refs(aligned, p_texts, t.langlinks, wiki_to_wd),
+                         "s04_linked_mentions")
     corefs = M.coref_clusters(linked, p_texts, uri_to_rels, inc_to_wd)
     spans = srl.role_spans(t.srl_predicates, t.srl_roles)
     srl_links = srl.entity_frame_roles(aligned, spans)

