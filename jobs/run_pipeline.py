@@ -1,0 +1,70 @@
+"""Cluster entry point for the KG-construction pipeline.
+
+Launch (north-star contract — multi-executor cluster, code shipped via
+--py-files):
+
+    zip -r mwep_spark.zip multilingual_wiki_event_pipeline_spark
+    spark-submit \
+      --master <cluster-master> \
+      --py-files mwep_spark.zip \
+      --conf spark.sql.adaptive.enabled=true \
+      --conf spark.sql.adaptive.skewJoin.enabled=true \
+      --conf spark.sql.shuffle.partitions=<2-3x total executor cores> \
+      jobs/run_pipeline.py \
+      --input /path/or/catalog.db.transcripts_root \
+      --checkpoint /path/ckpt --output /path/triples \
+      [--catalog iceberg_cat.mwep] [--languages en,nl,it]
+
+Reads the corpus tables (Iceberg when --catalog is given, parquet-by-path
+otherwise), runs the full pipeline with every stage boundary materialized
+to the checkpoint store (resumable: a rerun after failure skips complete
+stages), and writes full + pilot triples salted-bucket-partitioned.
+
+Local smoke (this sandbox): spark-submit --master local[8] works the same.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str]) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="corpus tables root (dir of parquet, or Iceberg namespace root when --catalog is set)")
+    ap.add_argument("--checkpoint", required=True, help="checkpoint-store root")
+    ap.add_argument("--output", required=True, help="triples output root")
+    ap.add_argument("--catalog", default=None, help="Iceberg catalog.namespace for the corpus tables")
+    ap.add_argument("--languages", default="en,nl,it")
+    ap.add_argument("--max-pilot-incidents", type=int, default=None)
+    ap.add_argument("--salt-buckets", type=int, default=64)
+    args = ap.parse_args(argv)
+
+    # imports AFTER spark-submit has the --py-files zip on sys.path
+    from pyspark.sql import SparkSession
+
+    from multilingual_wiki_event_pipeline_spark.plans import pipeline
+    from multilingual_wiki_event_pipeline_spark.sinks import (
+        CheckpointStore,
+        write_triples,
+    )
+    from multilingual_wiki_event_pipeline_spark.sources.tables import CorpusTables
+
+    spark = SparkSession.builder.appName("mwep-kg-pipeline").getOrCreate()
+    t = CorpusTables(spark, args.input, catalog=args.catalog)
+    store = CheckpointStore(spark, args.checkpoint)
+
+    o = pipeline.build(
+        t,
+        target_languages=args.languages.split(","),
+        max_pilot_incidents=args.max_pilot_incidents,
+        store=store,
+    )
+    write_triples(o.full_triples, f"{args.output}/full", n_buckets=args.salt_buckets)
+    write_triples(o.pilot_triples, f"{args.output}/pilot", n_buckets=args.salt_buckets)
+    store.add_counter("sink", "full_triples", o.full_triples.count())
+    store.add_counter("sink", "pilot_triples", o.pilot_triples.count())
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

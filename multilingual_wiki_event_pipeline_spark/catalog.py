@@ -345,6 +345,258 @@ def triples_events(spark, sf_dir):
     return t1.unionByName(t2).unionByName(t3).unionByName(t4)
 
 
+def f1_first_section(spark, sf_dir):
+    """F1 (pilot_utils.py:142): keep text before the first separator —
+    substring_index + trim, fully codegen'd."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.trim(F.substring_index("text", ".", 1)).alias("first_sec"),
+    )
+
+
+def f4_role_set_equality(spark, sf_dir):
+    """F4/E3 (pilot_utils.py:77-95): keep groups whose key set EQUALS the
+    required set — sorted-set equality after aggregation, no per-row loops."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+                "types_csv"
+            )
+        )
+        .filter(F.col("types_csv") == "click,error,purchase,signup,view")
+    )
+
+
+def f8_surviving_orders(spark, sf_dir):
+    """F8 (main.py:224-227): drop parents with zero surviving children —
+    left-semi join, no aggregation needed."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return o.join(l, o.o_orderkey == l.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+def o2_deterministic_limit(spark, sf_dir):
+    """F9/O1/O2 (main.py:377-379): the reference truncates a *set*
+    (nondeterministic); we define order first — orderBy + limit."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .orderBy("c_custkey")
+        .limit(5)
+        .select("c_custkey", "c_name")
+    )
+
+
+def p3_uri_label_pack(spark, sf_dir):
+    """P3 (utils.py:294-297 / classes.py:247): 'uri | label' packing and
+    first-token unpacking, serialization-side only."""
+    p = _t(spark, sf_dir, "part")
+    packed = F.concat_ws(" | ", F.col("p_brand"), F.col("p_name"))
+    return p.select(
+        "p_partkey",
+        packed.alias("packed"),
+        F.substring_index(packed, " | ", 1).alias("unpacked_uri"),
+    )
+
+
+def p5_dct_coalesce(spark, sf_dir):
+    """P5/C14 (main.py:437-445): DCT selection — coalesce of an absent JSON
+    field with the formatted event time."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.coalesce(
+            F.get_json_object("props", "$.missing"),
+            F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("dct"),
+    )
+
+
+def j3_fanout_collect(spark, sf_dir):
+    """J3/A6 (pilot_utils.py:319-324, xml_utils.py:45-84): fan out a key to
+    its parallel rows and re-pack as a sorted list per parent."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.concat_ws(":", F.col("l_linenumber").cast("string"), "l_returnflag").alias(
+            "item"
+        ),
+    )
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.array_join(F.sort_array(F.collect_list("item")), ",").alias("items_csv"))
+    )
+
+
+def j5_rewrite_union(spark, sf_dir):
+    """J5/E1 (xml_utils.py:350-408): append new refs not already present —
+    array_union (dup guard xml_utils.py:396-398 = distinct semantics)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_returnflag").alias("modes"))
+        .select(
+            "l_orderkey",
+            F.array_join(
+                F.array_sort(F.array_union("modes", F.array(F.lit("AIR")))), ","
+            ).alias("modes_csv"),
+        )
+    )
+
+
+def j8_semi_join(spark, sf_dir):
+    """J8/E4 (xml_utils.py:437-447): membership against a URI set —
+    left-semi join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def a4_label_freq(spark, sf_dir):
+    """A4 (xml_utils.py:218-233): frequency of attribute combinations —
+    groupBy(concat_ws('---', ...)).count()."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.concat_ws("---", "lang", "source").alias("label"))
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def a10_langset_distribution(spark, sf_dir):
+    """A10 (classes.py:84-88): distribution of sorted language sets —
+    two-level aggregation."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("lang")), ",").alias("langs_csv")
+        )
+        .groupBy("langs_csv")
+        .agg(F.count("*").alias("n_sources"))
+    )
+
+
+def w2_sequence_expand(spark, sf_dir):
+    """W2 (xml_utils.py:261-274): inclusive id-range expansion —
+    explode(sequence(begin, end)); checked against the closed form."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", F.explode(F.sequence(F.lit(1), "l_linenumber")).alias("tid"))
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_expanded"))
+    )
+
+
+def o5_monthly_revenue(spark, sf_dir):
+    """O5/C8 (utils.py:586, pilot_utils.py:256-258): global frequency-ordered
+    aggregate with date formatting."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("month"))
+        .limit(12)
+    )
+
+
+def c2_url_encode(spark, sf_dir):
+    """C2/P2 (wikipedia_utils.py:35-54): percent-encoding — the one scalar
+    Spark lacks as a builtin pre-3.4-semantics; vectorized pandas UDF over
+    Arrow batches (never a row-at-a-time Python UDF)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _qp(s):
+        from urllib.parse import quote_plus as qp
+
+        return s.map(lambda x: qp(x) if x is not None else None)
+
+    quote_plus = pandas_udf(_qp, "string")
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey", quote_plus(F.col("p_name")).alias("enc")
+    )
+
+
+def u7_moment_stats(spark, sf_dir):
+    """U7 (classes.py:112, scipy describe): population-moment skewness and
+    kurtosis as built-in aggregates (Spark definitions; oracle recomputes
+    from raw moments)."""
+    return _t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
+    )
+
+
+def embed_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: all (a<b) pairs above a cosine
+    threshold — brute within a bounded id range (the verification tier of a
+    near-dup pipeline; production path buckets by LSH first, see
+    ann_lsh_bucketed)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
+        "vec_id", similarity._as_double("embedding").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(similarity.cosine(F.col("av"), F.col("bv")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.3)
+    )
+
+
+def canonicalize_components(spark, sf_dir):
+    """A7 generalized / north-star canonicalization: connected components by
+    iterative label propagation (J10 machinery) over a similarity graph —
+    here the near-duplicate clusters of documents with token-Jaccard >= 0.9.
+    Oracle = recursive-CTE transitive closure + min per vertex."""
+    from .operators.canonicalize import connected_components
+
+    edges = text_dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), 0.9)
+    return connected_components(edges, src="a_id", dst="b_id").select(
+        F.col("vertex").cast("long").alias("vertex"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+def w4_sequential_match(spark, sf_dir):
+    """W4 (old_scripts/enrich_pilot_data.py:26-53): greedy left-to-right
+    stateful sequence matching — inherently sequential within a group,
+    parallel across groups: applyInPandas per user over time-ordered events,
+    counting non-overlapping view->click->purchase subsequences."""
+    import pandas as pd
+
+    pattern = ["view", "click", "purchase"]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        pos, matches = 0, 0
+        for et in pdf["event_type"]:
+            if et == pattern[pos]:
+                pos += 1
+                if pos == len(pattern):
+                    matches += 1
+                    pos = 0
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "n_matches": [matches]}
+        )
+
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandas(kernel, "user_id long, n_matches long")
+    )
+
+
 # --- training-data-pipeline operators ---------------------------------------
 
 
@@ -436,6 +688,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         j7_interval_containment, j10_transitive_closure, w1_stable_ordering,
         w5_sessionize, o3_top_types, a3_collection_stats, e2_set_difference,
         p4_gyear_rule, p1_scalar_chain, c12_json_extract, k4_inverted_index,
+        f1_first_section, f4_role_set_equality, f8_surviving_orders,
+        o2_deterministic_limit, p3_uri_label_pack, p5_dct_coalesce,
+        j3_fanout_collect, j5_rewrite_union, j8_semi_join, a4_label_freq,
+        a10_langset_distribution, w2_sequence_expand, o5_monthly_revenue,
+        c2_url_encode, u7_moment_stats, embed_cosine_neardup,
+        canonicalize_components, w4_sequential_match,
         triples_events, dedup_exact, dedup_jaccard, dedup_minhash_sig,
         dedup_minhash_pairs, dedup_simhash, dedup_simhash_pairs, knn_cosine,
         ann_lsh_bucketed, lang_id_profile, quality_score, token_count,

@@ -465,7 +465,10 @@ def write_parquet(corpus: Corpus, out_dir: str) -> None:
                              pa.timestamp("us", tz="UTC")) for col, typ in cols])
         arrays = {col: [r.get(col) for r in rows] for col, _ in cols}
         table = pa.Table.from_pydict(arrays, schema=schema)
-        pq.write_table(table, f"{out_dir}/{name}.parquet")
+        # small row groups keep the file splittable: Spark parallelizes a
+        # parquet scan at row-group granularity, and a single-group file
+        # serializes the whole first stage regardless of cluster size.
+        pq.write_table(table, f"{out_dir}/{name}.parquet", row_group_size=4096)
 
 
 def generate_to_dir(out_dir: str, n_incidents: int = 30, seed: int = 42,

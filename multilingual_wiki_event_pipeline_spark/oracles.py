@@ -212,6 +212,148 @@ ORACLES: dict[str, str] = {
                array_to_string(list_sort(list(DISTINCT user_id)), ',') AS user_ids_csv
         FROM events GROUP BY event_type
     """,
+    "f1_first_section": """
+        SELECT doc_id, trim(split_part(text, '.', 1)) AS first_sec FROM documents
+    """,
+    "f4_role_set_equality": """
+        SELECT user_id,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv
+        FROM events GROUP BY user_id
+        HAVING array_to_string(list_sort(list(DISTINCT event_type)), ',')
+               = 'click,error,purchase,signup,view'
+    """,
+    "f8_surviving_orders": """
+        SELECT o_orderkey, o_orderstatus FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+    "o2_deterministic_limit": """
+        SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 5
+    """,
+    "p3_uri_label_pack": """
+        SELECT p_partkey,
+               concat(p_brand, ' | ', p_name) AS packed,
+               split_part(concat(p_brand, ' | ', p_name), ' | ', 1) AS unpacked_uri
+        FROM part
+    """,
+    "p5_dct_coalesce": """
+        SELECT event_id,
+               COALESCE(json_extract_string(props, '$.missing'),
+                        strftime(ts, '%Y-%m-%d')) AS dct
+        FROM events
+    """,
+    "j3_fanout_collect": """
+        SELECT o.o_orderkey,
+               string_agg(concat(CAST(l.l_linenumber AS VARCHAR), ':', l.l_returnflag),
+                          ',' ORDER BY concat(CAST(l.l_linenumber AS VARCHAR), ':', l.l_returnflag)) AS items_csv
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey
+    """,
+    "j5_rewrite_union": """
+        SELECT l_orderkey,
+               array_to_string(
+                 list_sort(list_distinct(list_append(list(DISTINCT l_returnflag), 'AIR'))),
+                 ',') AS modes_csv
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "j8_semi_join": """
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND year(o.o_orderdate) = 1995)
+    """,
+    "a4_label_freq": """
+        SELECT concat(lang, '---', source) AS label,
+               CAST(COUNT(*) AS BIGINT) AS freq
+        FROM documents GROUP BY concat(lang, '---', source)
+    """,
+    "a10_langset_distribution": """
+        WITH per_source AS (
+          SELECT source,
+                 array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs_csv
+          FROM documents GROUP BY source)
+        SELECT langs_csv, CAST(COUNT(*) AS BIGINT) AS n_sources
+        FROM per_source GROUP BY langs_csv
+    """,
+    "w2_sequence_expand": """
+        SELECT l_orderkey, CAST(SUM(l_linenumber) AS BIGINT) AS n_expanded
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "o5_monthly_revenue": """
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
+        ORDER BY revenue DESC, month ASC LIMIT 12
+    """,
+    "c2_url_encode": """
+        SELECT p_partkey, replace(p_name, ' ', '+') AS enc FROM part
+    """,
+    "u7_moment_stats": """
+        WITH m AS (
+          SELECT l_returnflag,
+                 AVG(l_quantity) AS mu,
+                 COUNT(*) AS n,
+                 SUM(l_quantity * l_quantity) AS s2,
+                 SUM(l_quantity * l_quantity * l_quantity) AS s3,
+                 SUM(l_quantity * l_quantity * l_quantity * l_quantity) AS s4,
+                 SUM(l_quantity) AS s1
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag,
+               ROUND(((s3 - 3 * mu * s2 + 3 * mu * mu * s1 - n * mu * mu * mu) / n)
+                     / POW((s2 - n * mu * mu) / n, 1.5), 6) AS skew_qty,
+               ROUND(((s4 - 4 * mu * s3 + 6 * mu * mu * s2 - 4 * mu * mu * mu * s1
+                        + n * mu * mu * mu * mu) / n)
+                     / POW((s2 - n * mu * mu) / n, 2) - 3, 6) AS kurt_qty
+        FROM m
+    """,
+    "embed_cosine_neardup": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < 300)
+        SELECT q.vec_id AS a_id, c.vec_id AS b_id, ROUND({_COS}, 6) AS sim
+        FROM e q JOIN e c ON q.vec_id < c.vec_id
+        WHERE ROUND({_COS}, 6) >= 0.3
+    """,
+    "canonicalize_components": f"""
+        WITH RECURSIVE {_DOC_TOKENS},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM doc_tokens GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+          FROM doc_tokens a JOIN doc_tokens b
+            ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        pairs AS (
+          SELECT a_id, b_id FROM shared
+          JOIN sizes sa ON sa.doc_id = a_id
+          JOIN sizes sb ON sb.doc_id = b_id
+          WHERE shared / (sa.n + sb.n - shared) >= 0.9),
+        sym AS (SELECT a_id AS v, b_id AS w FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+        reach AS (
+          SELECT v, v AS r FROM (SELECT DISTINCT v FROM sym)
+          UNION
+          SELECT s.v, rr.r FROM sym s JOIN reach rr ON s.w = rr.v)
+        SELECT CAST(v AS BIGINT) AS vertex, CAST(MIN(r) AS BIGINT) AS component
+        FROM reach GROUP BY v
+    """,
+    "w4_sequential_match": """
+        WITH RECURSIVE ev AS (
+          SELECT user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events),
+        step AS (
+          SELECT user_id, 0 AS rn, 0 AS pos, 0 AS matches
+          FROM (SELECT DISTINCT user_id FROM ev)
+          UNION ALL
+          SELECT e.user_id, e.rn,
+                 CASE WHEN e.event_type = (['view','click','purchase'])[s.pos + 1]
+                      THEN CASE WHEN s.pos = 2 THEN 0 ELSE s.pos + 1 END
+                      ELSE s.pos END,
+                 s.matches + CASE WHEN s.pos = 2 AND e.event_type = 'purchase'
+                                  THEN 1 ELSE 0 END
+          FROM step s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(MAX(matches) AS BIGINT) AS n_matches
+        FROM step GROUP BY user_id
+    """,
     "triples_events": f"""
         WITH e AS (SELECT event_id, user_id, event_type, ts FROM events)
         SELECT subj, pred, obj, obj_is_literal, datatype FROM (

@@ -1,0 +1,73 @@
+"""Subprocess worker for tools/bench_scaling.py: runs the full KG pipeline
+once at a given parallelism level and prints one JSON line with wall time,
+turns/sec, and per-stage timings (mirroring the reference's stage CSV,
+main.py:498-500).
+
+Usage: python tools/_scaling_worker.py <cpus> <corpus_dir>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from multilingual_wiki_event_pipeline_spark.plans import pipeline  # noqa: E402
+from multilingual_wiki_event_pipeline_spark.session import get_spark  # noqa: E402
+from multilingual_wiki_event_pipeline_spark.sinks import CheckpointStore  # noqa: E402
+from multilingual_wiki_event_pipeline_spark.sources.tables import CorpusTables  # noqa: E402
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    corpus_dir = sys.argv[2]
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        app_name=f"mwep-scaling-{cpus}",
+        shuffle_partitions=2 * cpus,
+        # sandbox-scale analog of sizing spark.sql.files.maxPartitionBytes to
+        # the data: the corpus is a few MB, so give the scan row-group-sized
+        # splits; at 100 TB the 128 MB default gives the same >=1-split-per-core.
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024)},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t = CorpusTables(spark, corpus_dir)
+    n_turns = t.transcripts.count()
+
+    ckpt = tempfile.mkdtemp(prefix=f"mwep_scale_{cpus}_")
+    try:
+        t0 = time.perf_counter()
+        store = CheckpointStore(spark, ckpt)
+        o = pipeline.build(t, store=store)
+        counts = {
+            "full_triples": o.full_triples.count(),
+            "pilot_triples": o.pilot_triples.count(),
+            "mentions": o.mentions.count(),
+            "corefs": o.corefs.count(),
+            "srl_links": o.srl_links.count(),
+        }
+        wall = time.perf_counter() - t0
+        stage_wall = {
+            r.stage: r.wall_sec
+            for r in store.lineage().select("stage", "wall_sec").distinct().collect()
+        }
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    print(json.dumps({
+        "cpus": cpus,
+        "n_turns": n_turns,
+        "wall_sec": round(wall, 2),
+        "turns_per_sec": round(n_turns / wall, 1),
+        "counts": counts,
+        "stage_wall_sec": stage_wall,
+    }))
+
+
+if __name__ == "__main__":
+    main()

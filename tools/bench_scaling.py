@@ -1,0 +1,114 @@
+"""Two-parallelism scaling benchmark (north rule's N vs 4N executors,
+sandbox proxy: local[8] vs local[32] — same job, same input, separate JVMs).
+
+Writes BENCH/BASELINE.md (human table + confs + per-stage timings) and
+BENCH/scaling.json (machine-readable).
+
+Usage: python tools/bench_scaling.py [n_incidents]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from multilingual_wiki_event_pipeline_spark import datagen  # noqa: E402
+
+LEVELS = (8, 32)
+
+
+def run_level(cpus: int, corpus_dir: str) -> dict:
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "_scaling_worker.py"),
+         str(cpus), corpus_dir],
+        capture_output=True, text=True, timeout=1800,
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise SystemExit(f"worker local[{cpus}] failed")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_incidents = int(sys.argv[1]) if len(sys.argv) > 1 else 1200
+    corpus_dir = tempfile.mkdtemp(prefix="mwep_scaling_corpus_")
+    try:
+        datagen.generate_to_dir(corpus_dir, n_incidents=n_incidents, seed=42)
+        results = {c: run_level(c, corpus_dir) for c in LEVELS}
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+
+    lo, hi = results[LEVELS[0]], results[LEVELS[1]]
+    ratio = hi["turns_per_sec"] / lo["turns_per_sec"]
+    efficiency = ratio / (LEVELS[1] / LEVELS[0])
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    payload = {
+        "n_incidents": n_incidents,
+        "n_turns": lo["n_turns"],
+        "levels": results,
+        "throughput_ratio": round(ratio, 3),
+        "scaling_efficiency": round(efficiency, 3),
+        "target": 0.8,
+        "pass": efficiency >= 0.8,
+    }
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(payload, f, indent=2)
+
+    stage_rows = "\n".join(
+        f"| {s} | {lo['stage_wall_sec'].get(s, '—')} | {hi['stage_wall_sec'].get(s, '—')} |"
+        for s in sorted(set(lo["stage_wall_sec"]) | set(hi["stage_wall_sec"]))
+    )
+    md = f"""# BENCH — two-parallelism scaling run
+
+North-rule scaling criterion, sandbox proxy (no multi-node cluster here):
+the **same job on the same input** at `local[{LEVELS[0]}]` and
+`local[{LEVELS[1]}]` in separate JVMs — the stand-in for N vs 4N executors.
+
+- Job: full KG pipeline (ingest -> pilot filters -> mention alignment ->
+  entity linking -> corefs -> SRL -> triple serialization), stage
+  boundaries materialized via `sinks.CheckpointStore`.
+- Input: deterministic synthetic transcript corpus, seed 42,
+  {n_incidents} incidents = {lo['n_turns']:,} turns.
+- Confs: AQE on (coalesce respects advisory size, skew join on), Arrow on,
+  `spark.sql.shuffle.partitions = 2 x cores`,
+  `spark.sql.files.maxPartitionBytes = 2 MB` (sandbox-scale analog of
+  sizing splits to the data; corpus parquet written with 4096-row groups
+  so the scan is splittable).
+
+| parallelism | wall (s) | turns/sec |
+|---|---|---|
+| local[{LEVELS[0]}] | {lo['wall_sec']} | {lo['turns_per_sec']} |
+| local[{LEVELS[1]}] | {hi['wall_sec']} | {hi['turns_per_sec']} |
+
+**Throughput ratio ({LEVELS[1]}/{LEVELS[0]} cores): {ratio:.2f}x over a
+{LEVELS[1] // LEVELS[0]}x core increase -> scaling efficiency =
+{efficiency:.3f}** (target >= 0.8: {"PASS" if efficiency >= 0.8 else "MISS"}).
+
+Per-stage wall seconds (mirrors the reference's stage-timing CSV columns,
+reference main.py:498-500):
+
+| stage | local[{LEVELS[0]}] | local[{LEVELS[1]}] |
+|---|---|---|
+{stage_rows}
+
+Output-count equality across levels: {"identical" if lo['counts'] == hi['counts'] else "MISMATCH " + str((lo['counts'], hi['counts']))}
+(counts: {json.dumps(lo['counts'])})
+
+Machine-readable copy: `BENCH/scaling.json`. Reproduce with
+`python tools/bench_scaling.py {n_incidents}`.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()
