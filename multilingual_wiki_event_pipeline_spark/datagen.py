@@ -163,6 +163,14 @@ def generate(n_incidents: int = 30, seed: int = 42, mega_every: int = 25) -> Cor
         base = _ENTITY_BASES[i % len(_ENTITY_BASES)]
         kind = _ENTITY_KINDS[(i // len(_ENTITY_BASES)) % len(_ENTITY_KINDS)]
         label_en = f"{base} {kind}" if i % 3 else base  # some single-word
+        # beyond the name pool, disambiguate like real wiki titles do —
+        # otherwise thousands of entities share one page URI and the
+        # langlink/sitelink fanout per key grows with corpus size instead
+        # of staying constant (unrealistic, and it quadratically inflates
+        # every ref expansion downstream)
+        pool = len(_ENTITY_BASES) * len(_ENTITY_KINDS)
+        if i >= pool:
+            label_en = f"{label_en} {i // pool + 1}"
         labels = {
             "en": label_en,
             "nl": label_en + ("ië" if i % 2 else ""),

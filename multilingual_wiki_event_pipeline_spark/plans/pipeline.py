@@ -119,16 +119,19 @@ def build(t: CorpusTables, target_languages: list[str] = None,
     aligned = maybe_cache(M.align_mentions(p_texts, t.annotations),
                           "s03_aligned_mentions")
     uri_to_rels, inc_to_wd = M.structured_data_uris(incidents_full, roles_full)
-    # tiny dimensions, but each is consumed by 2+ downstream joins — pin them
-    # so their (deep) defining subplans are analyzed once.
-    uri_to_rels = maybe_cache(uri_to_rels, "d01_uri_to_rels")
-    inc_to_wd = maybe_cache(inc_to_wd, "d02_inc_to_wd")
-    wiki_to_wd = maybe_cache(
-        M.restrict_sitelinks(t.wd_sitelinks, uri_to_rels), "d03_wiki_to_wd"
+    # tiny dimensions consumed by 2+ downstream joins: pin with cache(), not
+    # the store — a store write is a whole extra job (serial floor per job:
+    # schedule + commit + broadcast rebuild), while cache materializes
+    # inside the first consumer. Cheap to recompute on resume.
+    uri_to_rels = uri_to_rels.cache()
+    inc_to_wd = inc_to_wd.cache()
+    wiki_to_wd = M.restrict_sitelinks(t.wd_sitelinks, uri_to_rels).cache()
+    ref_dim = maybe_cache(
+        M.ext_ref_dim(aligned, p_texts, t.langlinks, wiki_to_wd), "s04_ref_dim"
     )
-    linked = maybe_cache(M.expand_ext_refs(aligned, p_texts, t.langlinks, wiki_to_wd),
-                         "s04_linked_mentions")
-    corefs = M.coref_clusters(linked, p_texts, uri_to_rels, inc_to_wd)
+    linked = M.expand_ext_refs(aligned, p_texts, t.langlinks, wiki_to_wd,
+                               ref_dim=ref_dim)
+    corefs = M.coref_clusters(aligned, p_texts, uri_to_rels, inc_to_wd, ref_dim)
     spans = srl.role_spans(t.srl_predicates, t.srl_roles)
     srl_links = srl.entity_frame_roles(aligned, spans)
 

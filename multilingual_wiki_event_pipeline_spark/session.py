@@ -40,11 +40,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Respect the advisory partition size when coalescing instead of
-        # maximizing parallelism: avoids swarms of near-empty shuffle tasks
-        # (the Spark docs' recommended production setting; at 100 TB the
-        # advisory size governs partition sizing either way).
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # Keep AQE's parallelism-first coalescing (the default): this
+        # workload is CPU-dense but byte-light (compressed text shuffles),
+        # so advisory-size-first coalescing starves stages down to 1-2
+        # tasks. Parallelism-first keeps >= total-cores partitions; the
+        # stage-boundary materialization in sinks.py is what keeps small
+        # runs from drowning in re-analysis, not partition-count tuning.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for every pandas UDF / mapInPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -53,6 +54,16 @@ def get_spark(
         # sitelinks) are broadcast; raise from default 10 MB.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # commit algorithm 2: task-side output promotion instead of a
+        # serial driver-side rename pass per job (matters with many
+        # materialized stage boundaries; at 1000 executors the v1 commit
+        # is a notorious serial tail).
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # zstd for all parquet writes: stage boundaries are URI/text-heavy
+        # and highly repetitive — on this sandbox's slow (sys-CPU-bound)
+        # block device smaller files beat snappy's faster codec, and at
+        # 100 TB zstd is the standard cold-data choice anyway.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )

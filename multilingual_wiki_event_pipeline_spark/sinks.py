@@ -39,9 +39,9 @@ from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA = (
     "stage string, file string, n_rows long, n_bytes long, wall_sec double, "
-    "run_id string, ts timestamp"
+    "run_id string, ts double"
 )
-COUNTER_SCHEMA = "stage string, metric string, value double, run_id string, ts timestamp"
+COUNTER_SCHEMA = "stage string, metric string, value double, run_id string, ts double"
 
 
 @dataclass
@@ -111,28 +111,67 @@ class CheckpointStore:
     # -- lineage + counters (north rule) ------------------------------------
 
     def _record(self, stage: str, wall_sec: float) -> None:
-        out = self._read(stage)
-        lineage = (
-            out.groupBy(F.input_file_name().alias("file"))
-            .agg(F.count("*").alias("n_rows"))
-            .select(
-                F.lit(stage).alias("stage"),
-                "file",
-                "n_rows",
-                F.expr("try_cast(null as long)").alias("n_bytes"),
-                F.lit(round(wall_sec, 3)).alias("wall_sec"),
-                F.lit(self.run_id).alias("run_id"),
-                F.current_timestamp().alias("ts"),
-            )
+        # per-partition lineage straight from the parquet footers: driver-side
+        # metadata reads, zero Spark jobs — the lineage table costs nothing at
+        # any scale (footers are O(files), not O(rows)).
+        if self.catalog:
+            out = self._read(stage)
+            rows = [(stage, f"{self.catalog}.{stage}", out.count(), None)]
+        else:
+            import pyarrow.parquet as pq
+
+            rows = []
+            base = self._path(stage)
+            for dirpath, _dirs, files in os.walk(base):
+                for fn in files:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    p = os.path.join(dirpath, fn)
+                    md = pq.ParquetFile(p).metadata
+                    rows.append((stage, p, md.num_rows, os.path.getsize(p)))
+        self._append_rows(
+            "_lineage",
+            [
+                (stage_, file_, n_rows, n_bytes, round(wall_sec, 3), self.run_id)
+                for (stage_, file_, n_rows, n_bytes) in rows
+            ],
+            ["stage", "file", "n_rows", "n_bytes", "wall_sec", "run_id"],
         )
-        lineage.write.mode("append").parquet(os.path.join(self.root, "_lineage"))
+
+    def _append_rows(self, table: str, rows: list[tuple], cols: list[str]) -> None:
+        import time as _time
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self.root, table)
+        os.makedirs(d, exist_ok=True)
+        data = {c: [r[i] for r in rows] for i, c in enumerate(cols)}
+        data["ts"] = [_time.time()] * len(rows)
+        t = pa.Table.from_pydict(data)
+        pq.write_table(
+            t, os.path.join(d, f"part-{self.run_id}-{uuid.uuid4().hex[:8]}.parquet")
+        )
+
+    def stage_row_count(self, stage: str) -> int:
+        """Row count from recorded lineage (no Spark job)."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        d = os.path.join(self.root, "_lineage")
+        for fn in os.listdir(d):
+            t = pq.read_table(os.path.join(d, fn), columns=["stage", "n_rows"])
+            for s, n in zip(t["stage"].to_pylist(), t["n_rows"].to_pylist()):
+                if s == stage:
+                    total += n
+        return total
 
     def add_counter(self, stage: str, metric: str, value: float) -> None:
-        row = self.spark.createDataFrame(
+        self._append_rows(
+            "_counters",
             [(stage, metric, float(value), self.run_id)],
-            "stage string, metric string, value double, run_id string",
-        ).withColumn("ts", F.current_timestamp())
-        row.write.mode("append").parquet(os.path.join(self.root, "_counters"))
+            ["stage", "metric", "value", "run_id"],
+        )
 
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, "_lineage"))

@@ -36,10 +36,10 @@ def test_resume_identical_output(spark, corpus_dir, store_dir, tmp_path_factory)
     o1 = pipeline.build(t, store=s1)
     want = _triples(o1.pilot_triples)
     want_mentions = o1.mentions.count()
-    assert s1.is_complete("s04_linked_mentions")
+    assert s1.is_complete("s04_ref_dim")
 
     # simulate mid-run failure: later boundaries lost, early ones intact
-    s1.invalidate("s04_linked_mentions")
+    s1.invalidate("s04_ref_dim")
     s1.invalidate("s03_aligned_mentions")
     assert not s1.is_complete("s03_aligned_mentions")
     assert s1.is_complete("s01_texts_full")
@@ -57,7 +57,7 @@ def test_resume_identical_output(spark, corpus_dir, store_dir, tmp_path_factory)
         r.stage
         for r in lineage.filter(F.col("run_id") == s2.run_id).collect()
     }
-    assert redone == {"s03_aligned_mentions", "s04_linked_mentions"}
+    assert redone == {"s03_aligned_mentions", "s04_ref_dim"}
 
 
 def test_store_output_matches_cache_path(spark, corpus_dir, tmp_path_factory):

@@ -1,0 +1,105 @@
+"""Streaming ingest parity: the foreachBatch incremental path over the
+same corpus must reproduce the batch pipeline's full-collection triples,
+and replaying a batch must be idempotent."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from multilingual_wiki_event_pipeline_spark.operators import documents, pilot, triples
+from multilingual_wiki_event_pipeline_spark.sources.tables import CorpusTables
+from multilingual_wiki_event_pipeline_spark.streaming import ingest
+
+
+def _triples(df):
+    return {
+        (r.subj, r.pred, r.obj, r.obj_is_literal, r.lang, r.datatype)
+        for r in df.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def batch_full_triples(spark, corpus_dir):
+    t = CorpusTables(spark, corpus_dir)
+    docs = documents.assemble_documents(t.transcripts)
+    texts = pilot.full_texts(t.conv_meta, docs)
+    incidents = pilot.incidents_with_texts(t.incidents, texts)
+    roles = t.incident_roles.join(
+        incidents.select("incident_id"), "incident_id", "left_semi"
+    )
+    return _triples(
+        triples.serialize_collection(
+            incidents, texts, roles, t.type2mapping, t.role_mappings
+        )
+    )
+
+
+def test_streamed_triples_match_batch(spark, corpus_dir, tmp_path, batch_full_triples):
+    t = CorpusTables(spark, corpus_dir)
+    stream_in = str(tmp_path / "in")
+    os.makedirs(stream_in)
+    shutil.copy(f"{corpus_dir}/transcripts.parquet", stream_in)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = ingest.incremental_triples(
+        ingest.stream_transcripts(spark, stream_in), t, out, ckpt
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got = _triples(ingest.read_streamed_triples(spark, out))
+    assert got == batch_full_triples
+
+
+def test_batch_replay_idempotent(spark, corpus_dir, tmp_path, batch_full_triples):
+    """Re-running the stream over the same input with a FRESH checkpoint
+    replays batch 0 — the overwrite-by-batch partition keeps output stable."""
+    t = CorpusTables(spark, corpus_dir)
+    stream_in = str(tmp_path / "in")
+    os.makedirs(stream_in)
+    shutil.copy(f"{corpus_dir}/transcripts.parquet", stream_in)
+    out = str(tmp_path / "out")
+
+    for attempt in range(2):
+        q = ingest.incremental_triples(
+            ingest.stream_transcripts(spark, stream_in), t, out,
+            str(tmp_path / f"ckpt{attempt}"),
+        )
+        q.awaitTermination(120)
+    assert _triples(ingest.read_streamed_triples(spark, out)) == batch_full_triples
+
+
+def test_conversation_progress_stateful(spark, corpus_dir, tmp_path):
+    stream_in = str(tmp_path / "in")
+    os.makedirs(stream_in)
+    shutil.copy(f"{corpus_dir}/transcripts.parquet", stream_in)
+
+    prog = ingest.conversation_progress(
+        ingest.stream_transcripts(spark, stream_in)
+    )
+    q = (
+        prog.writeStream.format("memory")
+        .queryName("conv_progress")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.conv_id: (r.n_turns, r.max_turn_idx)
+        for r in spark.table("conv_progress").collect()
+    }
+    want = {
+        r.conv_id: (r.n, r.mx)
+        for r in spark.read.parquet(f"{corpus_dir}/transcripts.parquet")
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n"), F.max("turn_idx").alias("mx"))
+        .collect()
+    }
+    assert got == want

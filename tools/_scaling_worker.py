@@ -26,6 +26,12 @@ from multilingual_wiki_event_pipeline_spark.sources.tables import CorpusTables  
 def main() -> None:
     cpus = int(sys.argv[1])
     corpus_dir = sys.argv[2]
+    # tmpfs for shuffle + checkpoint store: the sandbox has ONE ~76 MB/s
+    # sys-CPU-bound block device, a resource that on a real cluster scales
+    # with the executor count (HDFS/S3/local NVMe per node). Leaving it in
+    # the measurement caps both parallelism levels at the same disk ceiling
+    # and measures the disk, not the engine.
+    shm = tempfile.mkdtemp(prefix=f"mwep_local_{cpus}_", dir="/dev/shm")
     spark = get_spark(
         master=f"local[{cpus}]",
         app_name=f"mwep-scaling-{cpus}",
@@ -33,31 +39,55 @@ def main() -> None:
         # sandbox-scale analog of sizing spark.sql.files.maxPartitionBytes to
         # the data: the corpus is a few MB, so give the scan row-group-sized
         # splits; at 100 TB the 128 MB default gives the same >=1-split-per-core.
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024)},
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+            "spark.local.dir": shm,
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     t = CorpusTables(spark, corpus_dir)
     n_turns = t.transcripts.count()
 
-    ckpt = tempfile.mkdtemp(prefix=f"mwep_scale_{cpus}_")
+    ckpt = tempfile.mkdtemp(prefix=f"mwep_scale_{cpus}_", dir="/dev/shm")
     try:
         t0 = time.perf_counter()
         store = CheckpointStore(spark, ckpt)
         o = pipeline.build(t, store=store)
-        counts = {
-            "full_triples": o.full_triples.count(),
-            "pilot_triples": o.pilot_triples.count(),
-            "mentions": o.mentions.count(),
-            "corefs": o.corefs.count(),
-            "srl_links": o.srl_links.count(),
+        # materialize every pipeline output (the real workload is writes,
+        # not driver-side counts); row counts come from the recorded
+        # lineage footers afterwards — zero extra jobs. The five outputs are
+        # independent — submit them as CONCURRENT Spark jobs so their
+        # per-job serial floors (schedule, commit, broadcast build) overlap.
+        from concurrent.futures import ThreadPoolExecutor
+
+        outs = {
+            "out_mentions": o.mentions,
+            "out_full_triples": o.full_triples,
+            "out_pilot_triples": o.pilot_triples,
+            "out_corefs": o.corefs,
+            "out_srl_links": o.srl_links,
         }
+        with ThreadPoolExecutor(max_workers=len(outs)) as ex:
+            list(ex.map(lambda kv: store.materialize(kv[1], kv[0]), outs.items()))
         wall = time.perf_counter() - t0
-        stage_wall = {
-            r.stage: r.wall_sec
-            for r in store.lineage().select("stage", "wall_sec").distinct().collect()
+        counts = {
+            "full_triples": store.stage_row_count("out_full_triples"),
+            "pilot_triples": store.stage_row_count("out_pilot_triples"),
+            "mentions": store.stage_row_count("out_mentions"),
+            "corefs": store.stage_row_count("out_corefs"),
+            "srl_links": store.stage_row_count("out_srl_links"),
         }
+        import pyarrow.parquet as pq
+
+        stage_wall: dict[str, float] = {}
+        ldir = os.path.join(ckpt, "_lineage")
+        for fn in os.listdir(ldir):
+            lt = pq.read_table(os.path.join(ldir, fn), columns=["stage", "wall_sec"])
+            for s, w in zip(lt["stage"].to_pylist(), lt["wall_sec"].to_pylist()):
+                stage_wall[s] = w
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(shm, ignore_errors=True)
 
     print(json.dumps({
         "cpus": cpus,
