@@ -662,6 +662,14 @@ def multimodal_meta(spark, sf_dir):
     )
 
 
+def multimodal_frames(spark, sf_dir):
+    """Frame sampling over binary payloads (video-pipeline plumbing):
+    UDTF-shaped mapInPandas, deterministic md5 frame fingerprints."""
+    return multimodal.frame_sample(
+        multimodal.to_binary_table(_t(spark, sf_dir, "documents"))
+    )
+
+
 def kg_pipeline_triples(spark, sf_dir):
     """The actual KG-construction pipeline (north rule) on the deterministic
     synthetic transcript corpus — rows-only check here; exact-parity vs the
@@ -697,6 +705,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         triples_events, dedup_exact, dedup_jaccard, dedup_minhash_sig,
         dedup_minhash_pairs, dedup_simhash, dedup_simhash_pairs, knn_cosine,
         ann_lsh_bucketed, lang_id_profile, quality_score, token_count,
-        fingerprint, multimodal_meta, kg_pipeline_triples,
+        fingerprint, multimodal_meta, multimodal_frames, kg_pipeline_triples,
     ]
 }

@@ -70,3 +70,60 @@ def decode_features(binary_df: DataFrame) -> DataFrame:
             )
 
     return narrow.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_bytes long, frame_md5 string"
+
+
+def frame_sample(binary_df: DataFrame, frame_size: int = 64,
+                 stride: int = 256) -> DataFrame:
+    """Frame sampling over binary payloads: every ``stride`` bytes emit a
+    ``frame_size``-byte window (video frame-sampling plumbing — the real
+    decoder is the pluggable part; batch shape, fan-out schema, and
+    partition-wise execution are what the engine owns).
+
+    UDTF-shaped (1 row in, N frames out) via mapInPandas. Deterministic:
+    frame fingerprint = md5 of the window, so an engine-independent oracle
+    can recompute it from substrings.
+    """
+    import hashlib
+
+    narrow = binary_df.select("doc_id", "payload")
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for idx, off in enumerate(range(0, len(b), stride)):
+                    frame = b[off:off + frame_size]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(len(frame))
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return narrow.mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+def resize_stub(binary_df: DataFrame, target: tuple[int, int] = (32, 32)) -> DataFrame:
+    """Image-resize plumbing: the codec isn't in this container, so the
+    batch kernel raises NotImplementedError for non-text payloads (same
+    contract as decode_features) while the schema and partition-wise
+    execution are real. Plug PIL/libvips into ``kernel`` on a real cluster.
+    """
+    narrow = binary_df.select("doc_id", "payload", F.col("meta.mime").alias("mime"))
+
+    def kernel(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            raise NotImplementedError(
+                f"no image codec in this container for resize->{target}; "
+                "plug a decoder here"
+            )
+        yield  # pragma: no cover
+
+    return narrow.mapInPandas(
+        kernel, schema="doc_id long, width int, height int, payload binary"
+    )

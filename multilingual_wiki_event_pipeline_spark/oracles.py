@@ -518,4 +518,17 @@ ORACLES: dict[str, str] = {
                CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
         FROM documents
     """,
+    # frame sampling: stride 256, window 64; the corpus text is pure ASCII
+    # (verified), so character substr == byte slicing and md5 agrees with
+    # the kernel's byte-window fingerprint
+    "multimodal_frames": """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(g.idx AS BIGINT) AS frame_idx,
+               CAST(length(substr(text, 1 + CAST(g.idx AS INT) * 256, 64)) AS BIGINT)
+                 AS frame_bytes,
+               md5(substr(text, 1 + CAST(g.idx AS INT) * 256, 64)) AS frame_md5
+        FROM documents,
+             LATERAL (SELECT unnest(range(CAST(ceil(length(text) / 256.0) AS INT)))
+                      AS idx) g
+    """,
 }
