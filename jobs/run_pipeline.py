@@ -52,7 +52,19 @@ def main(argv: list[str]) -> None:
 
     spark = SparkSession.builder.appName("mwep-kg-pipeline").getOrCreate()
     t = CorpusTables(spark, args.input, catalog=args.catalog)
-    store = CheckpointStore(spark, args.checkpoint)
+    # resume is keyed by the run manifest: same --checkpoint with different
+    # --input/--languages/--max-pilot-incidents invalidates stale boundaries
+    # instead of silently serving them.
+    store = CheckpointStore(
+        spark,
+        args.checkpoint,
+        fingerprint=CheckpointStore.params_fingerprint(
+            input=args.input,
+            catalog=args.catalog,
+            languages=args.languages,
+            max_pilot_incidents=args.max_pilot_incidents,
+        ),
+    )
 
     o = pipeline.build(
         t,

@@ -149,8 +149,11 @@ def j7_interval_containment(spark, sf_dir):
 def j10_transitive_closure(spark, sf_dir):
     """J10 (utils.py:489-569): ontology ancestor closure — iterative
     self-join to fixpoint (recursive-CTE equivalent). Wikidata's subclass
-    DAG is ≤ ~20 deep; each round is one equi-join + distinct. At scale,
-    checkpoint between rounds to cut lineage."""
+    DAG is ≤ ~20 deep; each round is one equi-join + distinct.
+    Iteration hygiene (same pattern as canonicalize.connected_components):
+    localCheckpoint every ``check_every`` rounds truncates the growing
+    lineage, and the convergence count runs only at those checkpoints —
+    not one count job per round."""
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     edges = n.select(
@@ -168,16 +171,20 @@ def j10_transitive_closure(spark, sf_dir):
     anc = edges.select(
         F.col("child").alias("node"), F.col("parent").alias("ancestor")
     ).distinct()
-    for _ in range(20):  # bound = max ontology depth
-        nxt = (
+    check_every, prev_count = 3, anc.count()
+    for i in range(20):  # bound = max ontology depth
+        anc = (
             anc.join(edges, anc.ancestor == edges.child)
             .select("node", F.col("parent").alias("ancestor"))
             .unionByName(anc)
             .distinct()
         )
-        if nxt.count() == anc.count():
-            break
-        anc = nxt
+        if (i + 1) % check_every == 0:
+            anc = anc.localCheckpoint()
+            n = anc.count()
+            if n == prev_count:
+                break
+            prev_count = n
     return anc
 
 
@@ -521,6 +528,52 @@ def c2_url_encode(spark, sf_dir):
     )
 
 
+def f5f6f7_crawl_filters(spark, sf_dir):
+    """F5/F6/F7 (crawl_utils.py:120-126, 185-204): the crawl-validation
+    filter pack — URL prefix, excluded domains, accepted languages, illegal
+    substrings, char-count range, title checks — as ONE chained predicate
+    over the scan (all codegen'd; at scale these prune before any shuffle).
+
+    Status semantics mirror the reference's sequential overwrites exactly:
+    'excluded domain' beats 'not a valid url' (crawl_utils.py:120-126 runs
+    both), the crawl guard skips content validations for invalid URLs, and
+    within the validation block the LAST failing check wins
+    (crawl_utils.py:185-204 overwrites status unconditionally) — hence the
+    reversed WHEN order below."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".example.org/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    title = F.substring_index("text", " ", 3)
+    status = (
+        F.when(
+            url.contains("src7.example.org") | url.contains("src13.example.org"),
+            "excluded domain",
+        )
+        .when(~url.startswith("http"), "not a valid url")
+        .when(title.contains("q"), "illegal char in title")
+        .when(
+            ~F.length("text").between(100, 499),
+            "outside of accepted number of characters range",
+        )
+        .when(F.col("text").contains("slow fast table"), "illegal substring")
+        .when(~F.col("lang").isin("en", "es", "de"), "not in accepted languages")
+        .otherwise("succes")
+    )
+    return d.select("doc_id", status.alias("status"))
+
+
+def a9_crawl_status_tally(spark, sf_dir):
+    """A9 (main.py crawl bookkeeping): status counter over the validation
+    pack — one partial+final agg over f5f6f7's statuses."""
+    return (
+        f5f6f7_crawl_filters(spark, sf_dir)
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def u7_moment_stats(spark, sf_dir):
     """U7 (classes.py:112, scipy describe): population-moment skewness and
     kurtosis as built-in aggregates (Spark definitions; oracle recomputes
@@ -556,11 +609,18 @@ def embed_cosine_neardup(spark, sf_dir):
 def canonicalize_components(spark, sf_dir):
     """A7 generalized / north-star canonicalization: connected components by
     iterative label propagation (J10 machinery) over a similarity graph —
-    here the near-duplicate clusters of documents with token-Jaccard >= 0.9.
-    Oracle = recursive-CTE transitive closure + min per vertex."""
+    near-duplicate clusters of documents with token-Jaccard >= 0.9.
+
+    Scale path end-to-end: candidate edges come from the bucketed MinHash
+    LSH join and exact Jaccard is verified ONLY on candidates
+    (jaccard_on_candidates) — the token self-join never appears in this
+    plan. Oracle mirrors the same candidates+verify pipeline, then a
+    recursive-CTE closure + min per vertex."""
     from .operators.canonicalize import connected_components
 
-    edges = text_dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), 0.9)
+    docs = _t(spark, sf_dir, "documents")
+    cand = text_dedup.minhash_candidate_pairs(docs)
+    edges = text_dedup.jaccard_on_candidates(docs, cand, 0.9)
     return connected_components(edges, src="a_id", dst="b_id").select(
         F.col("vertex").cast("long").alias("vertex"),
         F.col("component").cast("long").alias("component"),
@@ -700,7 +760,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         o2_deterministic_limit, p3_uri_label_pack, p5_dct_coalesce,
         j3_fanout_collect, j5_rewrite_union, j8_semi_join, a4_label_freq,
         a10_langset_distribution, w2_sequence_expand, o5_monthly_revenue,
-        c2_url_encode, u7_moment_stats, embed_cosine_neardup,
+        c2_url_encode, f5f6f7_crawl_filters, a9_crawl_status_tally,
+        u7_moment_stats, embed_cosine_neardup,
         canonicalize_components, w4_sequential_match,
         triples_events, dedup_exact, dedup_jaccard, dedup_minhash_sig,
         dedup_minhash_pairs, dedup_simhash, dedup_simhash_pairs, knn_cosine,

@@ -11,8 +11,11 @@ whole-stage-codegen; no Python in the hot path):
   bucket equi-join. This is the 100 TB path: candidate generation is a
   shuffle on (band, band_sig) so cost is O(collisions), not O(n²).
 - SimHash: 16-bit locality-sensitive bit signature; pairs within Hamming
-  distance h join on doc granularity (here per-lang; at scale, join on
-  rotated-signature blocks).
+  distance h found by PIGEONHOLE BLOCKING — the signature is split into
+  h+1 disjoint bit blocks, so any pair within distance h agrees exactly on
+  at least one block; candidates come from an equi-join on
+  (lang, block_idx, block_bits) and only candidates pay the Hamming check.
+  O(block collisions), never an O(n²) pair enumeration.
 
 Cross-engine portability (for the DuckDB oracle): all hashing is md5 hex
 (identical in Spark and DuckDB); minhash uses MIN over salted-md5 strings —
@@ -53,16 +56,30 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_pairs(documents: DataFrame, threshold: float = 0.9) -> DataFrame:
+def jaccard_pairs(documents: DataFrame, threshold: float = 0.9,
+                  max_df: int | None = None) -> DataFrame:
     """Exact token-set Jaccard over same-language pairs (verification path).
 
     Plan: explode → distinct → self equi-join on (token, lang) → count
     shared → join sizes. The join is equi (shuffle on token) so Catalyst
     handles it; but hot tokens fan out quadratically — at 100 TB use
-    minhash_candidate_pairs() to generate candidates and this only to
-    verify them (join candidates first, then compute exact Jaccard).
+    minhash_candidate_pairs() + jaccard_on_candidates() instead (candidate
+    generation is bucketed; exact Jaccard is computed only on candidates).
+
+    ``max_df`` (optional) drops tokens whose document frequency exceeds it
+    from the token-set representation (the standard hot-token cap, cf.
+    CountVectorizer maxDF) — changes the similarity definition, so it is
+    off by default and must match on both engines when enabled.
     """
     toks = doc_tokens(documents)
+    if max_df is not None:
+        hot = (
+            toks.groupBy("lang", "token")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("lang", "token")
+        )
+        toks = toks.join(hot, ["lang", "token"], "left_anti")
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = toks.alias("a"), toks.alias("b")
     shared = (
@@ -79,6 +96,45 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.9) -> DataFrame:
     )
     sa = sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na")
     sb = sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb")
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(sa, "a_id")
+        .join(sb, "b_id")
+        .filter(jac >= threshold)
+        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def jaccard_on_candidates(documents: DataFrame, candidates: DataFrame,
+                          threshold: float = 0.9) -> DataFrame:
+    """Exact token-set Jaccard restricted to ``candidates(a_id, b_id)``
+    (the verification stage of the MinHash-LSH path).
+
+    Plan shape (the 100 TB one): two equi-joins fan each candidate pair out
+    to its docs' token sets, one (a_id, b_id, token) shuffle counts the
+    intersection — the full token self-join never happens, so hot tokens
+    cost O(candidates × doc_len), not O(df²). Same-language semantics of
+    jaccard_pairs are enforced by joining each side's lang.
+    """
+    toks = doc_tokens(documents)
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    langs = documents.select("doc_id", "lang")
+    pairs = (
+        candidates.select("a_id", "b_id")
+        .join(langs.select(F.col("doc_id").alias("a_id"),
+                           F.col("lang").alias("a_lang")), "a_id")
+        .join(langs.select(F.col("doc_id").alias("b_id"),
+                           F.col("lang").alias("b_lang")), "b_id")
+        .filter(F.col("a_lang") == F.col("b_lang"))
+        .select("a_id", "b_id")
+    )
+    ta = pairs.join(toks, pairs.a_id == toks.doc_id).select("a_id", "b_id", "token")
+    tb = pairs.join(toks, pairs.b_id == toks.doc_id).select("a_id", "b_id", "token")
+    shared = ta.join(tb, ["a_id", "b_id", "token"]).groupBy("a_id", "b_id").agg(
+        F.count("*").alias("shared")
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     return (
         shared.join(sa, "a_id")
@@ -184,15 +240,40 @@ def simhash(documents: DataFrame, n_bits: int = 16) -> DataFrame:
     )
 
 
-def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Same-language pairs within Hamming distance ``max_hamming``."""
-    sh = simhash(documents)
-    a, b = sh.alias("a"), sh.alias("b")
+def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
+                  n_bits: int = 16) -> DataFrame:
+    """Same-language pairs within Hamming distance ``max_hamming``.
+
+    Pigeonhole blocking: split the signature into ``max_hamming + 1``
+    disjoint bit blocks — a pair within distance h differs in at most h
+    blocks, so it agrees EXACTLY on ≥ 1 of the h+1 blocks. Candidates are
+    an equi-join on (lang, block_idx, block_bits) — the same bucketed plan
+    shape as the MinHash band join — and only candidates pay the full
+    Hamming check. No non-equi pair enumeration anywhere in the plan.
+    """
+    sh = simhash(documents, n_bits)
+    n_blocks = max_hamming + 1
+    bounds = [round(i * n_bits / n_blocks) for i in range(n_blocks + 1)]
+    blocks = F.array(*[
+        F.struct(
+            F.lit(i).alias("block_idx"),
+            F.shiftright(F.col("simhash"), bounds[i])
+            .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
+            .alias("block_bits"),
+        )
+        for i in range(n_blocks)
+    ])
+    keyed = sh.select(
+        "doc_id", "lang", "simhash", F.explode(blocks).alias("blk")
+    ).select("doc_id", "lang", "simhash", "blk.block_idx", "blk.block_bits")
+    a, b = keyed.alias("a"), keyed.alias("b")
     ham = F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)")
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_bits") == F.col("b.block_bits"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter(ham <= max_hamming)
@@ -201,4 +282,5 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.col("b.doc_id").alias("b_id"),
             ham.alias("hamming"),
         )
+        .distinct()  # a pair may agree on several blocks
     )

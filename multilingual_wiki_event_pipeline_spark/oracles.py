@@ -287,6 +287,53 @@ ORACLES: dict[str, str] = {
     "c2_url_encode": """
         SELECT p_partkey, replace(p_name, ' ', '+') AS enc FROM part
     """,
+    "f5f6f7_crawl_filters": """
+        SELECT doc_id,
+               CASE
+                 WHEN contains('http://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR), 'src7.example.org')
+                   OR contains('http://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR), 'src13.example.org')
+                   THEN 'excluded domain'
+                 WHEN NOT starts_with('http://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR), 'http')
+                   THEN 'not a valid url'
+                 WHEN contains(
+                     CASE WHEN length(text) - length(replace(text, ' ', '')) >= 3
+                          THEN array_to_string((string_split(text, ' '))[1:3], ' ')
+                          ELSE text END, 'q')
+                   THEN 'illegal char in title'
+                 WHEN length(text) NOT BETWEEN 100 AND 499
+                   THEN 'outside of accepted number of characters range'
+                 WHEN contains(text, 'slow fast table')
+                   THEN 'illegal substring'
+                 WHEN lang NOT IN ('en', 'es', 'de')
+                   THEN 'not in accepted languages'
+                 ELSE 'succes'
+               END AS status
+        FROM documents
+    """,
+    "a9_crawl_status_tally": """
+        SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM (
+          SELECT CASE
+                 WHEN contains('http://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR), 'src7.example.org')
+                   OR contains('http://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR), 'src13.example.org')
+                   THEN 'excluded domain'
+                 WHEN NOT starts_with('http://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR), 'http')
+                   THEN 'not a valid url'
+                 WHEN contains(
+                     CASE WHEN length(text) - length(replace(text, ' ', '')) >= 3
+                          THEN array_to_string((string_split(text, ' '))[1:3], ' ')
+                          ELSE text END, 'q')
+                   THEN 'illegal char in title'
+                 WHEN length(text) NOT BETWEEN 100 AND 499
+                   THEN 'outside of accepted number of characters range'
+                 WHEN contains(text, 'slow fast table')
+                   THEN 'illegal substring'
+                 WHEN lang NOT IN ('en', 'es', 'de')
+                   THEN 'not in accepted languages'
+                 ELSE 'succes'
+               END AS status
+          FROM documents
+        ) GROUP BY status
+    """,
     "u7_moment_stats": """
         WITH m AS (
           SELECT l_returnflag,
@@ -313,13 +360,29 @@ ORACLES: dict[str, str] = {
         WHERE ROUND({_COS}, 6) >= 0.3
     """,
     "canonicalize_components": f"""
-        WITH RECURSIVE {_DOC_TOKENS},
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM doc_tokens GROUP BY doc_id),
+        WITH RECURSIVE {_MINHASH_BANDS},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_sig = b.band_sig
+           AND a.doc_id < b.doc_id),
+        cand_lang AS (
+          SELECT c.a_id, c.b_id FROM cand c
+          JOIN documents da ON da.doc_id = c.a_id
+          JOIN documents db ON db.doc_id = c.b_id
+          WHERE da.lang = db.lang),
+        lang_tokens AS (
+          SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+          ) WHERE token <> ''),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM lang_tokens GROUP BY doc_id),
         shared AS (
-          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
-          FROM doc_tokens a JOIN doc_tokens b
-            ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id),
+          SELECT c.a_id, c.b_id, COUNT(*) AS shared
+          FROM cand_lang c
+          JOIN lang_tokens ta ON ta.doc_id = c.a_id
+          JOIN lang_tokens tb ON tb.doc_id = c.b_id AND tb.token = ta.token
+          GROUP BY c.a_id, c.b_id),
         pairs AS (
           SELECT a_id, b_id FROM shared
           JOIN sizes sa ON sa.doc_id = a_id

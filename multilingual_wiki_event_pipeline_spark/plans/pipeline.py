@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from typing import TYPE_CHECKING
 
-from ..operators import documents, mentions as M, pilot, srl, triples
+from ..operators import documents, gazetteer as G, mentions as M, pilot, srl, triples
 from ..sources.tables import CorpusTables
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -49,6 +49,7 @@ class PipelineOutputs:
     mentions: DataFrame
     corefs: DataFrame
     srl_links: DataFrame
+    gazetteer_links: DataFrame
 
 
 def build(t: CorpusTables, target_languages: list[str] = None,
@@ -134,6 +135,10 @@ def build(t: CorpusTables, target_languages: list[str] = None,
     corefs = M.coref_clusters(aligned, p_texts, uri_to_rels, inc_to_wd, ref_dim)
     spans = srl.role_spans(t.srl_predicates, t.srl_roles)
     srl_links = srl.entity_frame_roles(aligned, spans)
+    # north-star steps 3-4: dictionary mention detection + candidate-ranked
+    # entity linking over the pilot texts (the hyperlink path above links
+    # pre-annotated mentions; this one FINDS them from the gazetteer).
+    gaz_links = G.gazetteer_links(p_texts, t.gazetteer, tokens, inc_to_wd)
 
     return PipelineOutputs(
         docs=docs, turns_out=turns_out,
@@ -142,4 +147,5 @@ def build(t: CorpusTables, target_languages: list[str] = None,
         pilot_incidents=p_incidents, pilot_texts=p_texts, pilot_roles=p_roles,
         pilot_triples=pilot_triples,
         tokens=tokens, mentions=linked, corefs=corefs, srl_links=srl_links,
+        gazetteer_links=gaz_links,
     )

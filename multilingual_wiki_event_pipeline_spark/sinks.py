@@ -58,27 +58,54 @@ class CheckpointStore:
     root: str
     catalog: str | None = None  # Iceberg catalog, e.g. "iceberg_cat.mwep_ckpt"
     run_id: str = ""
+    fingerprint: str = ""  # run manifest: hash of (input, params, code rev)
 
     def __post_init__(self) -> None:
         if not self.run_id:
             self.run_id = uuid.uuid4().hex[:12]
         os.makedirs(self.root, exist_ok=True)
 
+    @staticmethod
+    def params_fingerprint(**params) -> str:
+        """Stable fingerprint of run parameters (input path, build() args,
+        schema/code markers). Rerunning with the same --checkpoint but a
+        different fingerprint invalidates every stage instead of silently
+        serving stale boundaries."""
+        import hashlib
+        import json as _json
+
+        blob = _json.dumps(params, sort_keys=True, default=str)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
     # -- stage boundaries ---------------------------------------------------
 
     def _path(self, stage: str) -> str:
         return os.path.join(self.root, stage)
 
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self._path(stage), "_MWEP_MANIFEST")
+
     def is_complete(self, stage: str) -> bool:
         if self.catalog:
             return self.spark.catalog.tableExists(f"{self.catalog}.{stage}")
-        return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
+        if not os.path.exists(os.path.join(self._path(stage), "_SUCCESS")):
+            return False
+        if not self.fingerprint:
+            return True  # unfingerprinted store keeps legacy behavior
+        mp = self._manifest_path(stage)
+        if not os.path.exists(mp):
+            return False  # boundary predates fingerprinting -> recompute
+        with open(mp) as f:
+            return f.read().strip() == self.fingerprint
 
     def materialize(self, df: DataFrame, stage: str,
                     partition_by: tuple[str, ...] = ()) -> DataFrame:
         if not self.is_complete(stage):
             t0 = time.perf_counter()
             self._write(df, stage, partition_by)
+            if self.fingerprint and not self.catalog:
+                with open(self._manifest_path(stage), "w") as f:
+                    f.write(self.fingerprint)
             self._record(stage, time.perf_counter() - t0)
         return self._read(stage)
 
@@ -154,17 +181,32 @@ class CheckpointStore:
         )
 
     def stage_row_count(self, stage: str) -> int:
-        """Row count from recorded lineage (no Spark job)."""
+        """Row count from recorded lineage (no Spark job).
+
+        Only the LATEST recording of the stage counts: after
+        invalidate()+recompute on a reused store the superseded run's rows
+        remain in _lineage (append-only) and must not double the total.
+        One _record() call = one lineage file, so "latest" = the file with
+        the max ts among files mentioning the stage.
+        """
         import pyarrow.parquet as pq
 
-        total = 0
         d = os.path.join(self.root, "_lineage")
+        best_ts, best_total = -1.0, 0
         for fn in os.listdir(d):
-            t = pq.read_table(os.path.join(d, fn), columns=["stage", "n_rows"])
-            for s, n in zip(t["stage"].to_pylist(), t["n_rows"].to_pylist()):
+            t = pq.read_table(
+                os.path.join(d, fn), columns=["stage", "n_rows", "ts"]
+            )
+            total, ts = 0, -1.0
+            for s, n, row_ts in zip(
+                t["stage"].to_pylist(), t["n_rows"].to_pylist(), t["ts"].to_pylist()
+            ):
                 if s == stage:
                     total += n
-        return total
+                    ts = max(ts, row_ts)
+            if ts > best_ts:
+                best_ts, best_total = ts, total
+        return best_total
 
     def add_counter(self, stage: str, metric: str, value: float) -> None:
         self._append_rows(
@@ -196,18 +238,30 @@ DEFAULT_SALT_BUCKETS = 64
 
 
 def write_triples(triples: DataFrame, path: str,
-                  n_buckets: int = DEFAULT_SALT_BUCKETS) -> None:
+                  n_buckets: int = DEFAULT_SALT_BUCKETS,
+                  n_write_tasks: int | None = None) -> None:
     """Partitioned triple write, salted on the subject hash.
 
-    ``bucket = pmod(hash(subj), n_buckets)`` spreads a hot subject's
-    neighborhood (mega-conversation / hot incident type) evenly instead of
-    partitioning by raw subject or incident_type, either of which recreates
-    the reference's one-giant-iteration skew. On Iceberg this becomes
-    ``bucket(n, subj)`` partition transform — identical layout.
+    ``bucket = pmod(hash(subj), n_buckets)`` spreads hot subject RANGES
+    (mega-conversation neighborhoods / hot incident types) across output
+    partitions instead of partitioning by raw subject or incident_type,
+    either of which recreates the reference's one-giant-iteration skew.
+    A single mega-subject still lands in one bucket — which is why write
+    parallelism is NOT capped at n_buckets: rows are repartitioned by
+    (bucket, row hash) into ``n_write_tasks`` tasks (default: the session's
+    shuffle parallelism), so one bucket can be written by many tasks and a
+    straggler bucket cannot serialize the write. On Iceberg this becomes a
+    ``bucket(n, subj)`` partition transform with fanout writers — identical
+    layout.
     """
+    spark = triples.sparkSession
+    if n_write_tasks is None:
+        n_write_tasks = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     salted = triples.withColumn(
         "bucket", F.pmod(F.hash(F.col("subj")), F.lit(n_buckets))
     )
-    salted.repartition("bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(path)
+    # row-level spread: hash of the full triple, not just subj, so a single
+    # hot subject's rows fan out across tasks within its bucket
+    salted.repartition(
+        n_write_tasks, F.col("bucket"), F.hash("subj", "pred", "obj")
+    ).write.mode("overwrite").partitionBy("bucket").parquet(path)

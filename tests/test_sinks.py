@@ -92,6 +92,46 @@ def test_counters_roundtrip(spark, store_dir):
     assert any(r.value == 7.0 for r in rows)
 
 
+def test_manifest_invalidates_on_param_change(spark, tmp_path):
+    """Resume is keyed by the run manifest: the same checkpoint root with a
+    different params fingerprint must NOT serve the stale boundary."""
+    root = str(tmp_path / "ckpt_fp")
+    df = spark.range(5).withColumnRenamed("id", "v")
+    fp1 = CheckpointStore.params_fingerprint(input="/a", languages="en,nl")
+    s1 = CheckpointStore(spark, root, fingerprint=fp1)
+    s1.materialize(df, "stage_x")
+    assert s1.is_complete("stage_x")
+
+    # same params -> fresh handle resumes
+    s1b = CheckpointStore(spark, root, fingerprint=fp1)
+    assert s1b.is_complete("stage_x")
+
+    # changed params -> stale boundary is invalid, recompute happens
+    fp2 = CheckpointStore.params_fingerprint(input="/a", languages="en")
+    assert fp1 != fp2
+    s2 = CheckpointStore(spark, root, fingerprint=fp2)
+    assert not s2.is_complete("stage_x")
+    out = s2.materialize(df.filter("v < 3"), "stage_x")
+    assert out.count() == 3
+    assert s2.is_complete("stage_x")
+
+    # unfingerprinted legacy store still resumes on _SUCCESS alone
+    s3 = CheckpointStore(spark, root)
+    assert s3.is_complete("stage_x")
+
+
+def test_stage_row_count_uses_latest_run(spark, tmp_path):
+    """After invalidate()+recompute, stage_row_count reports the latest
+    recording only — superseded lineage rows must not double the count."""
+    root = str(tmp_path / "ckpt_rc")
+    store = CheckpointStore(spark, root)
+    store.materialize(spark.range(10).withColumnRenamed("id", "v"), "stage_y")
+    assert store.stage_row_count("stage_y") == 10
+    store.invalidate("stage_y")
+    store.materialize(spark.range(4).withColumnRenamed("id", "v"), "stage_y")
+    assert store.stage_row_count("stage_y") == 4
+
+
 def test_salted_triple_sink(spark, corpus_dir, store_dir, tmp_path):
     """write_triples spreads hot subjects across salted buckets and rereads
     losslessly."""
