@@ -730,6 +730,54 @@ def multimodal_frames(spark, sf_dir):
     )
 
 
+def mention_link_rank(spark, sf_dir):
+    """North-star steps 3-4 on the driver tables: gazetteer mention
+    detection + candidate-ranked entity linking (KG-corpus twin with exact
+    oracle parity lives in operators/gazetteer.py + tests/test_parity.py).
+
+    Shape: (1) documents tokenize to positioned bigram surfaces (one
+    tokens-sized window, partitioned by doc); (2) a surface dictionary with
+    per-candidate priors is built from the knowledge-base subset
+    (doc_id % 7 == 0) — dimension-sized, broadcast-able; (3) detection is
+    an equi-join of all docs' bigrams against the dictionary (shuffle on
+    the surface key, never scan-per-pattern); (4) candidates are ranked by
+    row_number() over (mention, order by prior desc, cand) and capped at
+    top-2. No step is quadratic in corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    w_next = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
+    bigrams = (
+        toks.withColumn("w2", w_next)
+        .filter(F.col("w2").isNotNull())
+        .select(
+            "doc_id", "source",
+            F.col("pos").cast("long").alias("pos"),
+            F.concat_ws(" ", "w", "w2").alias("surface"),
+        )
+    )
+    kb = bigrams.filter(F.col("doc_id") % 7 == 0).select(
+        "surface", "source", "doc_id"
+    ).distinct()
+    df_src = kb.groupBy("surface", "source").agg(F.count("*").alias("df_src"))
+    df_all = kb.groupBy("surface").agg(F.count("*").alias("df_all"))
+    gaz = df_src.join(df_all, "surface").select(
+        "surface",
+        F.col("source").alias("cand"),
+        F.round(F.col("df_src") / F.col("df_all"), 6).alias("prior"),
+    )
+    m = bigrams.select("doc_id", "pos", "surface").join(
+        F.broadcast(gaz), "surface"
+    )
+    w = Window.partitionBy("doc_id", "pos").orderBy(F.desc("prior"), F.asc("cand"))
+    return (
+        m.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 2)
+        .select("doc_id", "pos", "surface", "cand", "prior", "rank")
+    )
+
+
 def kg_pipeline_triples(spark, sf_dir):
     """The actual KG-construction pipeline (north rule) on the deterministic
     synthetic transcript corpus — rows-only check here; exact-parity vs the
@@ -766,6 +814,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         triples_events, dedup_exact, dedup_jaccard, dedup_minhash_sig,
         dedup_minhash_pairs, dedup_simhash, dedup_simhash_pairs, knn_cosine,
         ann_lsh_bucketed, lang_id_profile, quality_score, token_count,
-        fingerprint, multimodal_meta, multimodal_frames, kg_pipeline_triples,
+        fingerprint, multimodal_meta, multimodal_frames, mention_link_rank,
+        kg_pipeline_triples,
     ]
 }

@@ -88,6 +88,9 @@ class OracleOutputs:
     srl_links: list[tuple]
     # turn passthrough invariant rows: (conv_id, turn_idx, text)
     turns: list[tuple]
+    # gazetteer_links: (conv_id, begin_tid, end_tid, surface, qid, uri,
+    # score, rank) — north-star steps 3-4 (detection + ranked linking)
+    gazetteer_links: list[tuple] = field(default_factory=list)
 
 
 def _load(corpus: Corpus | str) -> dict[str, list[dict]]:
@@ -300,6 +303,18 @@ def run(
                         if eb >= rb and ee <= re_:  # range_overlap truth table
                             srl_links_out.append((rt.conv_id, entity, frame, role))
 
+    # --- gazetteer mention detection + ranked linking (north-star 3-4) ------
+    gaz_cands: dict[tuple[str, str], list[dict]] = defaultdict(list)
+    for r in t["gazetteer"]:
+        gaz_cands[(r["lang"], r["surface"])].append(r)
+    gaz_links_out: list[tuple] = []
+    for inc in pilots:
+        wd_uris_of_inc = inc_id_to_wd_uris.get(WD + inc.wdt_id, set())
+        for rt in inc.reference_texts:
+            gaz_links_out.extend(
+                _gazetteer_links(rt, gaz_cands, wd_uris_of_inc)
+            )
+
     return OracleOutputs(
         full_triples=full_triples,
         pilot_triples=pilot_triples,
@@ -308,7 +323,55 @@ def run(
         corefs=corefs_out,
         srl_links=srl_links_out,
         turns=turn_rows,
+        gazetteer_links=gaz_links_out,
     )
+
+
+def _gazetteer_links(rt: RefText, gaz_cands, wd_uris_of_inc,
+                     max_len: int = 4, top_k: int = 3,
+                     context_boost: float = 2.0) -> list[tuple]:
+    """Dictionary mention detection + candidate ranking over one text
+    (engine twin: operators/gazetteer.py — n-gram contiguity on char
+    offsets, longest-match-wins, prior x context score, rank by
+    (score desc, qid))."""
+    toks = tokenize(rt.content)
+    matches = []  # (begin_tid, end_tid, surface), tids 1-based
+    for i in range(len(toks)):
+        off0, surf0 = toks[i]
+        parts = [surf0]
+        prev_end = off0 + len(surf0)
+        for n in range(1, max_len + 1):
+            if n > 1:
+                j = i + n - 1
+                if j >= len(toks):
+                    break
+                off_j, surf_j = toks[j]
+                if off_j != prev_end + 1:  # not contiguous (turn boundary)
+                    break
+                parts.append(surf_j)
+                prev_end = off_j + len(surf_j)
+            gram = " ".join(parts)
+            if (rt.language, gram) in gaz_cands:
+                matches.append((i + 1, i + n, gram))
+    kept = [
+        (b, e, s)
+        for (b, e, s) in matches
+        if not any(
+            cb <= b and e <= ce and (ce - cb) > (e - b)
+            for (cb, ce, _cs) in matches
+        )
+    ]
+    out = []
+    for b, e, surface in kept:
+        cands = []
+        for r in gaz_cands[(rt.language, surface)]:
+            in_ctx = (WD + r["qid"]) in wd_uris_of_inc
+            score = r["prior"] * context_boost if in_ctx else r["prior"]
+            cands.append((r["qid"], r["uri"], score))
+        cands.sort(key=lambda c: (-c[2], c[0]))
+        for rank, (qid, uri, score) in enumerate(cands[:top_k], start=1):
+            out.append((rt.conv_id, b, e, surface, qid, uri, score, rank))
+    return out
 
 
 def _deduplicate_ref_texts(ref_texts: list[RefText]) -> list[RefText]:

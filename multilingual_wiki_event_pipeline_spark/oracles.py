@@ -594,4 +594,37 @@ ORACLES: dict[str, str] = {
              LATERAL (SELECT unnest(range(CAST(ceil(length(text) / 256.0) AS INT)))
                       AS idx) g
     """,
+    "mention_link_rank": """
+        WITH toks AS (
+          SELECT doc_id, source,
+                 CAST(g.i AS BIGINT) AS pos,
+                 string_split(text, ' ')[g.i + 1] AS w
+          FROM documents,
+               LATERAL (SELECT unnest(range(len(string_split(text, ' '))))
+                        AS i) g
+        ),
+        bigrams AS (
+          SELECT doc_id, source, pos, w || ' ' || w2 AS surface FROM (
+            SELECT doc_id, source, pos, w,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM toks
+          ) WHERE w2 IS NOT NULL
+        ),
+        kb AS (SELECT DISTINCT surface, source, doc_id FROM bigrams
+               WHERE doc_id % 7 = 0),
+        df_src AS (SELECT surface, source, COUNT(*) AS df_src FROM kb
+                   GROUP BY surface, source),
+        df_all AS (SELECT surface, COUNT(*) AS df_all FROM kb GROUP BY surface),
+        gaz AS (
+          SELECT s.surface, s.source AS cand,
+                 ROUND(s.df_src / a.df_all, 6) AS prior
+          FROM df_src s JOIN df_all a ON a.surface = s.surface)
+        SELECT doc_id, pos, surface, cand, prior, rank FROM (
+          SELECT b.doc_id, b.pos, b.surface, g.cand, g.prior,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY b.doc_id, b.pos
+                   ORDER BY g.prior DESC, g.cand) AS BIGINT) AS rank
+          FROM bigrams b JOIN gaz g ON g.surface = b.surface
+        ) WHERE rank <= 2
+    """,
 }

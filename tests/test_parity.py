@@ -86,6 +86,24 @@ def test_srl_links_multiset(outputs, expected):
     assert got == want
 
 
+def test_gazetteer_links_exact(outputs, expected):
+    """North-star steps 3-4: gazetteer mention detection + candidate-ranked
+    entity linking — linked-mention P/R vs the oracle (assert exact)."""
+    got = {
+        (r.conv_id, r.begin_tid, r.end_tid, r.surface, r.qid, r.uri,
+         r.score, r.rank)
+        for r in outputs.gazetteer_links.collect()
+    }
+    want = set(expected.gazetteer_links)
+    p, r = _pr(got, want)
+    assert p >= 0.95 and r >= 0.95, (p, r, list(got - want)[:3], list(want - got)[:3])
+    assert got == want, (list(got - want)[:5], list(want - got)[:5])
+    # the detector actually finds mentions (non-vacuous parity)
+    assert len(want) > 50
+    # ambiguity is exercised: some mention has >1 ranked candidate
+    assert any(rank == 2 for (*_x, rank) in want)
+
+
 def test_turn_passthrough_byte_equality(outputs, expected):
     got = {
         (r.conv_id, r.turn_idx, r.text) for r in outputs.turns_out.collect()
