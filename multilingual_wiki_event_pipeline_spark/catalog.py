@@ -188,6 +188,40 @@ def j10_transitive_closure(spark, sf_dir):
     return anc
 
 
+def j10_incident_ancestors(spark, sf_dir):
+    """S3+J10 wired end-to-end (utils.py:555-569 update_incident): a
+    subclass tree is derived from the event types (type -> md5-bucketed
+    category -> root), the ancestor closure runs through
+    operators/ontology.ancestor_closure (iterative equi-join, localCheckpoint
+    hygiene), and each incident's direct types expand to their root-path
+    ancestors. Closure is dimension-sized; the only fact-sized step is one
+    broadcast join. Oracle = recursive CTE."""
+    from .operators import ontology
+
+    ev = _t(spark, sf_dir, "events")
+    types = ev.select("event_type").distinct()
+    e1 = types.select(
+        F.col("event_type").alias("child"),
+        F.concat(
+            F.lit("cat:"),
+            F.substring(F.md5(F.col("event_type").cast("binary")), 1, 1),
+        ).alias("parent"),
+    )
+    e2 = (
+        e1.select(F.col("parent").alias("child"))
+        .distinct()
+        .select("child", F.lit("root").alias("parent"))
+    )
+    edges = e1.unionByName(e2)
+    dts = ev.select(
+        F.col("user_id").alias("incident_id"),
+        F.col("event_type").alias("direct_type"),
+    ).distinct()
+    return ontology.incident_ancestors(dts, edges, root="root").select(
+        F.col("incident_id").cast("long").alias("incident_id"), "ancestor"
+    )
+
+
 def w1_stable_ordering(spark, sf_dir):
     """W1: THE stable-ordering window (input-hint invariant) — row_number
     over (partition key, orderBy time + id tiebreak)."""
@@ -350,6 +384,52 @@ def triples_events(spark, sf_dir):
         F.when(g, "xsd:gYear").otherwise("xsd:dateTime").alias("datatype"),
     )
     return t1.unionByName(t2).unionByName(t3).unionByName(t4)
+
+
+def participant_triples(spark, sf_dir):
+    """S2 (classes.py:167-262 serialize_as_participant_event over
+    query_test.py:144-150 minted ids) on the driver tables: subjects are
+    wd:{participant}_{event}, with the sem:hasActor edge, /wiki/-namespace
+    direct-type rdf:type, plain participant-event label, and the
+    gYear-ruled timestamp. One scan, 6 projections exploded — no shuffle
+    until a downstream write."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    ).select("event_id", "user_id", "event_type", "ts")
+    subj = F.concat(
+        F.lit("wd:Q"), F.col("user_id").cast("string"),
+        F.lit("_E"), F.col("event_id").cast("string"),
+    )
+    g = _is_gyear(F.col("ts"))
+
+    def _tr(pred, obj, lit=False, dt=""):
+        return F.struct(
+            subj.alias("subj"),
+            F.lit(pred).alias("pred"),
+            (obj if not isinstance(obj, str) else F.lit(obj)).alias("obj"),
+            F.lit(lit).alias("obj_is_literal"),
+            (dt if not isinstance(dt, str) else F.lit(dt)).alias("datatype"),
+        )
+
+    rows = F.array(
+        _tr("sem:hasActor", F.concat(F.lit("wd:Q"), F.col("user_id").cast("string"))),
+        _tr("rdf:type", F.concat(F.lit("wiki:E"), F.col("event_id").cast("string"))),
+        _tr("rdf:type", "sem:Event"),
+        _tr("sem:eventType", F.concat(F.lit("wiki:"), F.col("event_type"))),
+        _tr(
+            "rdfs:label",
+            F.concat(F.col("user_id").cast("string"), F.lit(" "), F.col("event_type")),
+            lit=True,
+        ),
+        _tr(
+            "sem:hasTimeStamp",
+            F.when(g, F.date_format("ts", "yyyy"))
+            .otherwise(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")),
+            lit=True,
+            dt=F.when(g, "xsd:gYear").otherwise(F.lit("xsd:dateTime")),
+        ),
+    )
+    return e.select(F.explode(rows).alias("t")).select("t.*")
 
 
 def f1_first_section(spark, sf_dir):
@@ -801,7 +881,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     for f in [
         a1_incident_grouping, a2_dedup_window, f2_ref_text_filter,
         f3_language_completeness, j1_outer_merge, j2_dimension_join,
-        j7_interval_containment, j10_transitive_closure, w1_stable_ordering,
+        j7_interval_containment, j10_transitive_closure, j10_incident_ancestors,
+        w1_stable_ordering,
         w5_sessionize, o3_top_types, a3_collection_stats, e2_set_difference,
         p4_gyear_rule, p1_scalar_chain, c12_json_extract, k4_inverted_index,
         f1_first_section, f4_role_set_equality, f8_surviving_orders,
@@ -811,7 +892,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         c2_url_encode, f5f6f7_crawl_filters, a9_crawl_status_tally,
         u7_moment_stats, embed_cosine_neardup,
         canonicalize_components, w4_sequential_match,
-        triples_events, dedup_exact, dedup_jaccard, dedup_minhash_sig,
+        triples_events, participant_triples, dedup_exact, dedup_jaccard,
+        dedup_minhash_sig,
         dedup_minhash_pairs, dedup_simhash, dedup_simhash_pairs, knn_cosine,
         ann_lsh_bucketed, lang_id_profile, quality_score, token_count,
         fingerprint, multimodal_meta, multimodal_frames, mention_link_rank,

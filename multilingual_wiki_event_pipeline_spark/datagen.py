@@ -140,7 +140,8 @@ def generate(n_incidents: int = 30, seed: int = 42, mega_every: int = 25) -> Cor
             for name in (
                 "transcripts conv_meta conv_sources incidents incident_direct_types "
                 "incident_roles role_mappings type2mapping entity_labels gazetteer "
-                "langlinks wd_sitelinks annotations srl_predicates srl_roles"
+                "langlinks wd_sitelinks annotations srl_predicates srl_roles "
+                "ontology_edges"
             ).split()
         }
     )
@@ -154,6 +155,26 @@ def generate(n_incidents: int = 30, seed: int = 42, mega_every: int = 25) -> Cor
                 )
     for type_qid, mapping_name in EVENT_TYPES:
         c.tables["type2mapping"].append({"type_qid": type_qid, "mapping_name": mapping_name})
+
+    # --- ontology: subclass-of tree under the event root ------------------
+    # (utils.py:489-552 subgraph; direct types wd:Q700000..Q700036). Tree
+    # depth <= 3; types with t % 11 == 10 are deliberately DISCONNECTED from
+    # the root (no root path -> update_incident contributes nothing).
+    ONTOLOGY_ROOT = "wd:Q1656682"
+    for m in range(7):
+        c.tables["ontology_edges"].append(
+            {"child": f"wd:Q7100{m}", "parent": ONTOLOGY_ROOT}
+        )
+    for j in range(5):
+        c.tables["ontology_edges"].append(
+            {"child": f"wd:Q72000{j}", "parent": f"wd:Q7100{j % 7}"}
+        )
+    for tq in range(37):
+        if tq % 11 == 10:
+            continue  # unreachable type
+        child = f"wd:Q{700000 + tq}"
+        parent = f"wd:Q72000{tq % 5}" if tq % 3 == 0 else f"wd:Q7100{tq % 7}"
+        c.tables["ontology_edges"].append({"child": child, "parent": parent})
 
     # --- entities ---------------------------------------------------------
     n_entities = max(24, n_incidents)
@@ -224,6 +245,7 @@ def generate(n_incidents: int = 30, seed: int = 42, mega_every: int = 25) -> Cor
                 "incident_type": type_qid,
                 "incident_type_uri": WD + type_qid,
                 "participant_id": None,
+                "participant_event_label": None,
             }
         )
         for k in range(1 + (i % 3)):
@@ -235,6 +257,7 @@ def generate(n_incidents: int = 30, seed: int = 42, mega_every: int = 25) -> Cor
         place = entities[(i * 3) % n_entities]
         actors = [entities[(i * 5 + 1) % n_entities], entities[(i * 5 + 2) % n_entities]]
         missing_role = i % 13 == 6  # F4 filter-out case
+        this_roles: list[dict] = []
         for role in roles:
             if missing_role and role == "sem:hasPlace":
                 continue
@@ -243,7 +266,7 @@ def generate(n_incidents: int = 30, seed: int = 42, mega_every: int = 25) -> Cor
                     value = f"{1990 + i % 30}-01-01T00:00:00Z"  # gYear case
                 else:
                     value = f"{2000 + i % 20}-0{1 + i % 9}-1{i % 8}T00:00:00Z"
-                c.tables["incident_roles"].append(
+                this_roles.append(
                     {"incident_id": inc_qid, "role": role, "value": value}
                 )
                 continue
@@ -254,9 +277,10 @@ def generate(n_incidents: int = 30, seed: int = 42, mega_every: int = 25) -> Cor
                     packed = uri  # unlabeled -> backfill path
                 else:
                     packed = f"{uri} | {v['labels']['en']}"
-                c.tables["incident_roles"].append(
+                this_roles.append(
                     {"incident_id": inc_qid, "role": role, "value": packed}
                 )
+        c.tables["incident_roles"].extend(this_roles)
 
         # --- conversations (reference texts) ----------------------------
         inc_langs = list(LANGS)
@@ -326,6 +350,54 @@ def generate(n_incidents: int = 30, seed: int = 42, mega_every: int = 25) -> Cor
                          "offset": off}
                     )
                 _make_srl(rng, c, conv_id, [t[0] for t in turns], anns)
+
+        # --- participant-mode seed variant (S2) --------------------------
+        # query_test.py:144-150: a fake wdt id minted from participant +
+        # event ids; direct_types = the event id itself (utils.py:352);
+        # references carry the PARTICIPANT name in every language
+        # (utils.py:366 "We want the participant name here").
+        if i % 4 == 2:
+            p_ent = actors[0]
+            p_wdt = f"{p_ent['qid']}_{inc_qid}"
+            c.tables["incidents"].append(
+                {
+                    "incident_id": p_wdt,
+                    "incident_type": type_qid,
+                    "incident_type_uri": WD + type_qid,
+                    "participant_id": p_ent["qid"],
+                    "participant_event_label": f"{p_ent['labels']['en']} {inc_label}",
+                }
+            )
+            c.tables["incident_direct_types"].append(
+                {"incident_id": p_wdt, "direct_type": f"wd:{inc_qid}"}
+            )
+            for r in this_roles:
+                c.tables["incident_roles"].append({**r, "incident_id": p_wdt})
+            # isolated rng stream: participant convs must not perturb the
+            # base corpus (fixtures and parity expectations stay stable)
+            prng = random.Random(f"{seed}:participant:{i}")
+            p_name = p_ent["labels"]["en"]
+            for lang in LANGS:
+                conv_id = f"{p_wdt}-{lang}-0"
+                c.tables["conv_meta"].append(
+                    {"conv_id": conv_id, "incident_id": p_wdt, "lang": lang,
+                     "name": p_name, "uri": title_to_uri(p_name, lang)}
+                )
+                for s in range(i % 2):
+                    c.tables["conv_sources"].append(
+                        {"conv_id": conv_id,
+                         "source": f"http://news.example.org/{p_wdt}/{lang}/{s}"}
+                    )
+                vocab = _VOCAB[lang]
+                for t_idx in range(prng.randint(8, 16)):
+                    words = [vocab[prng.randrange(len(vocab))]
+                             for _ in range(prng.randint(8, 14))]
+                    c.tables["transcripts"].append(
+                        {"conv_id": conv_id, "turn_idx": t_idx,
+                         "role": ("user", "assistant")[t_idx % 2],
+                         "text": " ".join(words), "tool": None,
+                         "ts": t0 + dt.timedelta(hours=i, minutes=200 + t_idx)}
+                    )
 
     return c
 
@@ -438,7 +510,8 @@ _SCHEMAS: dict[str, list[tuple[str, str]]] = {
                   ("name", "string"), ("uri", "string")],
     "conv_sources": [("conv_id", "string"), ("source", "string")],
     "incidents": [("incident_id", "string"), ("incident_type", "string"),
-                  ("incident_type_uri", "string"), ("participant_id", "string")],
+                  ("incident_type_uri", "string"), ("participant_id", "string"),
+                  ("participant_event_label", "string")],
     "incident_direct_types": [("incident_id", "string"), ("direct_type", "string")],
     "incident_roles": [("incident_id", "string"), ("role", "string"), ("value", "string")],
     "role_mappings": [("mapping_name", "string"), ("role", "string"), ("prop_path", "string")],
@@ -455,6 +528,7 @@ _SCHEMAS: dict[str, list[tuple[str, str]]] = {
                        ("begin_tid", "int32"), ("end_tid", "int32")],
     "srl_roles": [("conv_id", "string"), ("pred_id", "string"), ("role", "string"),
                   ("begin_tid", "int32"), ("end_tid", "int32")],
+    "ontology_edges": [("child", "string"), ("parent", "string")],
 }
 
 

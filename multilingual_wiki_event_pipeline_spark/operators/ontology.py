@@ -1,0 +1,103 @@
+"""Ontology ancestor closure + incident type expansion (SURVEY S3/J10 —
+reference utils.py:489-569).
+
+The reference materializes the Wikidata subclass-of subgraph under the
+event node ``wd:Q1656682`` into a networkx digraph (utils.py:489-552) and
+``update_incident`` (utils.py:555-569) expands an incident's direct
+instance-of values to every node on a root→type path; the ``subsumed_by``
+event-type matching mode (utils.py:117-118) matches an incident to a
+collection type through exactly this closure.
+
+Spark-first: the closure is an iterative equi-join to fixpoint over the
+``ontology_edges(child, parent)`` table (the DataFrame form of a recursive
+CTE) with the same hygiene as canonicalize.connected_components —
+``localCheckpoint`` every ``check_every`` rounds truncates lineage, and the
+convergence count runs only at checkpoints. Wikidata's subclass DAG is
+≤ ~20 deep, so ≤ 7 checkpointed rounds at the default cadence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EVENT_ROOT = "wd:Q1656682"  # reference utils.py:557 top node
+
+
+def ancestor_closure(edges: DataFrame, max_depth: int = 20,
+                     check_every: int = 3) -> DataFrame:
+    """edges(child, parent) -> (node, ancestor), reflexive (node itself
+    included) and transitive."""
+    edges = F.broadcast(edges.select("child", "parent").distinct())
+    anc = edges.select(F.col("child").alias("node")).unionByName(
+        edges.select(F.col("parent").alias("node"))
+    ).distinct().select("node", F.col("node").alias("ancestor"))
+    prev_count = anc.count()
+    for i in range(max_depth):
+        anc = (
+            anc.join(edges, anc.ancestor == edges.child)
+            .select("node", F.col("parent").alias("ancestor"))
+            .unionByName(anc)
+            .distinct()
+        )
+        if (i + 1) % check_every == 0:
+            anc = anc.localCheckpoint()
+            n = anc.count()
+            if n == prev_count:
+                break
+            prev_count = n
+    return anc
+
+
+def incident_ancestors(incident_direct_types: DataFrame,
+                       ontology_edges: DataFrame,
+                       root: str = EVENT_ROOT) -> DataFrame:
+    """update_incident (utils.py:555-569): per incident, the union over its
+    direct types of all nodes on root→type paths. For the tree-shaped
+    ontology this is {type .. root} per REACHABLE type; unreachable types
+    (no root path, nx.all_simple_paths yields nothing) contribute nothing.
+
+    Returns (incident_id, ancestor) distinct. The closure side is
+    ontology-sized (dimension), so the only fact-sized operation is one
+    broadcast join from direct_types to the packed path dimension.
+    """
+    anc = ancestor_closure(ontology_edges)
+    rooted = anc.join(
+        anc.filter(F.col("ancestor") == root).select("node"),
+        "node",
+        "left_semi",
+    )
+    return (
+        incident_direct_types.join(
+            F.broadcast(rooted),
+            incident_direct_types["direct_type"] == rooted["node"],
+        )
+        .select("incident_id", "ancestor")
+        .distinct()
+    )
+
+
+def type_index(incident_direct_types: DataFrame,
+               incidents: DataFrame) -> DataFrame:
+    """A5 (classes.py:355-359 get_index_event_type2wdt_ids): direct type ->
+    sorted incident ids, restricted to the given incident set."""
+    return (
+        incident_direct_types.join(
+            incidents.select("incident_id"), "incident_id", "left_semi"
+        )
+        .groupBy(F.col("direct_type").alias("event_type"))
+        .agg(F.sort_array(F.collect_set("incident_id")).alias("wdt_ids"))
+    )
+
+
+def subsumed_incidents(incident_direct_types: DataFrame,
+                       ontology_edges: DataFrame, type_qid: str,
+                       root: str = EVENT_ROOT) -> DataFrame:
+    """The subsumed_by matching mode (utils.py:117-118): incidents whose
+    direct-type closure contains ``type_qid``."""
+    return (
+        incident_ancestors(incident_direct_types, ontology_edges, root=root)
+        .filter(F.col("ancestor") == type_qid)
+        .select("incident_id")
+        .distinct()
+    )

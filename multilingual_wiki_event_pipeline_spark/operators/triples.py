@@ -32,6 +32,7 @@ FN = "http://premon.fbk.eu/resource/fn17-"
 PREMON = "https://premon.fbk.eu/resource/"
 DCMI_TEXT = "http://purl.org/dc/dcmitype/Text"
 WD = "http://www.wikidata.org/entity/"
+WDT_WIKI = "http://www.wikidata.org/wiki/"
 
 TRIPLE_COLS = ["subj", "pred", "obj", "obj_is_literal", "lang", "datatype"]
 
@@ -167,6 +168,94 @@ def serialize_collection(incidents: DataFrame, texts: DataFrame,
         incident_triples(incidents),
         role_triples(incident_roles, incidents, type2mapping, role_mappings),
         collection_triples(incidents),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(TRIPLE_COLS)
+
+
+def participant_text_triples(texts: DataFrame,
+                             conv_sources: DataFrame | None = None) -> DataFrame:
+    """Participant-mode T1 (classes.py:217-227): denotedIn + dct metadata
+    per reference text — NO per-text rdfs:label (serialize() emits one,
+    serialize_as_participant_event does not)."""
+    event = F.concat(F.lit(WD), F.col("incident_id"))
+    base = _explode_triples(
+        texts,
+        [
+            _t(event, GRASP + "denotedIn", F.col("uri")),
+            _t(F.col("uri"), DCT + "description", F.col("content"), True),
+            _t(F.col("uri"), DCT + "title", F.col("name"), True),
+            _t(F.col("uri"), DCT + "language", F.col("lang"), True),
+            _t(F.col("uri"), DCT + "type", F.lit(DCMI_TEXT)),
+        ],
+    )
+    if conv_sources is not None:
+        src = texts.join(conv_sources, "conv_id", "inner").select(
+            F.col("uri").alias("subj"),
+            F.lit(DCT + "source").alias("pred"),
+            F.col("source").alias("obj"),
+            F.lit(False).alias("obj_is_literal"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("datatype"),
+        )
+        base = base.unionByName(src)
+    return base
+
+
+def participant_incident_triples(incidents: DataFrame,
+                                 direct_types: DataFrame) -> DataFrame:
+    """Participant-mode T2 (classes.py:205-242): sem:hasActor to the
+    participant (classes.py:208-210), rdf:type per direct type under the
+    /wiki/ namespace (classes.py:213-215 — WDT_ONT, not WDT_ENT),
+    rdf:type sem:Event + sem:eventType (also /wiki/), and a plain-literal
+    rdfs:label of the minted participant-event name. The hardcoded
+    fn17:change_of_leadership type of serialize() is absent here."""
+    event = F.concat(F.lit(WD), F.col("incident_id"))
+    base = _explode_triples(
+        incidents,
+        [
+            _t(event, SEM + "hasActor",
+               F.concat(F.lit(WD), F.col("participant_id"))),
+            _t(event, RDF_TYPE, F.lit(SEM + "Event")),
+            _t(event, SEM + "eventType",
+               F.concat(F.lit(WDT_WIKI), F.col("incident_type"))),
+            _t(event, RDFS_LABEL, F.col("participant_event_label"), True),
+        ],
+    )
+    dts = (
+        direct_types.join(
+            F.broadcast(incidents.select("incident_id")), "incident_id",
+            "left_semi",
+        )
+        .select(
+            F.concat(F.lit(WD), F.col("incident_id")).alias("subj"),
+            F.lit(RDF_TYPE).alias("pred"),
+            # direct_type is 'wd:Qxxx' -> /wiki/Qxxx (classes.py:214 [3:])
+            F.concat(F.lit(WDT_WIKI), F.substring(F.col("direct_type"), 4, 2**30))
+            .alias("obj"),
+            F.lit(False).alias("obj_is_literal"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("datatype"),
+        )
+    )
+    return base.unionByName(dts)
+
+
+def serialize_participant_collection(
+    incidents: DataFrame, texts: DataFrame, incident_roles: DataFrame,
+    type2mapping: DataFrame, role_mappings: DataFrame,
+    direct_types: DataFrame, conv_sources: DataFrame | None = None,
+) -> DataFrame:
+    """serialize_as_participant_event() equivalent (classes.py:167-262):
+    union of participant T1/T2 + the shared role triples, set-deduplicated.
+    No collection-label triple (classes.py defines inc_type_literal but
+    never adds it in the participant variant)."""
+    parts = [
+        participant_text_triples(texts, conv_sources=conv_sources),
+        participant_incident_triples(incidents, direct_types),
+        role_triples(incident_roles, incidents, type2mapping, role_mappings),
     ]
     out = parts[0]
     for p in parts[1:]:

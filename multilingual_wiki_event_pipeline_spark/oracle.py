@@ -73,6 +73,8 @@ class Incident:
     direct_types: set[str] = field(default_factory=set)
     extra_info: dict[str, set[str]] = field(default_factory=dict)
     reference_texts: list[RefText] = field(default_factory=list)
+    participant_id: str | None = None
+    participant_event_label: str | None = None
 
 
 @dataclass
@@ -91,6 +93,11 @@ class OracleOutputs:
     # gazetteer_links: (conv_id, begin_tid, end_tid, surface, qid, uri,
     # score, rank) — north-star steps 3-4 (detection + ranked linking)
     gazetteer_links: list[tuple] = field(default_factory=list)
+    # type_index: A5 (classes.py:355-359) — direct type -> sorted wdt ids
+    type_index: dict[str, tuple] = field(default_factory=dict)
+    # incident_ancestors: update_incident (utils.py:555-569) —
+    # set of (incident_id, ancestor) over root->direct-type path nodes
+    incident_ancestors: set[tuple] = field(default_factory=set)
 
 
 def _load(corpus: Corpus | str) -> dict[str, list[dict]]:
@@ -102,7 +109,8 @@ def _load(corpus: Corpus | str) -> dict[str, list[dict]]:
     names = (
         "transcripts conv_meta conv_sources incidents incident_direct_types "
         "incident_roles role_mappings type2mapping entity_labels gazetteer "
-        "langlinks wd_sitelinks annotations srl_predicates srl_roles"
+        "langlinks wd_sitelinks annotations srl_predicates srl_roles "
+        "ontology_edges"
     ).split()
     for n in names:
         tables[n] = pq.read_table(f"{corpus}/{n}.parquet").to_pylist()
@@ -144,21 +152,28 @@ def run(
     }
 
     # --- build incident objects (retrieve_incidents_per_type, main.py:139-197)
+    # one seed mode per run, like the reference: by_incident skips
+    # participant-minted seeds (those belong to run_participant)
     incidents: dict[str, Incident] = {}
     for r in t["incidents"]:
+        if r["participant_id"] is not None:
+            continue
         incidents[r["incident_id"]] = Incident(
             wdt_id=r["incident_id"],
             incident_type=r["incident_type"],
             incident_type_uri=r["incident_type_uri"],
         )
     for r in t["incident_direct_types"]:
-        incidents[r["incident_id"]].direct_types.add(r["direct_type"])
+        if r["incident_id"] in incidents:
+            incidents[r["incident_id"]].direct_types.add(r["direct_type"])
     for r in t["incident_roles"]:
-        incidents[r["incident_id"]].extra_info.setdefault(r["role"], set()).add(r["value"])
+        if r["incident_id"] in incidents:
+            incidents[r["incident_id"]].extra_info.setdefault(r["role"], set()).add(r["value"])
     for r in t["conv_meta"]:
-        incidents[r["incident_id"]].reference_texts.append(
-            RefText(conv_id=r["conv_id"], name=r["name"], language=r["lang"], uri=r["uri"])
-        )
+        if r["incident_id"] in incidents:
+            incidents[r["incident_id"]].reference_texts.append(
+                RefText(conv_id=r["conv_id"], name=r["name"], language=r["lang"], uri=r["uri"])
+            )
 
     # --- obtain_reference_texts: F8 + A2 dedup (main.py:200-229) -----------
     surviving: list[Incident] = []
@@ -303,6 +318,31 @@ def run(
                         if eb >= rb and ee <= re_:  # range_overlap truth table
                             srl_links_out.append((rt.conv_id, entity, frame, role))
 
+    # --- ontology: A5 index + update_incident ancestors ---------------------
+    parent = {r["child"]: r["parent"] for r in t["ontology_edges"]}  # tree
+
+    def _path_to_root(node: str) -> list[str] | None:
+        """nx.all_simple_paths(g, root, node) node set for the tree-shaped
+        ontology: the unique node..root chain, or None when unreachable."""
+        seen, cur = [node], node
+        while cur in parent:
+            cur = parent[cur]
+            seen.append(cur)
+        return seen if seen[-1] == "wd:Q1656682" else None
+
+    incident_ancestors_out: set[tuple] = set()
+    for inc in surviving:
+        for dt in inc.direct_types:
+            p = _path_to_root(dt)
+            if p:
+                incident_ancestors_out.update((inc.wdt_id, a) for a in p)
+    type_index_out: dict[str, tuple] = {}
+    idx: dict[str, set] = defaultdict(set)
+    for inc in pilots:
+        for dt in inc.direct_types:
+            idx[dt].add(inc.wdt_id)
+    type_index_out = {k: tuple(sorted(v)) for k, v in idx.items()}
+
     # --- gazetteer mention detection + ranked linking (north-star 3-4) ------
     gaz_cands: dict[tuple[str, str], list[dict]] = defaultdict(list)
     for r in t["gazetteer"]:
@@ -324,6 +364,8 @@ def run(
         srl_links=srl_links_out,
         turns=turn_rows,
         gazetteer_links=gaz_links_out,
+        type_index=type_index_out,
+        incident_ancestors=incident_ancestors_out,
     )
 
 
@@ -372,6 +414,178 @@ def _gazetteer_links(rt: RefText, gaz_cands, wd_uris_of_inc,
         for rank, (qid, uri, score) in enumerate(cands[:top_k], start=1):
             out.append((rt.conv_id, b, e, surface, qid, uri, score, rank))
     return out
+
+
+def run_participant(
+    corpus: Corpus | str,
+    target_languages: list[str] = LANGS,
+    must_have_all_languages: bool = True,
+    must_have_english: bool = True,
+    one_page_per_language: bool = True,
+    max_pilot_incidents: int = 10**9,
+) -> OracleOutputs:
+    """Participant-mode lifecycle (S2 — query_test.py:288-587 seeds +
+    classes.py:167-262 serialize_as_participant_event). Same F8/A2 full
+    collection and F4/F1/F2/F3 pilot machinery as run(); the triple
+    emission differs (see _serialize_participant)."""
+    t = _load(corpus)
+    type2mapping = {r["type_qid"]: r["mapping_name"] for r in t["type2mapping"]}
+    entity_labels = {r["qid"]: r["label"] for r in t["entity_labels"]}
+    conv_sources = defaultdict(list)
+    for r in t["conv_sources"]:
+        conv_sources[r["conv_id"]].append(r["source"])
+
+    turns_by_conv: dict[str, list[tuple[int, str]]] = defaultdict(list)
+    for r in t["transcripts"]:
+        turns_by_conv[r["conv_id"]].append((r["turn_idx"], r["text"]))
+    content_by_conv = {
+        cid: assemble_document([txt for _, txt in sorted(pairs)])
+        for cid, pairs in turns_by_conv.items()
+    }
+
+    incidents: dict[str, Incident] = {}
+    for r in t["incidents"]:
+        if r["participant_id"] is None:
+            continue
+        incidents[r["incident_id"]] = Incident(
+            wdt_id=r["incident_id"],
+            incident_type=r["incident_type"],
+            incident_type_uri=r["incident_type_uri"],
+            participant_id=r["participant_id"],
+            participant_event_label=r["participant_event_label"],
+        )
+    for r in t["incident_direct_types"]:
+        if r["incident_id"] in incidents:
+            incidents[r["incident_id"]].direct_types.add(r["direct_type"])
+    for r in t["incident_roles"]:
+        if r["incident_id"] in incidents:
+            incidents[r["incident_id"]].extra_info.setdefault(
+                r["role"], set()
+            ).add(r["value"])
+    for r in t["conv_meta"]:
+        if r["incident_id"] in incidents:
+            incidents[r["incident_id"]].reference_texts.append(
+                RefText(conv_id=r["conv_id"], name=r["name"],
+                        language=r["lang"], uri=r["uri"])
+            )
+
+    surviving: list[Incident] = []
+    for inc in incidents.values():
+        new_texts = []
+        for rt in inc.reference_texts:
+            content = content_by_conv.get(rt.conv_id)
+            if content:
+                rt.content = content
+                new_texts.append(rt)
+        new_texts = _deduplicate_ref_texts(new_texts)
+        if new_texts:
+            inc.reference_texts = new_texts
+            surviving.append(inc)
+
+    full_triples: set[Triple] = set()
+    by_type: dict[str, list[Incident]] = defaultdict(list)
+    for inc in surviving:
+        by_type[inc.incident_type].append(inc)
+    for type_qid, incs in by_type.items():
+        full_triples |= _serialize_participant(incs, type_qid, type2mapping)
+
+    pilots: list[Incident] = []
+    for inc in sorted(surviving, key=lambda x: x.wdt_id):
+        mapping_name = type2mapping.get(inc.incident_type, "any")
+        if set(inc.extra_info.keys()) != set(ROLE_MAPPINGS[mapping_name].keys()):
+            continue
+        inc.reference_texts = _deduplicate_ref_texts(inc.reference_texts)
+        langs: set[str] = set()
+        new_texts = []
+        for rt in inc.reference_texts:
+            rt.content = first_section(rt.content)
+            if check_ref_text(rt.content, rt.name, min_chars=100, max_chars=50000):
+                langs.add(rt.language)
+                new_texts.append(rt)
+        inc.reference_texts = new_texts
+        if _skip_this_incident(
+            new_texts, target_languages, langs,
+            must_have_all_languages, must_have_english, one_page_per_language,
+        ):
+            continue
+        for role, vals in inc.extra_info.items():
+            new_vals = set()
+            for v in vals:
+                if "|" not in v:
+                    label = ""
+                    if v.startswith("http"):
+                        label = entity_labels.get(v.split("/")[-1], "")
+                    v = v + " | " + label
+                new_vals.add(v)
+            inc.extra_info[role] = new_vals
+        pilots.append(inc)
+    pilots = pilots[:max_pilot_incidents]
+    for inc in pilots:
+        for rt in inc.reference_texts:
+            rt.primary_ref_texts = conv_sources.get(rt.conv_id, [])
+
+    pilot_triples: set[Triple] = set()
+    pilots_by_type: dict[str, list[Incident]] = defaultdict(list)
+    for inc in pilots:
+        pilots_by_type[inc.incident_type].append(inc)
+    for type_qid, incs in pilots_by_type.items():
+        pilot_triples |= _serialize_participant(incs, type_qid, type2mapping)
+
+    return OracleOutputs(
+        full_triples=full_triples,
+        pilot_triples=pilot_triples,
+        pilot_incident_ids=[i.wdt_id for i in pilots],
+        mentions=[], corefs=[], srl_links=[], turns=[],
+    )
+
+
+WDT_WIKI = "http://www.wikidata.org/wiki/"
+
+
+def _serialize_participant(incs: list[Incident], incident_type: str,
+                           type2mapping: dict[str, str]) -> set[Triple]:
+    """classes.py:167-262 serialize_as_participant_event: sem:hasActor per
+    participant (classes.py:208-210), rdf:type per direct type under
+    /wiki/ (classes.py:213-215), denotedIn + dct metadata per text WITHOUT
+    a per-text label, sem:eventType under /wiki/, a plain-literal
+    participant-event label, role triples with the gYear rule — and NO
+    fn17 hardcoded type or collection-label triple."""
+    mapping_name = type2mapping.get(incident_type, "any")
+    mapping = ROLE_MAPPINGS[mapping_name]
+    g: set[Triple] = set()
+    for inc in incs:
+        event_id = WD + inc.wdt_id
+        g.add((event_id, SEM + "hasActor", WD + inc.participant_id,
+               False, None, None))
+        for dt in inc.direct_types:
+            g.add((event_id, RDF_TYPE, WDT_WIKI + dt[3:], False, None, None))
+        for rt in inc.reference_texts:
+            g.add((event_id, GRASP + "denotedIn", rt.uri, False, None, None))
+            g.add((rt.uri, DCT + "description", rt.content or "", True, None, None))
+            g.add((rt.uri, DCT + "title", rt.name, True, None, None))
+            g.add((rt.uri, DCT + "language", rt.language, True, None, None))
+            g.add((rt.uri, DCT + "type", DCMI_TEXT, False, None, None))
+            for source in rt.primary_ref_texts:
+                g.add((rt.uri, DCT + "source", source, False, None, None))
+        g.add((event_id, RDF_TYPE, SEM + "Event", False, None, None))
+        g.add((event_id, SEM + "eventType", WDT_WIKI + incident_type,
+               False, None, None))
+        g.add((event_id, RDFS_LABEL, inc.participant_event_label,
+               True, None, None))
+        for predicate in mapping:
+            if predicate not in inc.extra_info:
+                continue
+            prefix, pid = predicate.split(":")
+            res = SEM if prefix == "sem" else PREMON
+            for v in inc.extra_info[predicate]:
+                v = v.split("|")[0].strip()
+                if pid not in {"hasTimeStamp", "time"}:
+                    g.add((event_id, res + pid, v, False, None, None))
+                elif v.endswith("-01-01T00:00:00Z"):
+                    g.add((event_id, res + pid, v[:4], True, None, XSD + "gYear"))
+                else:
+                    g.add((event_id, res + pid, v, True, None, XSD + "date"))
+    return g
 
 
 def _deduplicate_ref_texts(ref_texts: list[RefText]) -> list[RefText]:

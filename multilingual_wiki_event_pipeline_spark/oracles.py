@@ -143,6 +143,28 @@ ORACLES: dict[str, str] = {
         )
         SELECT node, ancestor FROM anc
     """,
+    "j10_incident_ancestors": """
+        WITH RECURSIVE
+        types AS (SELECT DISTINCT event_type FROM events),
+        e1 AS (SELECT event_type AS child,
+                      'cat:' || substr(md5(event_type), 1, 1) AS parent
+               FROM types),
+        e2 AS (SELECT DISTINCT parent AS child, 'root' AS parent FROM e1),
+        edges AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2),
+        dts AS (SELECT DISTINCT user_id AS incident_id,
+                                event_type AS direct_type FROM events),
+        anc AS (
+          SELECT direct_type AS node, direct_type AS ancestor
+          FROM (SELECT DISTINCT direct_type FROM dts)
+          UNION
+          SELECT a.node, e.parent FROM anc a JOIN edges e ON e.child = a.ancestor
+        ),
+        rooted AS (SELECT DISTINCT node FROM anc WHERE ancestor = 'root')
+        SELECT DISTINCT CAST(d.incident_id AS BIGINT) AS incident_id, a.ancestor
+        FROM dts d
+        JOIN anc a ON a.node = d.direct_type
+        JOIN rooted r ON r.node = a.node
+    """,
     "w1_stable_ordering": """
         SELECT user_id, CAST(rn AS BIGINT) AS rn, event_id FROM (
           SELECT user_id, event_id,
@@ -437,6 +459,37 @@ ORACLES: dict[str, str] = {
                  TRUE,
                  CASE WHEN {_TS_IS_GYEAR.format(c='ts')}
                       THEN 'xsd:gYear' ELSE 'xsd:dateTime' END FROM e
+        )
+    """,
+    "participant_triples": f"""
+        WITH e AS (SELECT event_id, user_id, event_type, ts FROM events
+                   WHERE event_type = 'signup'),
+        s AS (SELECT *, concat('wd:Q', CAST(user_id AS VARCHAR), '_E',
+                               CAST(event_id AS VARCHAR)) AS subj FROM e)
+        SELECT subj, pred, obj, obj_is_literal, datatype FROM (
+          SELECT subj, 'sem:hasActor' AS pred,
+                 concat('wd:Q', CAST(user_id AS VARCHAR)) AS obj,
+                 FALSE AS obj_is_literal, '' AS datatype FROM s
+          UNION ALL
+          SELECT subj, 'rdf:type',
+                 concat('wiki:E', CAST(event_id AS VARCHAR)), FALSE, '' FROM s
+          UNION ALL
+          SELECT subj, 'rdf:type', 'sem:Event', FALSE, '' FROM s
+          UNION ALL
+          SELECT subj, 'sem:eventType', concat('wiki:', event_type),
+                 FALSE, '' FROM s
+          UNION ALL
+          SELECT subj, 'rdfs:label',
+                 concat(CAST(user_id AS VARCHAR), ' ', event_type),
+                 TRUE, '' FROM s
+          UNION ALL
+          SELECT subj, 'sem:hasTimeStamp',
+                 CASE WHEN {_TS_IS_GYEAR.format(c='ts')}
+                      THEN strftime(ts, '%Y')
+                      ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') END,
+                 TRUE,
+                 CASE WHEN {_TS_IS_GYEAR.format(c='ts')}
+                      THEN 'xsd:gYear' ELSE 'xsd:dateTime' END FROM s
         )
     """,
     # ---- training-data-pipeline operators ---------------------------------

@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 
 from typing import TYPE_CHECKING
 
-from ..operators import documents, gazetteer as G, mentions as M, pilot, srl, triples
+from ..operators import (
+    documents, gazetteer as G, mentions as M, ontology, pilot, srl, triples,
+)
 from ..sources.tables import CorpusTables
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -50,6 +52,8 @@ class PipelineOutputs:
     corefs: DataFrame
     srl_links: DataFrame
     gazetteer_links: DataFrame
+    type_index: DataFrame
+    incident_ancestors: DataFrame
 
 
 def build(t: CorpusTables, target_languages: list[str] = None,
@@ -57,13 +61,27 @@ def build(t: CorpusTables, target_languages: list[str] = None,
           one_page_per_language: bool = True,
           max_pilot_incidents: int | None = None,
           cache_intermediates: bool = False,
-          store: "CheckpointStore | None" = None) -> PipelineOutputs:
+          store: "CheckpointStore | None" = None,
+          seed_mode: str = "by_incident") -> PipelineOutputs:
     """``store`` (sinks.CheckpointStore) materializes every shared stage
     boundary to the checkpoint store: resumable after failure (complete
     stages are skipped), per-partition lineage recorded, and downstream
     plans read shallow scans instead of re-analyzing the whole upstream DAG.
-    ``cache_intermediates`` is the in-session alternative for tests."""
+    ``cache_intermediates`` is the in-session alternative for tests.
+
+    ``seed_mode`` (S2, reference query_test.py:288-587): ``by_incident``
+    (main.py lifecycle, the default) seeds from incidents with no
+    participant; ``by_participant`` seeds from participant-minted incidents
+    (``wd:{participant}_{event}`` subjects) and serializes with
+    serialize_as_participant_event semantics (classes.py:167-262) —
+    sem:hasActor edge, /wiki/-namespace direct-type rdf:type edges, plain
+    participant-event label, no per-text label / fn17 / collection-label
+    triples. When reusing a checkpoint store across modes, key it with a
+    params fingerprint (CheckpointStore.params_fingerprint)."""
     target_languages = target_languages or LANGS_DEFAULT
+    if seed_mode not in ("by_incident", "by_participant"):
+        raise ValueError(f"unknown seed_mode {seed_mode!r}")
+    by_participant = seed_mode == "by_participant"
     if store is not None:
         maybe_cache = lambda df, name: store.materialize(df, name)  # noqa: E731
     elif cache_intermediates:
@@ -71,18 +89,39 @@ def build(t: CorpusTables, target_languages: list[str] = None,
     else:
         maybe_cache = lambda df, name: df  # noqa: E731
 
+    # --- seed scan (S1/S2): one mode per run, like the reference ------------
+    seeds = t.incidents.filter(
+        F.col("participant_id").isNotNull() if by_participant
+        else F.col("participant_id").isNull()
+    )
+    conv_meta = t.conv_meta.join(
+        seeds.select("incident_id"), "incident_id", "left_semi"
+    )
+    if by_participant:
+        def serialize(incs, texts, roles, conv_sources=None):
+            return triples.serialize_participant_collection(
+                incs, texts, roles, t.type2mapping, t.role_mappings,
+                t.incident_direct_types, conv_sources=conv_sources,
+            )
+    else:
+        def serialize(incs, texts, roles, conv_sources=None):
+            return triples.serialize_collection(
+                incs, texts, roles, t.type2mapping, t.role_mappings,
+                conv_sources=conv_sources,
+            )
+
     # --- ingest + stabilize -------------------------------------------------
     docs = documents.assemble_documents(t.transcripts)
     turns_out = documents.stable_turns(t.transcripts)
 
     # --- full collection (F8 + A2 + serialize) ------------------------------
-    texts_full = maybe_cache(pilot.full_texts(t.conv_meta, docs), "s01_texts_full")
-    incidents_full = pilot.incidents_with_texts(t.incidents, texts_full)
+    texts_full = maybe_cache(pilot.full_texts(conv_meta, docs), "s01_texts_full")
+    incidents_full = pilot.incidents_with_texts(seeds, texts_full)
     roles_full = t.incident_roles.join(
         incidents_full.select("incident_id"), "incident_id", "left_semi"
     )
-    full_triples = triples.serialize_collection(
-        incidents_full, texts_full, roles_full, t.type2mapping, t.role_mappings,
+    full_triples = serialize(
+        incidents_full, texts_full, roles_full,
         conv_sources=None,  # primary links not yet fetched at this stage
     )
 
@@ -107,8 +146,8 @@ def build(t: CorpusTables, target_languages: list[str] = None,
         t.incident_roles.join(p_incidents.select("incident_id"), "incident_id", "left_semi"),
         t.entity_labels,
     )
-    pilot_triples = triples.serialize_collection(
-        p_incidents, p_texts, p_roles, t.type2mapping, t.role_mappings,
+    pilot_triples = serialize(
+        p_incidents, p_texts, p_roles,
         conv_sources=t.conv_sources,  # pilot stage fetched primary links
     )
 
@@ -139,6 +178,16 @@ def build(t: CorpusTables, target_languages: list[str] = None,
     # entity linking over the pilot texts (the hyperlink path above links
     # pre-annotated mentions; this one FINDS them from the gazetteer).
     gaz_links = G.gazetteer_links(p_texts, t.gazetteer, tokens, inc_to_wd)
+    # S3/J10/A5: direct-type index over the pilot set (classes.py:355-359)
+    # + ancestor expansion through the ontology closure (utils.py:555-569),
+    # the subsumed_by matching substrate (utils.py:117-118).
+    typ_index = ontology.type_index(t.incident_direct_types, p_incidents)
+    inc_ancestors = ontology.incident_ancestors(
+        t.incident_direct_types.join(
+            incidents_full.select("incident_id"), "incident_id", "left_semi"
+        ),
+        t.ontology_edges,
+    )
 
     return PipelineOutputs(
         docs=docs, turns_out=turns_out,
@@ -148,4 +197,5 @@ def build(t: CorpusTables, target_languages: list[str] = None,
         pilot_triples=pilot_triples,
         tokens=tokens, mentions=linked, corefs=corefs, srl_links=srl_links,
         gazetteer_links=gaz_links,
+        type_index=typ_index, incident_ancestors=inc_ancestors,
     )

@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 TABLE_NAMES = (
     "transcripts conv_meta conv_sources incidents incident_direct_types "
     "incident_roles role_mappings type2mapping entity_labels gazetteer "
-    "langlinks wd_sitelinks annotations srl_predicates srl_roles"
+    "langlinks wd_sitelinks annotations srl_predicates srl_roles "
+    "ontology_edges"
 ).split()
 
 

@@ -58,9 +58,16 @@ def incremental_triples(stream: DataFrame, tables, output_dir: str,
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         convs = batch_df.select("conv_id").distinct()
         docs = documents.assemble_documents(batch_df)
-        meta = tables.conv_meta.join(convs, "conv_id", "left_semi")
+        # by_incident seed mode (matches the batch pipeline default):
+        # participant-minted seeds belong to the by_participant run
+        seeds = tables.incidents.filter(F.col("participant_id").isNull())
+        meta = (
+            tables.conv_meta
+            .join(seeds.select("incident_id"), "incident_id", "left_semi")
+            .join(convs, "conv_id", "left_semi")
+        )
         texts = pilot.full_texts(meta, docs)
-        incidents = pilot.incidents_with_texts(tables.incidents, texts)
+        incidents = pilot.incidents_with_texts(seeds, texts)
         roles = tables.incident_roles.join(
             incidents.select("incident_id"), "incident_id", "left_semi"
         )
@@ -80,13 +87,74 @@ def incremental_triples(stream: DataFrame, tables, output_dir: str,
 
 
 def read_streamed_triples(spark: SparkSession, output_dir: str) -> DataFrame:
-    """Set-semantics view over the streamed batches."""
-    from ..operators.triples import TRIPLE_COLS
+    """Set-semantics view over the streamed batches, with the A2
+    content-dedup applied GLOBALLY.
 
-    return (
+    deduplicate_ref_texts inside the per-batch path is batch-local: two
+    conversations of the same (incident, lang) with identical content that
+    arrive in DIFFERENT micro-batches both survive their own batch and emit
+    text triples under distinct subjects, which a plain dropDuplicates
+    cannot reconcile. This reader reconstructs the text units from the
+    triples (denotedIn -> uri -> dct metadata), replays the A2 rule
+    (keep all rows tied for the max name per (event, lang, content) —
+    rank(), reference utils.py:386-398) across ALL batches, and drops every
+    triple attached to a losing unit — so streamed output equals the batch
+    output regardless of how conversations were split across batches.
+    (A single conversation's turns must still arrive within one batch.)
+    """
+    from pyspark.sql import Window
+
+    from ..operators.triples import DCT, GRASP, RDFS_LABEL, TRIPLE_COLS
+
+    all_t = (
         spark.read.option("basePath", output_dir).parquet(f"{output_dir}/batch_id=*")
         .select(*TRIPLE_COLS)
         .dropDuplicates(TRIPLE_COLS)
+    )
+    den = all_t.filter(F.col("pred") == GRASP + "denotedIn").select(
+        F.col("subj").alias("event"), F.col("obj").alias("uri")
+    )
+    desc = all_t.filter(F.col("pred") == DCT + "description").select(
+        F.col("subj").alias("uri"), F.sha2(F.col("obj"), 256).alias("content_hash")
+    )
+    title = all_t.filter(F.col("pred") == DCT + "title").select(
+        F.col("subj").alias("uri"), F.col("obj").alias("name")
+    )
+    langp = all_t.filter(F.col("pred") == DCT + "language").select(
+        F.col("subj").alias("uri"), F.col("obj").alias("t_lang")
+    )
+    units = (
+        den.join(desc, "uri").join(title, "uri").join(langp, "uri").distinct()
+    )
+    w = Window.partitionBy("event", "t_lang", "content_hash").orderBy(
+        F.desc("name")
+    )
+    ranked = units.withColumn("__rnk", F.rank().over(w))
+    kept = ranked.filter(F.col("__rnk") == 1).drop("__rnk")
+    dropped_uris = (
+        units.join(kept.select("uri"), "uri", "left_anti")
+        .select("uri").distinct()
+    )
+    # label triples of losing units go too — unless the same (event, name,
+    # lang) is also carried by a surviving unit
+    dropped_labels = (
+        units.join(kept.select("uri"), "uri", "left_anti")
+        .select("event", "name", "t_lang")
+        .join(kept.select("event", "name", "t_lang"), ["event", "name", "t_lang"],
+              "left_anti")
+        .distinct()
+    )
+    out = (
+        all_t.join(dropped_uris, all_t["subj"] == dropped_uris["uri"], "left_anti")
+        .join(dropped_uris, all_t["obj"] == dropped_uris["uri"], "left_anti")
+    )
+    return out.join(
+        dropped_labels,
+        (out["subj"] == dropped_labels["event"])
+        & (out["obj"] == dropped_labels["name"])
+        & (out["lang"] == dropped_labels["t_lang"])
+        & (out["pred"] == RDFS_LABEL),
+        "left_anti",
     )
 
 

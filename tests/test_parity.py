@@ -104,6 +104,32 @@ def test_gazetteer_links_exact(outputs, expected):
     assert any(rank == 2 for (*_x, rank) in want)
 
 
+def test_type_index_a5(outputs, expected):
+    """A5 (classes.py:355-359): direct type -> sorted pilot incident ids."""
+    got = {
+        r.event_type: tuple(r.wdt_ids)
+        for r in outputs.type_index.collect()
+    }
+    assert got == expected.type_index
+    assert got  # non-vacuous
+
+
+def test_incident_ancestors_update_incident(outputs, expected):
+    """update_incident (utils.py:555-569): direct types expanded to
+    root-path ancestors through the ontology closure."""
+    got = {
+        (r.incident_id, r.ancestor)
+        for r in outputs.incident_ancestors.collect()
+    }
+    want = expected.incident_ancestors
+    assert got == want, (list(got - want)[:5], list(want - got)[:5])
+    # the closure really expands (ancestors beyond the direct types exist)
+    assert any(a == "wd:Q1656682" for (_i, a) in want)
+    # and unreachable direct types contributed nothing
+    direct = {(i, d) for (i, d) in want if d.startswith("wd:Q70")}
+    assert len(want) > len(direct)
+
+
 def test_turn_passthrough_byte_equality(outputs, expected):
     got = {
         (r.conv_id, r.turn_idx, r.text) for r in outputs.turns_out.collect()

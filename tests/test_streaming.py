@@ -26,8 +26,12 @@ def _triples(df):
 def batch_full_triples(spark, corpus_dir):
     t = CorpusTables(spark, corpus_dir)
     docs = documents.assemble_documents(t.transcripts)
-    texts = pilot.full_texts(t.conv_meta, docs)
-    incidents = pilot.incidents_with_texts(t.incidents, texts)
+    seeds = t.incidents.filter(F.col("participant_id").isNull())
+    meta = t.conv_meta.join(
+        seeds.select("incident_id"), "incident_id", "left_semi"
+    )
+    texts = pilot.full_texts(meta, docs)
+    incidents = pilot.incidents_with_texts(seeds, texts)
     roles = t.incident_roles.join(
         incidents.select("incident_id"), "incident_id", "left_semi"
     )
@@ -72,6 +76,50 @@ def test_batch_replay_idempotent(spark, corpus_dir, tmp_path, batch_full_triples
         )
         q.awaitTermination(120)
     assert _triples(ingest.read_streamed_triples(spark, out)) == batch_full_triples
+
+
+def test_multi_batch_parity(spark, corpus_dir, tmp_path, batch_full_triples):
+    """Conversations split ACROSS micro-batches (maxFilesPerTrigger=1, one
+    file per conv-index suffix) — in particular the duplicate-content pair
+    (i%20==3, '-0'/'-1' convs of the same incident+lang) arrives in
+    different batches. The per-batch A2 dedup cannot see the pair; the
+    global dedup in read_streamed_triples must reconcile it so streamed
+    output still equals the batch output."""
+    t = CorpusTables(spark, corpus_dir)
+    stream_in = str(tmp_path / "in")
+    os.makedirs(stream_in)
+    tr = spark.read.parquet(f"{corpus_dir}/transcripts.parquet")
+    for suffix in ("0", "1"):
+        (
+            tr.filter(F.col("conv_id").endswith(f"-{suffix}"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp_path / f"split{suffix}"))
+        )
+        part = [
+            f for f in os.listdir(str(tmp_path / f"split{suffix}"))
+            if f.endswith(".parquet")
+        ][0]
+        shutil.copy(
+            str(tmp_path / f"split{suffix}" / part),
+            os.path.join(stream_in, f"batchfile_{suffix}.parquet"),
+        )
+
+    out = str(tmp_path / "out")
+    q = ingest.incremental_triples(
+        ingest.stream_transcripts(spark, stream_in, max_files_per_trigger=1),
+        t, out, str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    # really ran as 2+ micro-batches
+    batch_dirs = {d for d in os.listdir(out) if d.startswith("batch_id=")}
+    assert len(batch_dirs) >= 2, batch_dirs
+    got = _triples(ingest.read_streamed_triples(spark, out))
+    assert got == batch_full_triples, (
+        list(got - batch_full_triples)[:4],
+        list(batch_full_triples - got)[:4],
+    )
 
 
 def test_conversation_progress_stateful(spark, corpus_dir, tmp_path):
