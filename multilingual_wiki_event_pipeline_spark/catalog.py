@@ -279,6 +279,73 @@ def a3_collection_stats(spark, sf_dir):
     )
 
 
+def a3_full_stats(spark, sf_dir):
+    """A3 proper (classes.py:27-125 compute_stats): the ~15-field stats
+    battery over a collection — counts, language-set distribution, per-group
+    size distribution, top-10 value distribution, all-info count, and the
+    scipy-describe moment block — as relational aggregations ending in ONE
+    row (each distribution is a two-level agg packed to a sorted csv; the
+    1-row frames cross-join for free). incidents := sources, reference
+    texts := documents. The engine-output analog with oracle-checked parity
+    lives in operators/analyze.py."""
+    d = _t(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.array_join(F.sort_array(F.collect_set("lang")), ",").alias("langset"),
+        F.size(F.collect_set("lang")).alias("n_langs"),
+    )
+
+    def dist_csv(counts, key, alias, top=None):
+        if top is not None:
+            counts = counts.orderBy(F.desc("cnt"), F.asc(key)).limit(top)
+        return counts.agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("cnt")).alias("nc"),
+                                F.col(key).cast("string").alias("k"),
+                                F.col("cnt").alias("c"),
+                            )
+                        )
+                    ),
+                    lambda s: F.concat(s["k"], F.lit("="), s["c"].cast("string")),
+                ),
+                "|",
+            ).alias(alias)
+        )
+
+    base = d.agg(
+        F.countDistinct("source").alias("num_incidents"),
+        F.count("*").alias("num_texts"),
+        F.sum(F.when(F.col("n_chars") > 0, 1).otherwise(0)).alias("num_with_content"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.round(F.var_samp("n_chars"), 6).alias("var_chars"),
+        F.round(F.skewness("n_chars"), 6).alias("skew_chars"),
+        F.round(F.kurtosis("n_chars"), 6).alias("kurt_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    langset_dist = dist_csv(
+        per_src.groupBy("langset").agg(F.count("*").alias("cnt")),
+        "langset", "langset_dist",
+    )
+    numwiki_dist = dist_csv(
+        per_src.groupBy("n_docs").agg(F.count("*").alias("cnt")),
+        "n_docs", "numwiki_dist",
+    )
+    top_langs = dist_csv(
+        d.groupBy("lang").agg(F.count("*").alias("cnt")), "lang",
+        "top_langs", top=10,
+    )
+    all_info = per_src.agg(
+        F.sum(F.when(F.col("n_langs") >= 5, 1).otherwise(0)).alias("all_info")
+    )
+    return base.crossJoin(langset_dist).crossJoin(numwiki_dist) \
+        .crossJoin(top_langs).crossJoin(all_info)
+
+
 def e2_set_difference(spark, sf_dir):
     """E2 (old_scripts/extract.py:19): target-langs minus found langs."""
     target = F.array(*[F.lit(x) for x in ["de", "en", "es", "fr", "zh"]])
@@ -883,7 +950,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         f3_language_completeness, j1_outer_merge, j2_dimension_join,
         j7_interval_containment, j10_transitive_closure, j10_incident_ancestors,
         w1_stable_ordering,
-        w5_sessionize, o3_top_types, a3_collection_stats, e2_set_difference,
+        w5_sessionize, o3_top_types, a3_collection_stats, a3_full_stats,
+        e2_set_difference,
         p4_gyear_rule, p1_scalar_chain, c12_json_extract, k4_inverted_index,
         f1_first_section, f4_role_set_equality, f8_surviving_orders,
         o2_deterministic_limit, p3_uri_label_pack, p5_dct_coalesce,

@@ -98,6 +98,8 @@ class OracleOutputs:
     # incident_ancestors: update_incident (utils.py:555-569) —
     # set of (incident_id, ancestor) over root->direct-type path nodes
     incident_ancestors: set[tuple] = field(default_factory=set)
+    # collection_stats: A3 battery (classes.py:27-125) — field name -> value
+    collection_stats: dict = field(default_factory=dict)
 
 
 def _load(corpus: Corpus | str) -> dict[str, list[dict]]:
@@ -366,7 +368,71 @@ def run(
         gazetteer_links=gaz_links_out,
         type_index=type_index_out,
         incident_ancestors=incident_ancestors_out,
+        collection_stats=_collection_stats(pilots),
     )
+
+
+def _dist_csv_py(counter: dict, top: int | None = None) -> str:
+    items = sorted(counter.items(), key=lambda kv: (-kv[1], str(kv[0])))
+    if top is not None:
+        items = items[:top]
+    return "|".join(f"{k}={v}" for k, v in items)
+
+
+def _collection_stats(pilots: list[Incident]) -> dict:
+    """compute_stats (classes.py:27-125) over the pilot collection.
+    Distribution ties break (count desc, key asc) — deterministic stand-in
+    for Counter.most_common insertion order (documented deviation,
+    matched by operators/analyze.py)."""
+    from collections import Counter
+
+    texts = [(rt, inc) for inc in pilots for rt in inc.reference_texts]
+    n_prim = [len(rt.primary_ref_texts) for rt, _ in texts]
+    n = len(n_prim)
+    mu = sum(n_prim) / n
+    m2 = sum((x - mu) ** 2 for x in n_prim) / n
+    m3 = sum((x - mu) ** 3 for x in n_prim) / n
+    m4 = sum((x - mu) ** 4 for x in n_prim) / n
+    stats = {
+        "num_incidents": len(pilots),
+        "num_texts": n,
+        "num_with_wikipedia": sum(1 for rt, _ in texts if rt.content),
+        "num_with_prim_rt": sum(1 for x in n_prim if x > 0),
+        "num_with_annotations": sum(1 for rt, _ in texts if rt.annotations),
+        "prim_mean": round(mu, 6),
+        "prim_var": round(sum((x - mu) ** 2 for x in n_prim) / (n - 1), 6),
+        "prim_skew": round(m3 / m2 ** 1.5, 6),
+        "prim_kurt": round(m4 / m2 ** 2 - 3, 6),
+        "prim_min": min(n_prim),
+        "prim_max": max(n_prim),
+        "cntr_prim_rt": _dist_csv_py(Counter(n_prim)),
+        "langset_dist": _dist_csv_py(Counter(
+            ",".join(sorted({rt.language for rt in inc.reference_texts}))
+            for inc in pilots
+        )),
+        "numwiki_dist": _dist_csv_py(Counter(
+            len(inc.reference_texts) for inc in pilots
+        )),
+        "countries_top10": _dist_csv_py(Counter(
+            v for inc in pilots
+            for v in inc.extra_info.get("sem:hasPlace", set())
+        ), top=10),
+        "direct_types_top10": _dist_csv_py(Counter(
+            dt for inc in pilots for dt in inc.direct_types
+        ), top=10),
+        "count_occurences": _dist_csv_py(Counter(
+            role for inc in pilots for role in inc.extra_info
+        )),
+        "count_values": _dist_csv_py({
+            role: sum(
+                len(inc.extra_info[role]) for inc in pilots
+                if role in inc.extra_info
+            )
+            for role in {r for inc in pilots for r in inc.extra_info}
+        }),
+        "all_info": len(pilots),
+    }
+    return stats
 
 
 def _gazetteer_links(rt: RefText, gaz_cands, wd_uris_of_inc,

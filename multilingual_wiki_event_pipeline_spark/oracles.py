@@ -201,6 +201,55 @@ ORACLES: dict[str, str] = {
                strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship
         FROM lineitem GROUP BY l_returnflag
     """,
+    "a3_full_stats": """
+        WITH per_src AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 array_to_string(list_sort(list(DISTINCT lang)), ',') AS langset,
+                 COUNT(DISTINCT lang) AS n_langs
+          FROM documents GROUP BY source),
+        m AS (
+          SELECT COUNT(DISTINCT source) AS num_incidents,
+                 COUNT(*) AS num_texts,
+                 CAST(SUM(CASE WHEN n_chars > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS num_with_content,
+                 ROUND(AVG(n_chars), 6) AS mean_chars,
+                 ROUND(VAR_SAMP(n_chars), 6) AS var_chars,
+                 AVG(n_chars) AS mu, COUNT(*) AS n,
+                 SUM(CAST(n_chars AS DOUBLE) * n_chars) AS s2,
+                 SUM(CAST(n_chars AS DOUBLE) * n_chars * n_chars) AS s3,
+                 SUM(CAST(n_chars AS DOUBLE) * n_chars * n_chars * n_chars) AS s4,
+                 SUM(CAST(n_chars AS DOUBLE)) AS s1,
+                 MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+          FROM documents),
+        base AS (
+          SELECT num_incidents, num_texts, num_with_content, mean_chars,
+                 var_chars,
+                 ROUND(((s3 - 3 * mu * s2 + 3 * mu * mu * s1 - n * mu * mu * mu) / n)
+                       / POW((s2 - n * mu * mu) / n, 1.5), 6) AS skew_chars,
+                 ROUND(((s4 - 4 * mu * s3 + 6 * mu * mu * s2
+                          - 4 * mu * mu * mu * s1 + n * mu * mu * mu * mu) / n)
+                       / POW((s2 - n * mu * mu) / n, 2) - 3, 6) AS kurt_chars,
+                 min_chars, max_chars
+          FROM m),
+        langset_dist AS (
+          SELECT string_agg(langset || '=' || CAST(cnt AS VARCHAR), '|'
+                            ORDER BY cnt DESC, langset) AS langset_dist
+          FROM (SELECT langset, COUNT(*) AS cnt FROM per_src GROUP BY langset)),
+        numwiki_dist AS (
+          SELECT string_agg(CAST(n_docs AS VARCHAR) || '=' || CAST(cnt AS VARCHAR),
+                            '|' ORDER BY cnt DESC, CAST(n_docs AS VARCHAR))
+                 AS numwiki_dist
+          FROM (SELECT n_docs, COUNT(*) AS cnt FROM per_src GROUP BY n_docs)),
+        top_langs AS (
+          SELECT string_agg(lang || '=' || CAST(cnt AS VARCHAR), '|'
+                            ORDER BY cnt DESC, lang) AS top_langs
+          FROM (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+                ORDER BY cnt DESC, lang LIMIT 10)),
+        all_info AS (
+          SELECT CAST(SUM(CASE WHEN n_langs >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS all_info FROM per_src)
+        SELECT * FROM base, langset_dist, numwiki_dist, top_langs, all_info
+    """,
     "e2_set_difference": """
         SELECT source,
                COALESCE(array_to_string(

@@ -1,0 +1,34 @@
+"""A3 stats battery (classes.py:27-125 compute_stats) over the engine's own
+pilot outputs must match the oracle's Python-computed figures."""
+
+from __future__ import annotations
+
+import pytest
+
+from multilingual_wiki_event_pipeline_spark import oracle
+from multilingual_wiki_event_pipeline_spark.operators import analyze
+from multilingual_wiki_event_pipeline_spark.plans import pipeline
+from multilingual_wiki_event_pipeline_spark.sources.tables import CorpusTables
+
+FLOAT_FIELDS = {"prim_mean", "prim_var", "prim_skew", "prim_kurt"}
+
+
+def test_collection_stats_battery(spark, corpus_dir, corpus):
+    t = CorpusTables(spark, corpus_dir)
+    o = pipeline.build(t, cache_intermediates=True)
+    row = analyze.collection_stats(
+        o.pilot_incidents, o.pilot_texts, t.conv_sources, t.annotations,
+        o.pilot_roles, t.incident_direct_types,
+    ).collect()
+    assert len(row) == 1
+    got = row[0].asDict()
+    want = oracle.run(corpus).collection_stats
+    assert set(got) == set(want)
+    for k, v in want.items():
+        if k in FLOAT_FIELDS:
+            assert got[k] == pytest.approx(v, abs=2e-6), k
+        else:
+            assert got[k] == v, (k, got[k], v)
+    # non-vacuous: distributions have entries, moments are finite
+    assert "=" in got["langset_dist"] and "=" in got["direct_types_top10"]
+    assert got["num_incidents"] > 0 and got["prim_var"] is not None
