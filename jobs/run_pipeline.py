@@ -38,6 +38,8 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--languages", default="en,nl,it")
     ap.add_argument("--max-pilot-incidents", type=int, default=None)
     ap.add_argument("--salt-buckets", type=int, default=64)
+    ap.add_argument("--seed-mode", default="by_incident",
+                    choices=["by_incident", "by_participant"])
     args = ap.parse_args(argv)
 
     # imports AFTER spark-submit has the --py-files zip on sys.path
@@ -46,6 +48,8 @@ def main(argv: list[str]) -> None:
     from multilingual_wiki_event_pipeline_spark.plans import pipeline
     from multilingual_wiki_event_pipeline_spark.sinks import (
         CheckpointStore,
+        layer_row_counts,
+        write_layer_union,
         write_triples,
     )
     from multilingual_wiki_event_pipeline_spark.sources.tables import CorpusTables
@@ -63,6 +67,7 @@ def main(argv: list[str]) -> None:
             catalog=args.catalog,
             languages=args.languages,
             max_pilot_incidents=args.max_pilot_incidents,
+            seed_mode=args.seed_mode,
         ),
     )
 
@@ -71,9 +76,24 @@ def main(argv: list[str]) -> None:
         target_languages=args.languages.split(","),
         max_pilot_incidents=args.max_pilot_incidents,
         store=store,
+        seed_mode=args.seed_mode,
     )
     write_triples(o.full_triples, f"{args.output}/full", n_buckets=args.salt_buckets)
     write_triples(o.pilot_triples, f"{args.output}/pilot", n_buckets=args.salt_buckets)
+    # NAF-side + analysis layers fold into ONE tagged write job (one
+    # Catalyst analysis / schedule / commit instead of six) — per-layer row
+    # counts come from the lineage footers, zero extra jobs.
+    layers = {
+        "mentions": o.mentions,
+        "corefs": o.corefs,
+        "srl_links": o.srl_links,
+        "gazetteer_links": o.gazetteer_links,
+        "type_index": o.type_index,
+        "incident_ancestors": o.incident_ancestors,
+    }
+    write_layer_union(store, layers, "out_layers")
+    for layer, n in layer_row_counts(store, "out_layers").items():
+        store.add_counter("sink", layer, n)
     store.add_counter("sink", "full_triples", o.full_triples.count())
     store.add_counter("sink", "pilot_triples", o.pilot_triples.count())
 

@@ -232,6 +232,61 @@ class CheckpointStore:
             shutil.rmtree(p)
 
 
+def write_layer_union(store: CheckpointStore, layers: dict[str, DataFrame],
+                      stage: str) -> DataFrame:
+    """Fold independent output layers into ONE tagged write job.
+
+    Every extra Spark action pays a serial floor (Catalyst analysis, job
+    schedule, commit, broadcast rebuild) that does not shrink with cores —
+    N output layers written as N jobs puts N floors on the critical path.
+    Here each layer is projected to (layer, payload-json) — ``to_json`` is
+    JVM-side codegen — unioned, and written once, partitioned by layer, so
+    the whole output block is a single job with a single floor. Per-layer
+    row counts come for free from the parquet footers via
+    ``layer_row_counts`` (the partition dirs carry ``layer=`` paths).
+
+    Readers: ``spark.read.parquet(path)`` then ``from_json(payload,
+    schema)`` per layer — or keep consuming the per-layer DataFrames
+    directly; this sink is for the fan-out-heavy end of a run.
+    """
+    parts = [
+        df.select(
+            F.lit(name).alias("layer"),
+            F.to_json(F.struct(*df.columns)).alias("payload"),
+        )
+        for name, df in layers.items()
+    ]
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    return store.materialize(union, stage, partition_by=("layer",))
+
+
+def layer_row_counts(store: CheckpointStore, stage: str) -> dict[str, int]:
+    """Per-layer row counts of a write_layer_union stage, from the recorded
+    lineage (partition-dir names carry layer=<name>; no Spark job)."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(store.root, "_lineage")
+    best_ts: float = -1.0
+    best: dict[str, int] = {}
+    for fn in os.listdir(d):
+        t = pq.read_table(os.path.join(d, fn), columns=["stage", "file", "n_rows", "ts"])
+        counts, ts = {}, -1.0
+        for s, f, n, row_ts in zip(
+            t["stage"].to_pylist(), t["file"].to_pylist(),
+            t["n_rows"].to_pylist(), t["ts"].to_pylist(),
+        ):
+            if s != stage or "layer=" not in f:
+                continue
+            layer = f.split("layer=")[1].split(os.sep)[0]
+            counts[layer] = counts.get(layer, 0) + n
+            ts = max(ts, row_ts)
+        if ts > best_ts:
+            best_ts, best = ts, counts
+    return best
+
+
 # -- final triple sink (K3) ---------------------------------------------------
 
 DEFAULT_SALT_BUCKETS = 64

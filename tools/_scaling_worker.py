@@ -54,29 +54,26 @@ def main() -> None:
         store = CheckpointStore(spark, ckpt)
         o = pipeline.build(t, store=store)
         # materialize every pipeline output (the real workload is writes,
-        # not driver-side counts); row counts come from the recorded
-        # lineage footers afterwards — zero extra jobs. The five outputs are
-        # independent — submit them as CONCURRENT Spark jobs so their
-        # per-job serial floors (schedule, commit, broadcast build) overlap.
-        from concurrent.futures import ThreadPoolExecutor
+        # not driver-side counts). The five outputs fold into ONE tagged
+        # write job (sinks.write_layer_union): one Catalyst analysis, one
+        # job schedule, one commit — instead of five serial floors that
+        # do not shrink with cores. Row counts come from the recorded
+        # lineage footers afterwards — zero extra jobs.
+        from multilingual_wiki_event_pipeline_spark.sinks import (
+            layer_row_counts,
+            write_layer_union,
+        )
 
         outs = {
-            "out_mentions": o.mentions,
-            "out_full_triples": o.full_triples,
-            "out_pilot_triples": o.pilot_triples,
-            "out_corefs": o.corefs,
-            "out_srl_links": o.srl_links,
+            "mentions": o.mentions,
+            "full_triples": o.full_triples,
+            "pilot_triples": o.pilot_triples,
+            "corefs": o.corefs,
+            "srl_links": o.srl_links,
         }
-        with ThreadPoolExecutor(max_workers=len(outs)) as ex:
-            list(ex.map(lambda kv: store.materialize(kv[1], kv[0]), outs.items()))
+        write_layer_union(store, outs, "out_layers")
         wall = time.perf_counter() - t0
-        counts = {
-            "full_triples": store.stage_row_count("out_full_triples"),
-            "pilot_triples": store.stage_row_count("out_pilot_triples"),
-            "mentions": store.stage_row_count("out_mentions"),
-            "corefs": store.stage_row_count("out_corefs"),
-            "srl_links": store.stage_row_count("out_srl_links"),
-        }
+        counts = layer_row_counts(store, "out_layers")
         import pyarrow.parquet as pq
 
         stage_wall: dict[str, float] = {}
