@@ -45,6 +45,9 @@ HEADLINE = [
     "lang_id_profile",         # n-gram language ID
     "quality_score",           # text quality metrics
     "fingerprint",             # rolling-hash fingerprint
+    "mention_link_rank",       # gazetteer detection + ranked linking (r2)
+    "canonicalize_components", # minhash-candidate CC canonicalization (r2)
+    "j10_incident_ancestors",  # ontology closure + ancestor expansion (r2)
 ]
 
 # KG-pipeline corpus size per sf of the operator tables (sf0.1 ~ 600k

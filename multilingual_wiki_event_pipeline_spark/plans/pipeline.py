@@ -1,13 +1,17 @@
 """End-to-end KG-construction pipeline (reference main.py:241-505 lifecycle,
 SURVEY §3.1, re-expressed as one lazy DataFrame DAG):
 
+  incidents --S1/S2 seed scan (by_incident | by_participant)
+       |
   transcripts --assemble--> docs --F8+A2--> full texts --serialize--> full triples
        |                                        |
        |                               F4..F3 pilot filters
        |                                        |
   annotations ----align (Arrow kernel)----> mentions --J3/J5--> linked mentions
-                                                |                   |
-                                   srl spans --J7--> srl links   A7 corefs
+       |                                        |                   |
+  gazetteer --detect+rank--> gazetteer links   srl --J7--> srl links | A7 corefs
+       |                                        |
+  ontology_edges --closure--> incident ancestors + A5 type index
                                                 |
                                  label backfill + serialize --> pilot triples
 

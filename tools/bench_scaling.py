@@ -52,16 +52,25 @@ def main() -> None:
     ap.add_argument("n_incidents", nargs="?", type=int, default=1200)
     ap.add_argument("--levels", default="8,32")
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--corpus-dir", default=None,
+                    help="reuse a pre-generated corpus (kept afterwards); "
+                         "generated there if the dir has no transcripts yet")
     args = ap.parse_args()
     n_incidents = args.n_incidents
     global LEVELS
     LEVELS = tuple(int(x) for x in args.levels.split(","))
-    corpus_dir = tempfile.mkdtemp(prefix="mwep_scaling_corpus_", dir="/dev/shm")
+    keep = args.corpus_dir is not None
+    corpus_dir = args.corpus_dir or tempfile.mkdtemp(
+        prefix="mwep_scaling_corpus_", dir="/dev/shm"
+    )
     try:
-        datagen.generate_to_dir(corpus_dir, n_incidents=n_incidents, seed=42)
+        if not os.path.exists(os.path.join(corpus_dir, "transcripts.parquet")):
+            os.makedirs(corpus_dir, exist_ok=True)
+            datagen.generate_to_dir(corpus_dir, n_incidents=n_incidents, seed=42)
         results = {c: run_level(c, corpus_dir, args.reps) for c in LEVELS}
     finally:
-        shutil.rmtree(corpus_dir, ignore_errors=True)
+        if not keep:
+            shutil.rmtree(corpus_dir, ignore_errors=True)
 
     lo, hi = results[LEVELS[0]], results[LEVELS[1]]
     ratio = hi["turns_per_sec"] / lo["turns_per_sec"]
