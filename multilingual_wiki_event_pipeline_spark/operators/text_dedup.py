@@ -42,6 +42,30 @@ def doc_tokens(documents: DataFrame, with_lang: bool = True) -> DataFrame:
     )
 
 
+def doc_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document — the MinHash representation.
+
+    1-gram token sets stop discriminating on small vocabularies (every
+    document shares most tokens, so LSH buckets collapse and candidate
+    counts approach O(n²)); word k-shingles are the standard fix (MMDS
+    ch.3). Documents shorter than k tokens contribute their whole text as
+    one shingle. Map-side only: array ops on the split column, one explode.
+    """
+    arr = F.filter(F.split("text", " "), lambda x: x != "")
+    shingles = F.when(
+        F.size(arr) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - k + 1),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", arr)))
+    return (
+        documents.select("doc_id", F.explode(shingles).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+
+
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Exact dedup: group by content digest, keep min doc_id.
 
@@ -147,14 +171,16 @@ def jaccard_on_candidates(documents: DataFrame, candidates: DataFrame,
 def minhash_band_signatures(
     documents: DataFrame, n_hashes: int = 8, band_size: int = 2
 ) -> DataFrame:
-    """(doc_id, band, band_sig): LSH band signatures from salted-md5 minhash.
+    """(doc_id, band, band_sig): LSH band signatures from salted-md5 minhash
+    over 3-word shingles (doc_shingles — discriminative even on small
+    vocabularies, unlike 1-gram token sets).
 
-    sig_s(doc) = MIN over tokens of md5(s || ':' || token); band signature
-    joins its ``band_size`` row sigs in seed order. Scale: the explode by
-    n_hashes is map-side; the only shuffle is the (doc_id, seed) partial agg
-    (map-side combine makes it cheap).
+    sig_s(doc) = MIN over shingles of md5(s || ':' || shingle); band
+    signature joins its ``band_size`` row sigs in seed order. Scale: the
+    explode by n_hashes is map-side; the only shuffle is the
+    (doc_id, seed) partial agg (map-side combine makes it cheap).
     """
-    toks = doc_tokens(documents, with_lang=False)
+    toks = doc_shingles(documents)
     sig = (
         toks.select(
             "doc_id",

@@ -26,14 +26,24 @@ doc_tokens AS (
 """
 
 _MINHASH_BANDS = """
-doc_tokens AS (
+sh_lists AS (
+  SELECT doc_id,
+         CASE WHEN len(arr) >= 3
+              THEN list_transform(range(1, len(arr) - 1),
+                                  i -> array_to_string(arr[i:i+2], ' '))
+              ELSE [array_to_string(arr, ' ')] END AS sh
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS arr
+        FROM documents)
+),
+doc_shingles AS (
   SELECT DISTINCT doc_id, token FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    SELECT doc_id, unnest(sh) AS token FROM sh_lists
   ) WHERE token <> ''
 ),
 sig AS (
   SELECT doc_id, s.seed, MIN(md5(concat(CAST(s.seed AS VARCHAR), ':', token))) AS mh
-  FROM doc_tokens CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+  FROM doc_shingles CROSS JOIN (SELECT unnest(range(8)) AS seed) s
   GROUP BY doc_id, s.seed
 ),
 bands AS (
