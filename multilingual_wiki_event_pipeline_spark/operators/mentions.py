@@ -23,7 +23,7 @@ import urllib.parse
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import offset_alignment_maps, tokenize
@@ -102,6 +102,124 @@ def align_mentions(texts: DataFrame, annotations: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return joined.mapInPandas(kernel, MENTIONS_SCHEMA)
+
+
+def align_mentions_relational(texts: DataFrame, annotations: DataFrame,
+                              tokens: DataFrame) -> DataFrame:
+    """J6 relational twin of ``align_mentions``: char-offset -> token-id
+    alignment as two equi-joins against the token table instead of a
+    per-document Python kernel.
+
+    Exact reference semantics preserved (byte-identical to the kernel,
+    enforced by the parity suite):
+
+    - last-annotation-per-span: the kernel sorts annotations by
+      (offset, surface_form, uri) and dict-overwrites per (start, end) —
+      relationally a row_number() keeping the MAX (surface_form, uri) per
+      span (pilot_utils.py:233-253 dict semantics).
+    - eid numbering: dict insertion order = each span's FIRST occurrence
+      in the sorted list = its MIN (surface_form, uri) struct; eids are
+      assigned after the F10 alignment filter, so misaligned mentions do
+      not consume ids — a row_number() over (offset, first-struct) on the
+      surviving rows.
+    - F10: a span survives iff some token starts at its start offset AND
+      some token ends at its end offset — the two equi-joins.
+    - percent-decoding runs on the DISTINCT (lang, uri) DIMENSION through
+      an Arrow-batched pandas UDF (urllib.parse.unquote exactly), never on
+      the fact table.
+
+    Scale: the Python tokenizer runs once (token_table, which the NAF
+    layers need anyway); everything else is JVM joins that scale with
+    shuffle parallelism — this replaces the alignment kernel whose
+    per-document Python cost was the one non-scaling stage at 2x corpus
+    (BENCH/BASELINE.md "Known next lever").
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ann = (
+        annotations.join(texts.select("conv_id", "lang"), "conv_id")
+        .select(
+            "conv_id", "lang", "offset", "surface_form", "uri",
+            (F.col("offset") + F.length("surface_form")).alias("end_off"),
+        )
+    )
+    w_span = Window.partitionBy("conv_id", "offset", "end_off").orderBy(
+        F.desc("surface_form"), F.desc("uri")
+    )
+    spans = (
+        ann.withColumn("__rn", F.row_number().over(w_span))
+        .withColumn(
+            "__first",
+            F.min(F.struct("surface_form", "uri")).over(
+                Window.partitionBy("conv_id", "offset", "end_off")
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    b = tokens.select(
+        F.col("conv_id").alias("b_conv"),
+        F.col("offset").alias("b_off"),
+        F.col("tid").alias("begin_tid"),
+    )
+    e = tokens.select(
+        F.col("conv_id").alias("e_conv"),
+        (F.col("offset") + F.col("length")).alias("e_off"),
+        F.col("tid").alias("end_tid"),
+    )
+    # fact-to-fact joins: force sort-merge — Catalyst's size estimate for
+    # the windowed annotation side is unreliable (measured: it broadcast a
+    # ~1 GB spans side at the 15M-turn corpus and blew past
+    # spark.driver.maxResultSize). Both sides scale with the corpus, so a
+    # broadcast is never the right plan here; SMJ shuffles on the join key
+    # and survives any scale.
+    aligned = (
+        spans.join(
+            b.hint("merge"),
+            (F.col("conv_id") == F.col("b_conv"))
+            & (F.col("offset") == F.col("b_off")),
+        )
+        .drop("b_conv", "b_off")
+        .join(
+            e.hint("merge"),
+            (F.col("conv_id") == F.col("e_conv"))
+            & (F.col("end_off") == F.col("e_off")),
+        )
+        .drop("e_conv", "e_off")
+    )
+
+    def _unq(s):
+        from urllib.parse import unquote
+
+        return s.map(lambda x: unquote(x) if x is not None else None)
+
+    unquote_udf = pandas_udf(_unq, "string")
+    uri_dim = (
+        aligned.select("lang", "uri").distinct()
+        .withColumn(
+            "full_uri",
+            unquote_udf(
+                F.concat(
+                    F.lit("https://"), F.col("lang"),
+                    F.lit(".wikipedia.org/wiki/"), F.col("uri"),
+                )
+            ),
+        )
+    )
+    w_eid = Window.partitionBy("conv_id").orderBy(
+        "offset", F.col("__first.surface_form"), F.col("__first.uri")
+    )
+    # no broadcast hint on uri_dim: it scales with (entities + incidents) ×
+    # languages, so let AQE pick broadcast vs shuffle from its runtime size
+    return (
+        aligned.withColumn("eid", F.row_number().over(w_eid))
+        .join(uri_dim, ["lang", "uri"])
+        .select(
+            "conv_id", "eid", "begin_tid", "end_tid",
+            F.col("surface_form").alias("surface"),
+            F.col("full_uri").alias("uri"),
+        )
+    )
 
 
 def ext_ref_dim(mentions: DataFrame, texts: DataFrame,

@@ -157,9 +157,13 @@ def build(t: CorpusTables, target_languages: list[str] = None,
 
     # --- NAF-side layers ------------------------------------------------------
     tokens = M.token_table(p_texts)
-    # aligned feeds both the linking chain and the SRL join — cache it so the
-    # Arrow alignment kernel runs once per session (production: stage
-    # materialization via sinks.py).
+    # aligned feeds both the linking chain and the SRL join — materialized so
+    # the alignment runs once. The per-document Arrow kernel is the measured
+    # winner for the hot path: its J6 relational twin
+    # (align_mentions_relational, kept + equality-tested) replaces one
+    # grouped Arrow pass with two sorts/shuffles of the tokens table
+    # (~10 rows per turn) and measured >10x slower at the 15M-turn corpus —
+    # see BENCH/BASELINE.md "alignment path note".
     aligned = maybe_cache(M.align_mentions(p_texts, t.annotations),
                           "s03_aligned_mentions")
     uri_to_rels, inc_to_wd = M.structured_data_uris(incidents_full, roles_full)

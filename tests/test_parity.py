@@ -56,6 +56,31 @@ def test_pilot_incident_set(outputs, expected):
     assert got == set(expected.pilot_incident_ids)
 
 
+def test_alignment_relational_equals_kernel(spark, corpus_dir, outputs):
+    """The J6 relational alignment (pipeline hot path) and the per-doc
+    Arrow kernel are the same function — row-for-row."""
+    from multilingual_wiki_event_pipeline_spark.operators import mentions as M
+    from multilingual_wiki_event_pipeline_spark.sources.tables import CorpusTables
+
+    t = CorpusTables(spark, corpus_dir)
+    cols = ("conv_id", "eid", "begin_tid", "end_tid", "surface", "uri")
+    kernel = {
+        tuple(getattr(r, c) for c in cols)
+        for r in M.align_mentions(outputs.pilot_texts, t.annotations).collect()
+    }
+    relational = {
+        tuple(getattr(r, c) for c in cols)
+        for r in M.align_mentions_relational(
+            outputs.pilot_texts, t.annotations,
+            M.token_table(outputs.pilot_texts),
+        ).collect()
+    }
+    assert relational == kernel, (
+        list(relational - kernel)[:3], list(kernel - relational)[:3]
+    )
+    assert len(kernel) > 100
+
+
 def test_mentions(outputs, expected):
     got = {
         (r.conv_id, r.eid, r.begin_tid, r.end_tid, r.surface, frozenset(r.ext_refs))

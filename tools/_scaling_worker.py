@@ -26,6 +26,12 @@ from multilingual_wiki_event_pipeline_spark.sources.tables import CorpusTables  
 def main() -> None:
     cpus = int(sys.argv[1])
     corpus_dir = sys.argv[2]
+    # one JVM hosts every "executor" thread in local mode: size the heap
+    # like a real executor fleet would be sized (the 8g default starves 32
+    # threads of storage memory — task result blocks get evicted =>
+    # TaskResultLost — once the relational alignment's token-table shuffle
+    # is in the plan). Overridable via SPARK_DRIVER_MEM.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     # tmpfs for shuffle + checkpoint store: the sandbox has ONE ~76 MB/s
     # sys-CPU-bound block device, a resource that on a real cluster scales
     # with the executor count (HDFS/S3/local NVMe per node). Leaving it in
