@@ -58,11 +58,16 @@ def main(argv: list[str]) -> None:
     t = CorpusTables(spark, args.input, catalog=args.catalog)
     # resume is keyed by the run manifest: same --checkpoint with different
     # --input/--languages/--max-pilot-incidents invalidates stale boundaries
-    # instead of silently serving them.
+    # instead of silently serving them. The package version is part of the
+    # fingerprint so a code upgrade also invalidates (bump __version__ when
+    # operator semantics change).
+    import multilingual_wiki_event_pipeline_spark as pkg
+
     store = CheckpointStore(
         spark,
         args.checkpoint,
         fingerprint=CheckpointStore.params_fingerprint(
+            code_version=pkg.__version__,
             input=args.input,
             catalog=args.catalog,
             languages=args.languages,

@@ -8,4 +8,4 @@ multi-executor cluster over Iceberg/Parquet tables of conversation
 transcripts at 10^12-turn scale.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"

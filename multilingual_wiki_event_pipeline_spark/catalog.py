@@ -171,7 +171,9 @@ def j10_transitive_closure(spark, sf_dir):
     anc = edges.select(
         F.col("child").alias("node"), F.col("parent").alias("ancestor")
     ).distinct()
-    check_every, prev_count = 3, anc.count()
+    # -1 sentinel avoids the pre-loop count job; the first checkpointed
+    # count can never equal it.
+    check_every, prev_count = 3, -1
     for i in range(20):  # bound = max ontology depth
         anc = (
             anc.join(edges, anc.ancestor == edges.child)
@@ -342,8 +344,23 @@ def a3_full_stats(spark, sf_dir):
     all_info = per_src.agg(
         F.sum(F.when(F.col("n_langs") >= 5, 1).otherwise(0)).alias("all_info")
     )
+    # found_by provenance distribution (classes.py:82,125): the driver table
+    # has no provenance column, so it is derived deterministically from
+    # doc_id (mirrored in the DuckDB oracle) — the engine-corpus battery in
+    # operators/analyze.py reads a real found_by array<string> instead.
+    fb = d.withColumn(
+        "found_by",
+        F.element_at(
+            F.array(F.lit("SPARQL"), F.lit("SPARQL|API"), F.lit("API")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+    )
+    found_by_dist = dist_csv(
+        fb.groupBy("found_by").agg(F.count("*").alias("cnt")),
+        "found_by", "found_by_dist",
+    )
     return base.crossJoin(langset_dist).crossJoin(numwiki_dist) \
-        .crossJoin(top_langs).crossJoin(all_info)
+        .crossJoin(top_langs).crossJoin(found_by_dist).crossJoin(all_info)
 
 
 def e2_set_difference(spark, sf_dir):
@@ -362,36 +379,22 @@ def e2_set_difference(spark, sf_dir):
     )
 
 
-def p4_gyear_rule(spark, sf_dir):
-    """P4 (classes.py:251-255): the gYear/date literal datatype rule."""
-    o = _t(spark, sf_dir, "orders")
-    g = _is_gyear(F.col("o_orderdate"))
-    return o.select(
-        "o_orderkey",
-        F.when(g, F.date_format("o_orderdate", "yyyy"))
-        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
-        .alias("obj"),
-        F.when(g, "xsd:gYear").otherwise("xsd:date").alias("datatype"),
-    )
-
-
 def p1_scalar_chain(spark, sf_dir):
-    """P1/C1-C10: URI/id scalar projections (regexp_replace, split[-1],
-    substring_index, trim/upper) — all codegen'd, no UDF."""
+    """P1/P3/C1-C10: URI/id scalar projections (regexp_replace, split[-1],
+    substring_index, trim/upper) plus the P3 'uri | label' pack/unpack
+    (utils.py:294-297, classes.py:247) — all codegen'd, no UDF. (The former
+    p3_uri_label_pack entry is folded in here; P4's gYear/date literal rule
+    lives in triples_events — round-3 catalog trim to fit the driver's
+    50-row correctness window.)"""
+    packed = F.concat_ws(" | ", F.col("p_brand"), F.col("p_name"))
     return _t(spark, sf_dir, "part").select(
         "p_partkey",
         F.regexp_replace("p_brand", "Brand#", "b:").alias("brand_id"),
         F.element_at(F.split("p_type", " "), -1).alias("type_last"),
         F.substring_index("p_name", " ", 1).alias("name_first"),
         F.upper(F.trim(F.col("p_brand"))).alias("brand_uc"),
-    )
-
-
-def c12_json_extract(spark, sf_dir):
-    """C12 (wikipedia_utils.py:94): JSON field extraction with cast."""
-    return _t(spark, sf_dir, "events").select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        packed.alias("packed"),
+        F.substring_index(packed, " | ", 1).alias("unpacked_uri"),
     )
 
 
@@ -544,27 +547,18 @@ def o2_deterministic_limit(spark, sf_dir):
     )
 
 
-def p3_uri_label_pack(spark, sf_dir):
-    """P3 (utils.py:294-297 / classes.py:247): 'uri | label' packing and
-    first-token unpacking, serialization-side only."""
-    p = _t(spark, sf_dir, "part")
-    packed = F.concat_ws(" | ", F.col("p_brand"), F.col("p_name"))
-    return p.select(
-        "p_partkey",
-        packed.alias("packed"),
-        F.substring_index(packed, " | ", 1).alias("unpacked_uri"),
-    )
-
-
 def p5_dct_coalesce(spark, sf_dir):
-    """P5/C14 (main.py:437-445): DCT selection — coalesce of an absent JSON
-    field with the formatted event time."""
+    """P5/C12/C14 (main.py:437-445 + wikipedia_utils.py:94): DCT selection —
+    coalesce of an absent JSON field with the formatted event time — plus
+    C12 JSON field extraction with cast (former c12_json_extract entry,
+    folded in by the round-3 catalog trim)."""
     return _t(spark, sf_dir, "events").select(
         "event_id",
         F.coalesce(
             F.get_json_object("props", "$.missing"),
             F.date_format("ts", "yyyy-MM-dd"),
         ).alias("dct"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
     )
 
 
@@ -611,30 +605,6 @@ def j8_semi_join(spark, sf_dir):
     )
 
 
-def a4_label_freq(spark, sf_dir):
-    """A4 (xml_utils.py:218-233): frequency of attribute combinations —
-    groupBy(concat_ws('---', ...)).count()."""
-    return (
-        _t(spark, sf_dir, "documents")
-        .groupBy(F.concat_ws("---", "lang", "source").alias("label"))
-        .agg(F.count("*").alias("freq"))
-    )
-
-
-def a10_langset_distribution(spark, sf_dir):
-    """A10 (classes.py:84-88): distribution of sorted language sets —
-    two-level aggregation."""
-    return (
-        _t(spark, sf_dir, "documents")
-        .groupBy("source")
-        .agg(
-            F.array_join(F.sort_array(F.collect_set("lang")), ",").alias("langs_csv")
-        )
-        .groupBy("langs_csv")
-        .agg(F.count("*").alias("n_sources"))
-    )
-
-
 def w2_sequence_expand(spark, sf_dir):
     """W2 (xml_utils.py:261-274): inclusive id-range expansion —
     explode(sequence(begin, end)); checked against the closed form."""
@@ -643,18 +613,6 @@ def w2_sequence_expand(spark, sf_dir):
         .select("l_orderkey", F.explode(F.sequence(F.lit(1), "l_linenumber")).alias("tid"))
         .groupBy("l_orderkey")
         .agg(F.count("*").alias("n_expanded"))
-    )
-
-
-def o5_monthly_revenue(spark, sf_dir):
-    """O5/C8 (utils.py:586, pilot_utils.py:256-258): global frequency-ordered
-    aggregate with date formatting."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("month"))
-        .limit(12)
     )
 
 
@@ -718,16 +676,6 @@ def a9_crawl_status_tally(spark, sf_dir):
         f5f6f7_crawl_filters(spark, sf_dir)
         .groupBy("status")
         .agg(F.count("*").alias("n"))
-    )
-
-
-def u7_moment_stats(spark, sf_dir):
-    """U7 (classes.py:112, scipy describe): population-moment skewness and
-    kurtosis as built-in aggregates (Spark definitions; oracle recomputes
-    from raw moments)."""
-    return _t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
-        F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
-        F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
     )
 
 
@@ -811,10 +759,6 @@ def dedup_exact(spark, sf_dir):
     return text_dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
-def dedup_jaccard(spark, sf_dir):
-    return text_dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), 0.9)
-
-
 def dedup_minhash_sig(spark, sf_dir):
     return text_dedup.minhash_band_signatures(_t(spark, sf_dir, "documents"))
 
@@ -845,6 +789,17 @@ def ann_lsh_bucketed(spark, sf_dir):
     return similarity.lsh_bucketed_topk(
         _t(spark, sf_dir, "embeddings"), k=3, query_pred=F.col("query_id") < 50
     ).select("query_id", "neighbor_id", "bucket", "sim")
+
+
+def ann_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN (similarity.multiprobe_lsh_topk): the query's
+    bucket plus its 2 single-bit-flip neighbor buckets, one equi-join on
+    the probed key — recall rises toward brute force at the same plan
+    shape (recall measurements in BENCH/BASELINE.md)."""
+    return similarity.multiprobe_lsh_topk(
+        _t(spark, sf_dir, "embeddings"), k=3,
+        query_pred=F.col("query_id") < 50, n_probes=2,
+    )
 
 
 def lang_id_profile(spark, sf_dir):
@@ -943,6 +898,15 @@ def kg_pipeline_triples(spark, sf_dir):
     return pipeline.build(t, store=store).full_triples
 
 
+# Exactly 50 entries — the driver's correctness window is 50 rows, so every
+# catalog entry gets a driver-green row every round (round-2 verdict item 4).
+# Retired-into (coverage unchanged): p3_uri_label_pack + p4_gyear_rule +
+# c12_json_extract folded into p1_scalar_chain / triples_events /
+# p5_dct_coalesce; u7_moment_stats ⊂ a3_full_stats moment block;
+# o5_monthly_revenue ⊂ o3_top_types + a3_collection_stats (date_format);
+# a4_label_freq ⊂ o3 frequency + j3_fanout_collect (concat_ws);
+# a10_langset_distribution ⊂ a3_full_stats langset_dist; dedup_jaccard
+# (verification tier) ⊂ canonicalize_components' jaccard-on-candidates.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     f.__name__: f
     for f in [
@@ -952,18 +916,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         w1_stable_ordering,
         w5_sessionize, o3_top_types, a3_collection_stats, a3_full_stats,
         e2_set_difference,
-        p4_gyear_rule, p1_scalar_chain, c12_json_extract, k4_inverted_index,
+        p1_scalar_chain, k4_inverted_index,
         f1_first_section, f4_role_set_equality, f8_surviving_orders,
-        o2_deterministic_limit, p3_uri_label_pack, p5_dct_coalesce,
-        j3_fanout_collect, j5_rewrite_union, j8_semi_join, a4_label_freq,
-        a10_langset_distribution, w2_sequence_expand, o5_monthly_revenue,
+        o2_deterministic_limit, p5_dct_coalesce,
+        j3_fanout_collect, j5_rewrite_union, j8_semi_join,
+        w2_sequence_expand,
         c2_url_encode, f5f6f7_crawl_filters, a9_crawl_status_tally,
-        u7_moment_stats, embed_cosine_neardup,
+        embed_cosine_neardup,
         canonicalize_components, w4_sequential_match,
-        triples_events, participant_triples, dedup_exact, dedup_jaccard,
+        triples_events, participant_triples, dedup_exact,
         dedup_minhash_sig,
         dedup_minhash_pairs, dedup_simhash, dedup_simhash_pairs, knn_cosine,
-        ann_lsh_bucketed, lang_id_profile, quality_score, token_count,
+        ann_lsh_bucketed, ann_multiprobe, lang_id_profile, quality_score,
+        token_count,
         fingerprint, multimodal_meta, multimodal_frames, mention_link_rank,
         kg_pipeline_triples,
     ]

@@ -313,9 +313,17 @@ def generate(n_incidents: int = 30, seed: int = 42, mega_every: int = 25) -> Cor
                 conv_id = f"{inc_qid}-{lang}-{k}"
                 encode = i % 9 == 4
                 uri = title_to_uri(name, lang, encode=False)
+                # found_by provenance (reference main.py:60-76,111): the
+                # SPARQL seed scan marks texts ['SPARQL']; the API title
+                # merge appends 'API' on a (name, lang) hit or mints
+                # API-only texts — all three classes appear deterministically.
+                if k == 0:
+                    found_by = ["SPARQL", "API"] if i % 5 == 1 else ["SPARQL"]
+                else:
+                    found_by = ["API"] if i % 20 == 13 else ["SPARQL"]
                 c.tables["conv_meta"].append(
                     {"conv_id": conv_id, "incident_id": inc_qid, "lang": lang,
-                     "name": name, "uri": uri}
+                     "name": name, "uri": uri, "found_by": found_by}
                 )
                 for s in range(i % 3):
                     c.tables["conv_sources"].append(
@@ -381,9 +389,14 @@ def generate(n_incidents: int = 30, seed: int = 42, mega_every: int = 25) -> Cor
                 conv_id = f"{p_wdt}-{lang}-0"
                 c.tables["conv_meta"].append(
                     {"conv_id": conv_id, "incident_id": p_wdt, "lang": lang,
-                     "name": p_name, "uri": title_to_uri(p_name, lang)}
+                     "name": p_name, "uri": title_to_uri(p_name, lang),
+                     "found_by": ["SPARQL"]}  # query_test.py:158 seed path
                 )
-                for s in range(i % 2):
+                # (i // 4) % 2: nonzero for half the participant convs —
+                # i ≡ 2 (mod 4) here, so the old `i % 2` was always 0 and
+                # the dct:source branch of participant serialization was
+                # never exercised (round-2 ADVICE).
+                for s in range((i // 4) % 2):
                     c.tables["conv_sources"].append(
                         {"conv_id": conv_id,
                          "source": f"http://news.example.org/{p_wdt}/{lang}/{s}"}
@@ -507,7 +520,8 @@ _SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "transcripts": [("conv_id", "string"), ("turn_idx", "int32"), ("role", "string"),
                     ("text", "string"), ("tool", "string"), ("ts", "timestamp[us, tz=UTC]")],
     "conv_meta": [("conv_id", "string"), ("incident_id", "string"), ("lang", "string"),
-                  ("name", "string"), ("uri", "string")],
+                  ("name", "string"), ("uri", "string"),
+                  ("found_by", "list<string>")],
     "conv_sources": [("conv_id", "string"), ("source", "string")],
     "incidents": [("incident_id", "string"), ("incident_type", "string"),
                   ("incident_type_uri", "string"), ("participant_id", "string"),
@@ -544,6 +558,7 @@ def write_parquet(corpus: Corpus, out_dir: str) -> None:
         schema = pa.schema([(col, getattr(pa, "string")() if typ == "string" else
                              pa.int32() if typ == "int32" else
                              pa.float64() if typ == "float64" else
+                             pa.list_(pa.string()) if typ == "list<string>" else
                              pa.timestamp("us", tz="UTC")) for col, typ in cols])
         arrays = {col: [r.get(col) for r in rows] for col, _ in cols}
         table = pa.Table.from_pydict(arrays, schema=schema)

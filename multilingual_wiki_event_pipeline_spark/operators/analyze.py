@@ -11,10 +11,12 @@ reference's ``Counter.most_common`` ties are insertion-ordered, which is
 not reproducible; the deterministic tiebreak is a documented deviation
 (same rule on the oracle side).
 
-Omitted reference fields: found_by distribution (the corpus has no
-found_by provenance column — the seed scan is single-sourced) and
-extra_info_dist_agg per-role top-10s (subsumed by countries_top10, the
-same computation for the one role the reference reports on).
+Omitted reference fields: extra_info_dist_agg per-role top-10s (subsumed
+by countries_top10, the same computation for the one role the reference
+reports on). The found_by provenance distribution (classes.py:82,125) is
+included since round 3: conv_meta carries ``found_by array<string>``
+(SPARQL seed scan vs API title merge, main.py:60-76,111) and the battery
+reports ``Counter('|'.join(found_by))`` like the reference.
 """
 
 from __future__ import annotations
@@ -59,14 +61,18 @@ def collection_stats(p_incidents: DataFrame, p_texts: DataFrame,
     langset_dist (num_languages), direct_types_top10, count_occurences,
     count_values, all_info.
     """
-    texts = p_texts.select("conv_id", "incident_id", "lang", "content")
+    texts = p_texts.select(
+        "conv_id", "incident_id", "lang", "content",
+        # '|'-joined provenance list, classes.py:82 found_bys
+        F.array_join("found_by", "|").alias("found_by"),
+    )
     prim = conv_sources.groupBy("conv_id").agg(F.count("*").alias("n_prim"))
     ann = annotations.groupBy("conv_id").agg(F.count("*").alias("n_ann"))
     per_text = (
         texts.join(prim, "conv_id", "left")
         .join(ann, "conv_id", "left")
         .select(
-            "conv_id", "incident_id", "lang",
+            "conv_id", "incident_id", "lang", "found_by",
             F.coalesce("n_prim", F.lit(0)).alias("n_prim"),
             F.coalesce("n_ann", F.lit(0)).alias("n_ann"),
             (F.length("content") > 0).alias("has_content"),
@@ -92,6 +98,10 @@ def collection_stats(p_incidents: DataFrame, p_texts: DataFrame,
     cntr_prim = _dist_csv(
         per_text.groupBy("n_prim").agg(F.count("*").alias("cnt")),
         "n_prim", "cntr_prim_rt",
+    )
+    found_by = _dist_csv(
+        per_text.groupBy("found_by").agg(F.count("*").alias("cnt")),
+        "found_by", "found_by_dist",
     )
     langset_dist = _dist_csv(
         per_inc.groupBy("langset").agg(F.count("*").alias("cnt")),
@@ -129,7 +139,7 @@ def collection_stats(p_incidents: DataFrame, p_texts: DataFrame,
     # incident has the full role set by construction — asserted, not assumed
     all_info = per_inc.agg(F.count("*").alias("all_info"))
     out = base
-    for one_row in (cntr_prim, langset_dist, numwiki_dist, countries,
+    for one_row in (cntr_prim, found_by, langset_dist, numwiki_dist, countries,
                     dt_top, count_occ, count_vals, all_info):
         out = out.crossJoin(one_row)
     return out

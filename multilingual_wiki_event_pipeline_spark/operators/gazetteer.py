@@ -16,8 +16,12 @@ Design (all relational after tokenization — no Python in the match path):
    (lang, surface): a shuffle on the surface key (or a broadcast — the
    gazetteer is dimension-sized), never a scan-per-pattern.
 3. **overlap resolution** — a span strictly contained in a longer match is
-   dropped via a per-document left-anti self-join (equi on conv_id + range
-   predicates); longest-match-wins, the standard gazetteer rule.
+   dropped with a single window over the matches: ordered by
+   (begin_tid asc, end_tid desc), every span that could contain the current
+   one precedes it, so ``max(end_tid) over preceding rows >= end_tid``
+   detects containment. Linear in matches-per-document (the round-2
+   anti-join was quadratic in it — a dense surface like a stopword entering
+   the gazetteer would have blown up single conversations).
 4. **candidate scoring + ranking** — surviving spans fan out to their
    gazetteer candidates; score = prior, doubled when the candidate entity
    is in the document's incident's structured data (the context feature);
@@ -100,18 +104,22 @@ def detect_mentions(texts: DataFrame, gazetteer: DataFrame,
     matches = grams.join(F.broadcast(surfaces), ["lang", "gram"]).select(
         "conv_id", "begin_tid", "end_tid", F.col("gram").alias("surface")
     )
-    m, c = matches.alias("m"), matches.alias("c")
-    return m.join(
-        c,
-        (F.col("m.conv_id") == F.col("c.conv_id"))
-        & (F.col("c.begin_tid") <= F.col("m.begin_tid"))
-        & (F.col("m.end_tid") <= F.col("c.end_tid"))
-        & (
-            (F.col("c.end_tid") - F.col("c.begin_tid"))
-            > (F.col("m.end_tid") - F.col("m.begin_tid"))
-        ),
-        "left_anti",
-    ).select("conv_id", "begin_tid", "end_tid", "surface")
+    # Longest-match-wins without a self-join: match spans are unique per
+    # (conv_id, begin_tid, end_tid), so span m is strictly contained in a
+    # longer match iff some OTHER match c has c.begin <= m.begin and
+    # c.end >= m.end.  Under (begin asc, end desc) ordering every such c
+    # sorts before m, so a running max of end_tid over the preceding rows
+    # witnesses containment in one pass.
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.asc("begin_tid"), F.desc("end_tid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        matches.withColumn("__cover", F.max("end_tid").over(w))
+        .filter(F.col("__cover").isNull() | (F.col("__cover") < F.col("end_tid")))
+        .select("conv_id", "begin_tid", "end_tid", "surface")
+    )
 
 
 def rank_candidates(detected: DataFrame, texts: DataFrame,

@@ -32,7 +32,9 @@ def ancestor_closure(edges: DataFrame, max_depth: int = 20,
     anc = edges.select(F.col("child").alias("node")).unionByName(
         edges.select(F.col("parent").alias("node"))
     ).distinct().select("node", F.col("node").alias("ancestor"))
-    prev_count = anc.count()
+    # -1 sentinel: the first checkpoint's count can never match it, so no
+    # pre-loop count job is needed (round-2 verdict housekeeping).
+    prev_count = -1
     for i in range(max_depth):
         anc = (
             anc.join(edges, anc.ancestor == edges.child)

@@ -18,15 +18,21 @@ from .filters import first_section_col, qid_from_uri, ref_text_ok, skip_incident
 
 
 def full_texts(conv_meta: DataFrame, docs: DataFrame,
-               annotations_present: bool = True) -> DataFrame:
+               annotations_present: bool = True,
+               dedup: bool = True) -> DataFrame:
     """F8 (main.py:218-227) + A2: join page metadata to assembled content,
     drop failed/empty fetches, dedup identical content per (incident, lang).
-    """
+
+    ``dedup=False`` skips the A2 content-dedup — the streaming ingest path
+    uses it because a micro-batch sees only a slice of the corpus, so dedup
+    must run globally at read time (streaming/ingest.read_streamed_triples)
+    rather than batch-locally, where it could drop a unit that global
+    context would keep."""
     texts = (
         conv_meta.join(docs, "conv_id", "inner")  # missing page -> dropped
         .filter(F.length("content") > 0)
     )
-    return deduplicate_ref_texts(texts)
+    return deduplicate_ref_texts(texts) if dedup else texts
 
 
 def incidents_with_texts(incidents: DataFrame, texts: DataFrame) -> DataFrame:

@@ -88,8 +88,8 @@ def lsh_bucketed_topk(
     """ANN: top-k within the query's LSH bucket (approximate, scalable).
 
     The candidate join is EQUI on bucket — shuffle partitions by bucket id,
-    so a 10^9-vector table fans out only within buckets (multi-probe: union
-    several bit-flipped bucket keys for higher recall, same plan shape).
+    so a 10^9-vector table fans out only within buckets. For higher recall
+    at the same plan shape see ``multiprobe_lsh_topk``.
     """
     from pyspark.sql import Window
 
@@ -118,6 +118,69 @@ def lsh_bucketed_topk(
             "query_id",
             "neighbor_id",
             F.col("bucket"),
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def multiprobe_lsh_topk(
+    embeddings: DataFrame, k: int = 3, query_pred: Column | None = None,
+    n_bits: int = 8, n_probes: int = 2,
+) -> DataFrame:
+    """Multi-probe LSH ANN: each query probes its own bucket PLUS its
+    ``n_probes`` single-bit-flip neighbor buckets (``bucket XOR 2^i`` — the
+    standard multi-probe sequence restricted to Hamming distance 1, and
+    deterministic so an exact SQL oracle can mirror it).
+
+    Plan shape is identical to ``lsh_bucketed_topk``: one EQUI join on the
+    probed bucket key. The probe fan-out multiplies only the (filtered)
+    QUERY side by ``n_probes + 1``; the candidate table is never replicated,
+    so at 10^9 vectors the extra cost is a slightly wider query broadcast.
+    A (query, neighbor) pair appears at most once — every candidate lives
+    in exactly one bucket and the probe keys are distinct — so no dedup
+    step is needed before the ranking window.
+
+    Measured recall vs ``brute_force_topk`` on the driver embeddings table
+    rises with probes (see BENCH/BASELINE.md, "ANN recall"): flipping the
+    lowest sign bits probes the hyperplanes the query is closest to.
+    """
+    from pyspark.sql import Window
+
+    e = embeddings.select(
+        "vec_id", _as_double("embedding").alias("v")
+    ).withColumn("bucket", sign_bucket(F.col("v"), n_bits))
+    q = e.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    if query_pred is not None:
+        q = q.filter(query_pred)
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_probes)],
+    )
+    q = q.select("query_id", "qv", F.explode(probes).alias("probe"))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    pairs = (
+        q.join(
+            c,
+            (F.col("probe") == F.col("c_bucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
         )
     )

@@ -63,6 +63,9 @@ class RefText:
     content: str | None = None
     annotations: list[dict] = field(default_factory=list)
     primary_ref_texts: list[str] = field(default_factory=list)
+    # provenance (reference classes.py:395-407, main.py:60-76): which
+    # seed method(s) found this text — 'SPARQL', 'API', or both
+    found_by: list[str] = field(default_factory=lambda: ["SPARQL"])
 
 
 @dataclass
@@ -174,7 +177,8 @@ def run(
     for r in t["conv_meta"]:
         if r["incident_id"] in incidents:
             incidents[r["incident_id"]].reference_texts.append(
-                RefText(conv_id=r["conv_id"], name=r["name"], language=r["lang"], uri=r["uri"])
+                RefText(conv_id=r["conv_id"], name=r["name"], language=r["lang"], uri=r["uri"],
+                        found_by=list(r.get("found_by") or ["SPARQL"]))
             )
 
     # --- obtain_reference_texts: F8 + A2 dedup (main.py:200-229) -----------
@@ -399,13 +403,21 @@ def _collection_stats(pilots: list[Incident]) -> dict:
         "num_with_wikipedia": sum(1 for rt, _ in texts if rt.content),
         "num_with_prim_rt": sum(1 for x in n_prim if x > 0),
         "num_with_annotations": sum(1 for rt, _ in texts if rt.annotations),
+        # Guards mirror Spark's null semantics: var needs n >= 2, skew/kurt
+        # need nonzero variance (all-equal counts) — without them this
+        # oracle raised ZeroDivisionError on degenerate corpora (ADVICE r2).
         "prim_mean": round(mu, 6),
-        "prim_var": round(sum((x - mu) ** 2 for x in n_prim) / (n - 1), 6),
-        "prim_skew": round(m3 / m2 ** 1.5, 6),
-        "prim_kurt": round(m4 / m2 ** 2 - 3, 6),
+        "prim_var": (round(sum((x - mu) ** 2 for x in n_prim) / (n - 1), 6)
+                     if n > 1 else None),
+        "prim_skew": round(m3 / m2 ** 1.5, 6) if m2 > 0 else None,
+        "prim_kurt": round(m4 / m2 ** 2 - 3, 6) if m2 > 0 else None,
         "prim_min": min(n_prim),
         "prim_max": max(n_prim),
         "cntr_prim_rt": _dist_csv_py(Counter(n_prim)),
+        # Counter(found_bys), classes.py:82,125 — '|'-joined provenance list
+        "found_by_dist": _dist_csv_py(Counter(
+            "|".join(rt.found_by) for rt, _ in texts
+        )),
         "langset_dist": _dist_csv_py(Counter(
             ",".join(sorted({rt.language for rt in inc.reference_texts}))
             for inc in pilots
@@ -532,7 +544,8 @@ def run_participant(
         if r["incident_id"] in incidents:
             incidents[r["incident_id"]].reference_texts.append(
                 RefText(conv_id=r["conv_id"], name=r["name"],
-                        language=r["lang"], uri=r["uri"])
+                        language=r["lang"], uri=r["uri"],
+                        found_by=list(r.get("found_by") or ["SPARQL"]))
             )
 
     surviving: list[Incident] = []

@@ -255,10 +255,18 @@ ORACLES: dict[str, str] = {
                             ORDER BY cnt DESC, lang) AS top_langs
           FROM (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
                 ORDER BY cnt DESC, lang LIMIT 10)),
+        found_by_dist AS (
+          SELECT string_agg(found_by || '=' || CAST(cnt AS VARCHAR), '|'
+                            ORDER BY cnt DESC, found_by) AS found_by_dist
+          FROM (SELECT CASE doc_id % 3 WHEN 0 THEN 'SPARQL'
+                       WHEN 1 THEN 'SPARQL|API' ELSE 'API' END AS found_by,
+                       COUNT(*) AS cnt
+                FROM documents GROUP BY 1)),
         all_info AS (
           SELECT CAST(SUM(CASE WHEN n_langs >= 5 THEN 1 ELSE 0 END) AS BIGINT)
                  AS all_info FROM per_src)
-        SELECT * FROM base, langset_dist, numwiki_dist, top_langs, all_info
+        SELECT * FROM base, langset_dist, numwiki_dist, top_langs,
+                      found_by_dist, all_info
     """,
     "e2_set_difference": """
         SELECT source,
@@ -267,26 +275,15 @@ ORACLES: dict[str, str] = {
                  ','), '') AS missing_langs
         FROM (SELECT source, list(DISTINCT lang) AS langs FROM documents GROUP BY source)
     """,
-    "p4_gyear_rule": f"""
-        SELECT o_orderkey,
-               CASE WHEN {_TS_IS_GYEAR.format(c='o_orderdate')}
-                    THEN strftime(o_orderdate, '%Y')
-                    ELSE strftime(o_orderdate, '%Y-%m-%d') END AS obj,
-               CASE WHEN {_TS_IS_GYEAR.format(c='o_orderdate')}
-                    THEN 'xsd:gYear' ELSE 'xsd:date' END AS datatype
-        FROM orders
-    """,
     "p1_scalar_chain": """
         SELECT p_partkey,
                regexp_replace(p_brand, 'Brand#', 'b:') AS brand_id,
                list_extract(string_split(p_type, ' '), -1) AS type_last,
                split_part(p_name, ' ', 1) AS name_first,
-               upper(trim(p_brand)) AS brand_uc
+               upper(trim(p_brand)) AS brand_uc,
+               concat(p_brand, ' | ', p_name) AS packed,
+               split_part(concat(p_brand, ' | ', p_name), ' | ', 1) AS unpacked_uri
         FROM part
-    """,
-    "c12_json_extract": """
-        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        FROM events
     """,
     "k4_inverted_index": """
         SELECT event_type,
@@ -310,16 +307,11 @@ ORACLES: dict[str, str] = {
     "o2_deterministic_limit": """
         SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 5
     """,
-    "p3_uri_label_pack": """
-        SELECT p_partkey,
-               concat(p_brand, ' | ', p_name) AS packed,
-               split_part(concat(p_brand, ' | ', p_name), ' | ', 1) AS unpacked_uri
-        FROM part
-    """,
     "p5_dct_coalesce": """
         SELECT event_id,
                COALESCE(json_extract_string(props, '$.missing'),
-                        strftime(ts, '%Y-%m-%d')) AS dct
+                        strftime(ts, '%Y-%m-%d')) AS dct,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         FROM events
     """,
     "j3_fanout_collect": """
@@ -342,28 +334,9 @@ ORACLES: dict[str, str] = {
                       WHERE o.o_custkey = c.c_custkey
                         AND year(o.o_orderdate) = 1995)
     """,
-    "a4_label_freq": """
-        SELECT concat(lang, '---', source) AS label,
-               CAST(COUNT(*) AS BIGINT) AS freq
-        FROM documents GROUP BY concat(lang, '---', source)
-    """,
-    "a10_langset_distribution": """
-        WITH per_source AS (
-          SELECT source,
-                 array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs_csv
-          FROM documents GROUP BY source)
-        SELECT langs_csv, CAST(COUNT(*) AS BIGINT) AS n_sources
-        FROM per_source GROUP BY langs_csv
-    """,
     "w2_sequence_expand": """
         SELECT l_orderkey, CAST(SUM(l_linenumber) AS BIGINT) AS n_expanded
         FROM lineitem GROUP BY l_orderkey
-    """,
-    "o5_monthly_revenue": """
-        SELECT strftime(o_orderdate, '%Y-%m') AS month,
-               ROUND(SUM(o_totalprice), 2) AS revenue
-        FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
-        ORDER BY revenue DESC, month ASC LIMIT 12
     """,
     "c2_url_encode": """
         SELECT p_partkey, replace(p_name, ' ', '+') AS enc FROM part
@@ -414,24 +387,6 @@ ORACLES: dict[str, str] = {
                END AS status
           FROM documents
         ) GROUP BY status
-    """,
-    "u7_moment_stats": """
-        WITH m AS (
-          SELECT l_returnflag,
-                 AVG(l_quantity) AS mu,
-                 COUNT(*) AS n,
-                 SUM(l_quantity * l_quantity) AS s2,
-                 SUM(l_quantity * l_quantity * l_quantity) AS s3,
-                 SUM(l_quantity * l_quantity * l_quantity * l_quantity) AS s4,
-                 SUM(l_quantity) AS s1
-          FROM lineitem GROUP BY l_returnflag)
-        SELECT l_returnflag,
-               ROUND(((s3 - 3 * mu * s2 + 3 * mu * mu * s1 - n * mu * mu * mu) / n)
-                     / POW((s2 - n * mu * mu) / n, 1.5), 6) AS skew_qty,
-               ROUND(((s4 - 4 * mu * s3 + 6 * mu * mu * s2 - 4 * mu * mu * mu * s1
-                        + n * mu * mu * mu * mu) / n)
-                     / POW((s2 - n * mu * mu) / n, 2) - 3, 6) AS kurt_qty
-        FROM m
     """,
     "embed_cosine_neardup": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -558,20 +513,6 @@ ORACLES: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY md5(text)
     """,
-    "dedup_jaccard": f"""
-        WITH {_DOC_TOKENS},
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM doc_tokens GROUP BY doc_id),
-        shared AS (
-          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
-          FROM doc_tokens a JOIN doc_tokens b
-            ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id)
-        SELECT a_id, b_id, ROUND(shared / (sa.n + sb.n - shared), 6) AS jaccard
-        FROM shared
-        JOIN sizes sa ON sa.doc_id = a_id
-        JOIN sizes sb ON sb.doc_id = b_id
-        WHERE shared / (sa.n + sb.n - shared) >= 0.9
-    """,
     "dedup_minhash_sig": f"""
         WITH {_MINHASH_BANDS}
         SELECT doc_id, band, band_sig FROM bands
@@ -617,6 +558,23 @@ ORACLES: dict[str, str] = {
           FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
           WHERE q.vec_id < 50)
         SELECT query_id, neighbor_id, bucket, sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rn
+          FROM pairs
+        ) WHERE rn <= 3
+    """,
+    "ann_multiprobe": f"""
+        WITH {_EMB},
+        b AS (SELECT vec_id, v, {_BUCKET} AS bucket FROM e),
+        probes AS (
+          SELECT vec_id, v, p.probe
+          FROM b, UNNEST([bucket, xor(bucket, 1), xor(bucket, 2)]) AS p(probe)
+          WHERE vec_id < 50),
+        pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ROUND({_COS}, 6) AS sim
+          FROM probes q JOIN b c ON q.probe = c.bucket AND q.vec_id <> c.vec_id)
+        SELECT query_id, neighbor_id, sim FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                        ORDER BY sim DESC, neighbor_id) AS rn
           FROM pairs

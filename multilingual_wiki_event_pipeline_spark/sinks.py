@@ -87,7 +87,18 @@ class CheckpointStore:
 
     def is_complete(self, stage: str) -> bool:
         if self.catalog:
-            return self.spark.catalog.tableExists(f"{self.catalog}.{stage}")
+            tbl = f"{self.catalog}.{stage}"
+            if not self.spark.catalog.tableExists(tbl):
+                return False
+            if not self.fingerprint:
+                return True
+            # fingerprint lives as a table property (set in _write) so a
+            # catalog-backed store invalidates on parameter/code changes
+            # exactly like the path store's manifest file does.
+            rows = self.spark.sql(
+                f"SHOW TBLPROPERTIES {tbl} ('mwep.fingerprint')"
+            ).collect()
+            return bool(rows) and rows[0]["value"] == self.fingerprint
         if not os.path.exists(os.path.join(self._path(stage), "_SUCCESS")):
             return False
         if not self.fingerprint:
@@ -113,6 +124,8 @@ class CheckpointStore:
                partition_by: tuple[str, ...]) -> None:
         if self.catalog:
             w = df.writeTo(f"{self.catalog}.{stage}")
+            if self.fingerprint:
+                w = w.tableProperty("mwep.fingerprint", self.fingerprint)
             if partition_by:
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
             w.createOrReplace()
@@ -264,8 +277,20 @@ def write_layer_union(store: CheckpointStore, layers: dict[str, DataFrame],
 
 def layer_row_counts(store: CheckpointStore, stage: str) -> dict[str, int]:
     """Per-layer row counts of a write_layer_union stage, from the recorded
-    lineage (partition-dir names carry layer=<name>; no Spark job)."""
+    lineage (partition-dir names carry layer=<name>; no Spark job).
+
+    Catalog mode has no per-file lineage paths, so it falls back to one
+    grouped count over the stage table — a single metadata-cheap Spark job
+    (Iceberg answers partition-level counts from manifests)."""
     import pyarrow.parquet as pq
+
+    if store.catalog:
+        return {
+            r["layer"]: r["n"]
+            for r in store._read(stage).groupBy("layer").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
 
     d = os.path.join(store.root, "_lineage")
     best_ts: float = -1.0

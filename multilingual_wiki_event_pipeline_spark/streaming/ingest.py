@@ -17,11 +17,18 @@ arriving transcripts:
 - ``conversation_progress``: stateful streaming aggregation (running turn
   count / frontier per conversation) with a watermark bounding state.
 
-Assumption for assembly correctness: a conversation's turns arrive within
-one micro-batch (upstream emits conversations whole, e.g. on a
-conversation-closed marker). Turn ordering inside the batch is stabilized
-by the same ``(conv_id, turn_idx)`` sort as the batch path, so per-turn
-text equality holds for streamed output too.
+Cross-batch assembly (round-3): a conversation's turns may arrive split
+across ANY number of micro-batches. Each batch's raw turns are persisted
+to a ``_turns`` side store (idempotent overwrite per batch partition);
+the batch processor re-assembles every conversation TOUCHED by the batch
+from its full turn history (one equi semi-join on conv_id — at scale the
+store is an Iceberg table bucketed by conv_id so the join prunes), and
+re-emits that conversation's triples. Only ``dct:description`` depends on
+assembled content, so ``read_streamed_triples`` keeps the latest batch's
+description per text unit and the earlier partial emissions are
+superseded. Turn ordering is stabilized by the same ``(conv_id,
+turn_idx)`` sort as the batch path, so per-turn text equality holds for
+streamed output regardless of the batch split.
 """
 
 from __future__ import annotations
@@ -56,8 +63,25 @@ def incremental_triples(stream: DataFrame, tables, output_dir: str,
     from ..operators import documents, pilot, triples
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # 1. persist this batch's raw turns (overwrite-by-batch: replays
+        # after a failure between write and checkpoint commit are idempotent)
+        batch_df.write.mode("overwrite").parquet(
+            f"{output_dir}/_turns/batch_id={batch_id}"
+        )
         convs = batch_df.select("conv_id").distinct()
-        docs = documents.assemble_documents(batch_df)
+        # 2. re-assemble every conversation touched by this batch from its
+        # FULL turn history (all stored batches) — a conversation split
+        # across micro-batches is re-emitted complete-so-far each time and
+        # the read side keeps the latest version. The history read is an
+        # equi semi-join on conv_id; at scale the _turns store is bucketed
+        # by conv_id so only the touched buckets are scanned.
+        spark = batch_df.sparkSession
+        all_turns = spark.read.option("basePath", f"{output_dir}/_turns").parquet(
+            f"{output_dir}/_turns/batch_id=*"
+        ).drop("batch_id")
+        docs = documents.assemble_documents(
+            all_turns.join(convs, "conv_id", "left_semi")
+        )
         # by_incident seed mode (matches the batch pipeline default):
         # participant-minted seeds belong to the by_participant run
         seeds = tables.incidents.filter(F.col("participant_id").isNull())
@@ -66,7 +90,11 @@ def incremental_triples(stream: DataFrame, tables, output_dir: str,
             .join(seeds.select("incident_id"), "incident_id", "left_semi")
             .join(convs, "conv_id", "left_semi")
         )
-        texts = pilot.full_texts(meta, docs)
+        # A2 dedup is deliberately OFF here: a batch sees only its slice of
+        # the corpus, so content-dedup runs globally at read time instead
+        # (read_streamed_triples) — batch-local dedup could drop a unit
+        # whose full-corpus content is unique.
+        texts = pilot.full_texts(meta, docs, dedup=False)
         incidents = pilot.incidents_with_texts(seeds, texts)
         roles = tables.incident_roles.join(
             incidents.select("incident_id"), "incident_id", "left_semi"
@@ -100,15 +128,33 @@ def read_streamed_triples(spark: SparkSession, output_dir: str) -> DataFrame:
     rank(), reference utils.py:386-398) across ALL batches, and drops every
     triple attached to a losing unit — so streamed output equals the batch
     output regardless of how conversations were split across batches.
-    (A single conversation's turns must still arrive within one batch.)
+    A conversation split ACROSS batches is handled by versioning: the batch
+    processor re-emits a touched conversation assembled from its full turn
+    history, and the only content-dependent triple (``dct:description``) is
+    kept from the LATEST batch that emitted it — earlier partial
+    descriptions are superseded. Every other text-unit triple (label,
+    denotedIn, title, language, type, sources) is content-invariant, so
+    re-emissions collapse under dropDuplicates.
     """
     from pyspark.sql import Window
 
     from ..operators.triples import DCT, GRASP, RDFS_LABEL, TRIPLE_COLS
 
-    all_t = (
-        spark.read.option("basePath", output_dir).parquet(f"{output_dir}/batch_id=*")
+    raw = spark.read.option("basePath", output_dir).parquet(
+        f"{output_dir}/batch_id=*"
+    )
+    is_desc = F.col("pred") == DCT + "description"
+    latest = Window.partitionBy("subj").orderBy(F.desc("batch_id"))
+    desc_latest = (
+        raw.filter(is_desc)
+        .withColumn("__v", F.row_number().over(latest))
+        .filter(F.col("__v") == 1)
         .select(*TRIPLE_COLS)
+    )
+    all_t = (
+        raw.filter(~is_desc)
+        .select(*TRIPLE_COLS)
+        .unionByName(desc_latest)
         .dropDuplicates(TRIPLE_COLS)
     )
     den = all_t.filter(F.col("pred") == GRASP + "denotedIn").select(

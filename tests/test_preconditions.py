@@ -7,8 +7,8 @@ changes, this fails loudly instead of letting parity silently break.
   quote_plus only while p_name is strictly [A-Za-z0-9 ].
 - multimodal_frames: char-indexed substr/md5 equals byte windows only
   while documents.text is pure ASCII.
-- a4_label_freq: `lang || '---' || source` (concat) equals Spark
-  concat_ws only while lang/source are never NULL.
+- a3_full_stats / e2_set_difference: lang/source group keys match across
+  engines only while lang/source are never NULL.
 
 No Spark session needed — pure pyarrow over the sf0.01 driver tables.
 """
@@ -43,5 +43,5 @@ def test_documents_text_is_ascii():
 def test_documents_lang_source_not_null():
     t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["lang", "source"])
     assert t["lang"].null_count == 0 and t["source"].null_count == 0, (
-        "a4_label_freq oracle precondition broken: NULL lang/source"
+        "a3_full_stats/e2 oracle precondition broken: NULL lang/source"
     )

@@ -122,6 +122,49 @@ def test_multi_batch_parity(spark, corpus_dir, tmp_path, batch_full_triples):
     )
 
 
+def test_turns_split_across_batches(spark, corpus_dir, tmp_path, batch_full_triples):
+    """Round-3: EVERY conversation's turns are split across two micro-batches
+    (even turn_idx in batch 0, odd in batch 1) — the worst case for
+    assembly. The per-batch processor re-assembles touched conversations
+    from the _turns history store, and read_streamed_triples keeps the
+    latest dct:description per unit, so streamed output must still equal
+    the batch output exactly."""
+    t = CorpusTables(spark, corpus_dir)
+    stream_in = str(tmp_path / "in")
+    os.makedirs(stream_in)
+    tr = spark.read.parquet(f"{corpus_dir}/transcripts.parquet")
+    for parity in (0, 1):
+        (
+            tr.filter(F.col("turn_idx") % 2 == parity)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp_path / f"half{parity}"))
+        )
+        part = [
+            f for f in os.listdir(str(tmp_path / f"half{parity}"))
+            if f.endswith(".parquet")
+        ][0]
+        shutil.copy(
+            str(tmp_path / f"half{parity}" / part),
+            os.path.join(stream_in, f"batchfile_{parity}.parquet"),
+        )
+
+    out = str(tmp_path / "out")
+    q = ingest.incremental_triples(
+        ingest.stream_transcripts(spark, stream_in, max_files_per_trigger=1),
+        t, out, str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    batch_dirs = {d for d in os.listdir(out) if d.startswith("batch_id=")}
+    assert len(batch_dirs) >= 2, batch_dirs
+    got = _triples(ingest.read_streamed_triples(spark, out))
+    assert got == batch_full_triples, (
+        list(got - batch_full_triples)[:4],
+        list(batch_full_triples - got)[:4],
+    )
+
+
 def test_conversation_progress_stateful(spark, corpus_dir, tmp_path):
     stream_in = str(tmp_path / "in")
     os.makedirs(stream_in)

@@ -48,39 +48,43 @@ def table_hash(rows: list[tuple], cols: list[str]) -> str:
     return h.hexdigest()[:16]
 
 
-def main() -> int:
-    sys.path.insert(0, "/root/repo")
-    import __spark_entry__ as e
-    from multilingual_wiki_event_pipeline_spark.session import get_spark
+def run_checks(spark, only: set[str] | None = None,
+               sf_dir: str = SF_DIR, echo=print) -> list[str]:
+    """Run every (or ``only`` the named) catalog query on Spark and its
+    DuckDB oracle twin, compare, and return the list of failing names.
+    Importable so tests/test_catalog_oracle.py runs the full gate in CI."""
+    import os
+    import sys as _sys
 
-    spark = get_spark()
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as e
+
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = e.queries(), e.oracle_sql()
-    only = set(sys.argv[1:])
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, SF_DIR)
+            sdf = fn(spark, sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
             scols = sdf.columns
         except Exception as ex:
-            print(f"FAIL {name}: spark error {str(ex)[:2000]}")
+            echo(f"FAIL {name}: spark error {str(ex)[:2000]}")
             failed.append(name)
             continue
         if name not in oracles:
-            print(f"ROWS {name}: {len(srows)} rows (no oracle)")
+            echo(f"ROWS {name}: {len(srows)} rows (no oracle)")
             continue
         try:
             rel = con.sql(oracles[name])
             dcols = rel.columns
             drows = rel.fetchall()
         except Exception as ex:
-            print(f"FAIL {name}: duckdb error {str(ex)[:400]}")
+            echo(f"FAIL {name}: duckdb error {str(ex)[:400]}")
             failed.append(name)
             continue
         problems = []
@@ -93,11 +97,19 @@ def main() -> int:
             if hs != hd:
                 problems.append(f"hash {hs} vs {hd}")
         if problems:
-            print(f"FAIL {name}: {'; '.join(problems)}")
+            echo(f"FAIL {name}: {'; '.join(problems)}")
             failed.append(name)
         else:
-            print(f"OK   {name}: {len(srows)} rows")
-    print(f"\n{len(failed)} failures: {failed}" if failed else "\nall OK")
+            echo(f"OK   {name}: {len(srows)} rows")
+    echo(f"\n{len(failed)} failures: {failed}" if failed else "\nall OK")
+    return failed
+
+
+def main() -> int:
+    sys.path.insert(0, "/root/repo")
+    from multilingual_wiki_event_pipeline_spark.session import get_spark
+
+    failed = run_checks(get_spark(), only=set(sys.argv[1:]) or None)
     return 1 if failed else 0
 
 
