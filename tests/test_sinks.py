@@ -98,24 +98,43 @@ def test_counters_roundtrip(spark, store_dir):
 
 
 def test_layer_union_single_write_roundtrip(spark, tmp_path):
-    """write_layer_union folds N layers into one tagged write; payloads
-    round-trip through from_json and per-layer counts come from lineage."""
+    """write_layer_union (typed superschema default) folds N layers into one
+    tagged write: shared same-type columns merge, a name reused with a
+    different type is layer-qualified, missing columns null-fill, and
+    per-layer counts come from lineage."""
     store = CheckpointStore(spark, str(tmp_path / "ckpt_lu"))
     a = spark.range(7).select(F.col("id").alias("x"), (F.col("id") * 2).alias("y"))
     b = spark.range(3).select(F.col("id").cast("string").alias("s"))
-    out = write_layer_union(store, {"a": a, "b": b}, "out_layers")
-    assert set(out.columns) == {"layer", "payload"}
-    assert layer_row_counts(store, "out_layers") == {"a": 7, "b": 3}
-    back_a = (
-        out.filter(F.col("layer") == "a")
-        .select(F.from_json("payload", "x long, y long").alias("r"))
-        .select("r.*")
+    c = spark.range(2).select(
+        F.col("id").alias("x"),                      # same name+type as a.x
+        F.col("id").cast("string").alias("y"),        # name clash, new type
     )
+    out = write_layer_union(store, {"a": a, "b": b, "c": c}, "out_layers")
+    assert set(out.columns) == {"layer", "x", "y", "s", "y__c"}
+    assert layer_row_counts(store, "out_layers") == {"a": 7, "b": 3, "c": 2}
+    back_a = out.filter(F.col("layer") == "a").select("x", "y")
     assert {(r.x, r.y) for r in back_a.collect()} == {
         (i, 2 * i) for i in range(7)
     }
+    # null-fill outside the owning layer; qualified column only in c
+    assert out.filter(F.col("layer") == "b").select("x").distinct().collect()[0].x is None
+    assert {r.y__c for r in out.filter(F.col("layer") == "c").collect()} == {"0", "1"}
     # resume: a fresh handle sees the stage complete
     assert CheckpointStore(spark, store.root).is_complete("out_layers")
+
+
+def test_layer_union_json_mode(spark, tmp_path):
+    """The round-2 JSON payload representation stays available and
+    round-trips through from_json."""
+    store = CheckpointStore(spark, str(tmp_path / "ckpt_lu_json"))
+    a = spark.range(4).select(F.col("id").alias("x"))
+    out = write_layer_union(store, {"a": a}, "out_layers", payload="json",
+                            compression="snappy")
+    assert set(out.columns) == {"layer", "payload"}
+    back = (
+        out.select(F.from_json("payload", "x long").alias("r")).select("r.*")
+    )
+    assert {r.x for r in back.collect()} == set(range(4))
 
 
 def test_manifest_invalidates_on_param_change(spark, tmp_path):

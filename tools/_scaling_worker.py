@@ -77,7 +77,14 @@ def main() -> None:
             "corefs": o.corefs,
             "srl_links": o.srl_links,
         }
-        write_layer_union(store, outs, "out_layers")
+        # A/B knobs for the output representation (round-3 verdict item 3):
+        # typed nullable superschema (default, no JSON escaping) vs the
+        # round-2 JSON payload; parquet codec override (e.g. snappy when
+        # write CPU, not storage, binds).
+        payload = os.environ.get("MWEP_PAYLOAD", "typed")
+        codec = os.environ.get("MWEP_CODEC") or None
+        write_layer_union(store, outs, "out_layers", payload=payload,
+                          compression=codec)
         wall = time.perf_counter() - t0
         counts = layer_row_counts(store, "out_layers")
         import pyarrow.parquet as pq
@@ -97,6 +104,8 @@ def main() -> None:
         "n_turns": n_turns,
         "wall_sec": round(wall, 2),
         "turns_per_sec": round(n_turns / wall, 1),
+        "payload": payload,
+        "codec": codec or "session-default",
         "counts": counts,
         "stage_wall_sec": stage_wall,
     }))

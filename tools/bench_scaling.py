@@ -28,7 +28,7 @@ from multilingual_wiki_event_pipeline_spark import datagen  # noqa: E402
 
 
 def run_level(cpus: int, corpus_dir: str, reps: int) -> dict:
-    best = None
+    best, walls = None, []
     for _ in range(reps):
         # level the page-cache field between runs: flush dirty pages so a
         # run doesn't inherit the previous one's writeback debt
@@ -42,8 +42,12 @@ def run_level(cpus: int, corpus_dir: str, reps: int) -> dict:
             sys.stderr.write(proc.stderr[-4000:])
             raise SystemExit(f"worker local[{cpus}] failed")
         r = json.loads(proc.stdout.strip().splitlines()[-1])
+        walls.append(r["wall_sec"])
         if best is None or r["wall_sec"] < best["wall_sec"]:
             best = r
+    # report the full distribution, not just best-of (round-2 verdict):
+    # the host's 1.5-5x one-sided noise makes a single number unreadable
+    best["rep_walls_sec"] = walls
     return best
 
 
@@ -112,10 +116,12 @@ the **same job on the same input** at `local[{LEVELS[0]}]` and
   sizing splits to the data; corpus parquet written with 4096-row groups
   so the scan is splittable).
 
-| parallelism | wall (s) | turns/sec |
-|---|---|---|
-| local[{LEVELS[0]}] | {lo['wall_sec']} | {lo['turns_per_sec']} |
-| local[{LEVELS[1]}] | {hi['wall_sec']} | {hi['turns_per_sec']} |
+| parallelism | wall (s), best | turns/sec | all reps (s) |
+|---|---|---|---|
+| local[{LEVELS[0]}] | {lo['wall_sec']} | {lo['turns_per_sec']} | {lo.get('rep_walls_sec')} |
+| local[{LEVELS[1]}] | {hi['wall_sec']} | {hi['turns_per_sec']} | {hi.get('rep_walls_sec')} |
+
+Output representation: payload={lo.get('payload')}, codec={lo.get('codec')}.
 
 **Throughput ratio ({LEVELS[1]}/{LEVELS[0]} cores): {ratio:.2f}x over a
 {LEVELS[1] // LEVELS[0]}x core increase -> scaling efficiency =
