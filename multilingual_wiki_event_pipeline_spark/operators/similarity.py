@@ -194,8 +194,95 @@ def multiprobe_lsh_topk(
     )
 
 
+def assign_cells(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """IVF coarse assignment: each vector joins the (dimension-sized,
+    broadcast) centroid table and keeps its nearest cell by cosine — the
+    standard O(N x C) inverted-file assign, one narrow pass over the
+    vectors, no shuffle of the vector table.
+
+    centroids(cell, centroid array<double>) -> (vec_id, v, cell)."""
+    from pyspark.sql import Window
+
+    e = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    c = centroids.select("cell", "centroid")
+    scored = e.crossJoin(F.broadcast(c)).select(
+        "vec_id", "v", "cell",
+        cosine(F.col("v"), F.col("centroid")).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cell")
+    )
+
+
+def ivf_topk(embeddings: DataFrame, centroids: DataFrame, k: int = 3,
+             query_pred: Column | None = None, n_probe: int = 1) -> DataFrame:
+    """IVF ANN: vectors are inverted-file-partitioned by nearest centroid
+    (``assign_cells``); each query searches its ``n_probe`` nearest cells.
+
+    The candidate join is EQUI on cell — same scale shape as the LSH paths
+    (shuffle partitions by cell, skewed cells split by AQE); the centroid
+    table is the trained coarse quantizer (``label_centroids`` is the
+    sandbox stand-in for a k-means trainer — same output schema).
+    Raising ``n_probe`` trades compute for recall exactly like multi-probe
+    LSH, but probes are the query's *nearest* cells rather than bit flips,
+    which tracks the data distribution instead of the hash geometry.
+    """
+    from pyspark.sql import Window
+
+    assigned = assign_cells(embeddings, centroids)
+    c = centroids.select("cell", "centroid")
+    q = assigned.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    if query_pred is not None:
+        q = q.filter(query_pred)
+    q_cells = (
+        q.crossJoin(F.broadcast(c))
+        .select(
+            "query_id", "qv", "cell",
+            cosine(F.col("qv"), F.col("centroid")).alias("csim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("csim"), F.asc("cell")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    cands = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        "cell",
+    )
+    pairs = (
+        q_cells.join(cands, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
-    """Per-label mean vector (the IVF coarse-quantizer training step).
+    """Per-label mean vector (the IVF coarse-quantizer training step) —
+    output schema (cell, centroid) feeds ``ivf_topk`` directly.
 
     posexplode → groupBy(label, pos) avg → re-assemble in pos order.
     One shuffle on (label, pos); reassembly is a small second shuffle.
@@ -212,4 +299,5 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
                 lambda s: s["m"],
             ).alias("centroid")
         )
+        .select(F.col("label").alias("cell"), "centroid")
     )

@@ -252,7 +252,7 @@ class CheckpointStore:
 
 
 def write_layer_union(store: CheckpointStore, layers: dict[str, DataFrame],
-                      stage: str, payload: str = "typed",
+                      stage: str, payload: str = "json",
                       compression: str | None = None) -> DataFrame:
     """Fold independent output layers into ONE tagged write job.
 
@@ -266,18 +266,22 @@ def write_layer_union(store: CheckpointStore, layers: dict[str, DataFrame],
 
     ``payload`` picks the union representation:
 
-    - ``"typed"`` (default): a nullable SUPERSCHEMA — every layer keeps its
-      native columns, missing ones are null-filled by
+    - ``"json"`` (default): (layer, to_json(struct)) — one 2-column schema
+      regardless of layers. MEASURED WINNER at this workload's shape
+      (BENCH/BASELINE.md "payload A/B", round 3): in back-to-back 8-core
+      runs whose non-output stages timed within 5 % of each other, the
+      json out_layers stage wrote in 29.7 s vs 135.5 s for the typed
+      superschema — a ~40-sparse-column union pays more in per-column
+      writer machinery (def-levels, page/dictionary state × columns ×
+      partitions) than json pays in escaping, and zstd compresses the
+      repeated keys well. Readers: ``from_json(payload, schema)``.
+    - ``"typed"``: a nullable SUPERSCHEMA — every layer keeps its native
+      columns, missing ones null-filled by
       ``unionByName(allowMissingColumns=True)``; a column name claimed by
       an earlier layer with a different type is layer-qualified
-      (``name__layer``). No JSON escaping, columnar encodes sparse nulls
-      for ~free, and parquet compresses typed pages far cheaper than
-      document-sized JSON strings — this removed the memory-bandwidth
-      ceiling the round-2 JSON payload hit at 32 cores (see
-      BENCH/BASELINE.md). Readers: ``filter(layer=x).select(cols)``.
-    - ``"json"``: the round-2 representation, (layer, to_json(struct)) —
-      kept for portability (a single 2-column schema regardless of layers)
-      and for the A/B evidence.
+      (``name__layer``). Kept because the trade reverses when layers
+      share most columns (narrow superschema) or when readers need
+      column pruning/predicate pushdown on the stored layers.
 
     ``compression`` overrides the session parquet codec for this stage
     (e.g. ``"snappy"`` or ``"lz4"`` when write CPU, not storage, is the

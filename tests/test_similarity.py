@@ -1,0 +1,85 @@
+"""ANN operator semantics (brief-side training-data components): IVF
+(inverted-file) search, multi-probe LSH, and their relation to the exact
+brute-force baseline. Synthetic in-memory vectors — no driver testdata."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from multilingual_wiki_event_pipeline_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    """Three well-separated clusters of 4-d vectors, labeled by cluster —
+    the label doubles as the IVF training partition."""
+    rng = random.Random(7)
+    anchors = {0: (1, 0, 0, 0), 1: (0, 1, 0, 0), 2: (0, 0, 1, 1)}
+    rows = []
+    for vec_id in range(36):
+        lab = vec_id % 3
+        v = [a + rng.uniform(-0.15, 0.15) for a in anchors[lab]]
+        rows.append((vec_id, [float(x) for x in v], lab))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def _pairs(df):
+    return {(r.query_id, r.neighbor_id): r.sim for r in df.collect()}
+
+
+def test_assign_cells_nearest_centroid(spark, emb):
+    cents = similarity.label_centroids(emb)
+    assigned = {r.vec_id: r.cell for r in
+                similarity.assign_cells(emb, cents).collect()}
+    # clusters are well separated: every vector must land in its own
+    # cluster's centroid cell
+    assert assigned == {i: i % 3 for i in range(36)}
+
+
+def test_ivf_full_probe_equals_brute_force(spark, emb):
+    """Probing every cell makes IVF exhaustive — it must equal the exact
+    brute-force top-k, tie-break and all."""
+    cents = similarity.label_centroids(emb)
+    bf = _pairs(similarity.brute_force_topk(
+        emb, k=3, query_pred=F.col("query_id") < 12))
+    ivf = _pairs(similarity.ivf_topk(
+        emb, cents, k=3, query_pred=F.col("query_id") < 12, n_probe=3))
+    assert ivf == bf
+
+
+def test_ivf_single_probe_stays_in_cluster(spark, emb):
+    cents = similarity.label_centroids(emb)
+    got = similarity.ivf_topk(
+        emb, cents, k=3, query_pred=F.col("query_id") < 12, n_probe=1
+    ).collect()
+    assert got, "single-probe IVF returned nothing"
+    for r in got:
+        assert r.query_id % 3 == r.neighbor_id % 3, (
+            "single-probe candidate escaped the query's cell"
+        )
+
+
+def test_multiprobe_superset_of_single_probe(spark, emb):
+    """Multi-probe recall is monotone: every (query, neighbor) the
+    single-bucket search finds is also found with probes added, and the
+    reported sims agree with the exact cosine."""
+    single = _pairs(similarity.lsh_bucketed_topk(emb, k=36, n_bits=4))
+    multi = _pairs(similarity.multiprobe_lsh_topk(
+        emb, k=36, n_bits=4, n_probes=2))
+    assert set(single) <= set(multi)
+    # sims are the exact cosine, rounded — spot-check against a local calc
+    rows = {r.vec_id: r.embedding for r in emb.collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a))
+                      * math.sqrt(sum(y * y for y in b)))
+
+    for (q, n), sim in list(multi.items())[:10]:
+        assert sim == pytest.approx(cos(rows[q], rows[n]), abs=1e-5)

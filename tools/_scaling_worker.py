@@ -81,7 +81,7 @@ def main() -> None:
         # typed nullable superschema (default, no JSON escaping) vs the
         # round-2 JSON payload; parquet codec override (e.g. snappy when
         # write CPU, not storage, binds).
-        payload = os.environ.get("MWEP_PAYLOAD", "typed")
+        payload = os.environ.get("MWEP_PAYLOAD", "json")
         codec = os.environ.get("MWEP_CODEC") or None
         write_layer_union(store, outs, "out_layers", payload=payload,
                           compression=codec)

@@ -36,7 +36,7 @@ def run_level(cpus: int, corpus_dir: str, reps: int) -> dict:
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "_scaling_worker.py"),
              str(cpus), corpus_dir],
-            capture_output=True, text=True, timeout=3600,
+            capture_output=True, text=True, timeout=7200,
         )
         if proc.returncode != 0:
             sys.stderr.write(proc.stderr[-4000:])
