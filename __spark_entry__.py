@@ -13,7 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from multilingual_wiki_event_pipeline_spark.catalog import QUERIES
-from multilingual_wiki_event_pipeline_spark.oracles import ORACLES
+from multilingual_wiki_event_pipeline_spark.oracles import ORACLES, flagship_oracle
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,7 +27,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # kg_pipeline_triples is intentionally absent: it runs the full KG
-    # pipeline on the synthetic transcript corpus (rows-only check here;
-    # exact parity vs the reference-semantics oracle is in tests/).
-    return dict(ORACLES)
+    # kg_pipeline_triples runs the full KG pipeline on the deterministic
+    # synthetic transcript corpus generated to a fixed dir; its oracle is
+    # DuckDB SQL over that same parquet (flagship_oracle generates the
+    # corpus if absent, so the SQL is runnable regardless of which side
+    # the driver executes first).
+    return {**ORACLES, **flagship_oracle()}

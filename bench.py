@@ -91,7 +91,9 @@ def main() -> None:
     spark = get_spark(app_name="mwep-bench-kg")
     spark.sparkContext.setLogLevel("ERROR")
     n_inc = N_INCIDENTS.get(sf, 120)
-    n_reps = int(os.environ.get("SPARK_GRAFT_KG_REPS", "3"))
+    # clamp to >= 1: zero reps would leave rep_secs empty (min() raises)
+    # and the counts would come only from the untimed warm-up (ADVICE r3)
+    n_reps = max(1, int(os.environ.get("SPARK_GRAFT_KG_REPS", "3")))
     out = tempfile.mkdtemp(prefix="mwep_bench_corpus_")
     rep_secs: list[float] = []
     best_stage_wall: dict[str, float] = {}

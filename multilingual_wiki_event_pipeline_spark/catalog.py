@@ -148,12 +148,15 @@ def j7_interval_containment(spark, sf_dir):
 
 def j10_transitive_closure(spark, sf_dir):
     """J10 (utils.py:489-569): ontology ancestor closure — iterative
-    self-join to fixpoint (recursive-CTE equivalent). Wikidata's subclass
-    DAG is ≤ ~20 deep; each round is one equi-join + distinct.
-    Iteration hygiene (same pattern as canonicalize.connected_components):
-    localCheckpoint every ``check_every`` rounds truncates the growing
-    lineage, and the convergence count runs only at those checkpoints —
-    not one count job per round."""
+    self-join to fixpoint (recursive-CTE equivalent), delegated to the ONE
+    closure implementation (operators/ontology.ancestor_closure: equi-join
+    rounds, localCheckpoint lineage hygiene, counts only at checkpoints,
+    -1 sentinel). The operator's closure is reflexive; this entry's
+    contract is proper ancestors only, hence the node != ancestor filter —
+    sound here because the edge table is acyclic (nation -> region ->
+    root), so no proper path loops back to its start."""
+    from .operators import ontology
+
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     edges = n.select(
@@ -167,27 +170,9 @@ def j10_transitive_closure(spark, sf_dir):
             F.lit("root").alias("parent"),
         )
     )
-    edges = F.broadcast(edges)
-    anc = edges.select(
-        F.col("child").alias("node"), F.col("parent").alias("ancestor")
-    ).distinct()
-    # -1 sentinel avoids the pre-loop count job; the first checkpointed
-    # count can never equal it.
-    check_every, prev_count = 3, -1
-    for i in range(20):  # bound = max ontology depth
-        anc = (
-            anc.join(edges, anc.ancestor == edges.child)
-            .select("node", F.col("parent").alias("ancestor"))
-            .unionByName(anc)
-            .distinct()
-        )
-        if (i + 1) % check_every == 0:
-            anc = anc.localCheckpoint()
-            n = anc.count()
-            if n == prev_count:
-                break
-            prev_count = n
-    return anc
+    return ontology.ancestor_closure(edges).filter(
+        F.col("node") != F.col("ancestor")
+    )
 
 
 def j10_incident_ancestors(spark, sf_dir):
@@ -348,6 +333,10 @@ def a3_full_stats(spark, sf_dir):
     # has no provenance column, so it is derived deterministically from
     # doc_id (mirrored in the DuckDB oracle) — the engine-corpus battery in
     # operators/analyze.py reads a real found_by array<string> instead.
+    # HEALTH WARNING: this doc_id%3 provenance is SYNTHETIC — it exercises
+    # the distribution plumbing against the oracle, not real provenance
+    # semantics; those are only tested via analyze.py + datagen's
+    # conv_meta.found_by (r3 verdict housekeeping).
     fb = d.withColumn(
         "found_by",
         F.element_at(
@@ -786,6 +775,10 @@ def knn_cosine(spark, sf_dir):
 
 
 def ann_lsh_bucketed(spark, sf_dir):
+    """Seeded random-projection LSH ANN at catalog defaults (r4 retune:
+    1 projection bit on this isotropic driver corpus — recall@3 0.59-0.63
+    vs brute force, see similarity module docstring + BENCH/BASELINE.md
+    'ANN recall'; the oracle embeds the same seeded weight literals)."""
     return similarity.lsh_bucketed_topk(
         _t(spark, sf_dir, "embeddings"), k=3, query_pred=F.col("query_id") < 50
     ).select("query_id", "neighbor_id", "bucket", "sim")
@@ -793,12 +786,12 @@ def ann_lsh_bucketed(spark, sf_dir):
 
 def ann_multiprobe(spark, sf_dir):
     """Multi-probe LSH ANN (similarity.multiprobe_lsh_topk): the query's
-    bucket plus its 2 single-bit-flip neighbor buckets, one equi-join on
-    the probed key — recall rises toward brute force at the same plan
-    shape (recall measurements in BENCH/BASELINE.md)."""
+    bucket plus its single-bit-flip neighbor buckets, one equi-join on
+    the probed key. R4 defaults: 3 seeded projection bits, full Hamming-1
+    probing — recall@3 0.63-0.69 vs brute force (BENCH/BASELINE.md)."""
     return similarity.multiprobe_lsh_topk(
         _t(spark, sf_dir, "embeddings"), k=3,
-        query_pred=F.col("query_id") < 50, n_probes=2,
+        query_pred=F.col("query_id") < 50,
     )
 
 
@@ -880,22 +873,50 @@ def mention_link_rank(spark, sf_dir):
     )
 
 
-def kg_pipeline_triples(spark, sf_dir):
-    """The actual KG-construction pipeline (north rule) on the deterministic
-    synthetic transcript corpus — rows-only check here; exact-parity vs the
-    pure-Python reference oracle is enforced in tests/test_parity.py."""
+# Fixed corpus for the flagship's DuckDB oracle: datagen is deterministic
+# (seed 42), so both engines can read the SAME parquet from a well-known
+# path — the Spark side through CorpusTables, the oracle SQL through
+# read_parquet() literals (oracles.py builds them from this constant).
+FIXED_CORPUS_N_INCIDENTS = 20
+FIXED_CORPUS_DIR = (
+    f"/tmp/mwep_fixed_corpus_n{FIXED_CORPUS_N_INCIDENTS}_seed42"
+)
+
+
+def ensure_fixed_corpus() -> str:
+    """Generate the fixed flagship corpus if absent (atomic: generate into a
+    scratch dir, rename into place — concurrent Spark/DuckDB readers never
+    see a half-written table)."""
+    import os
+    import shutil
     import tempfile
 
     from . import datagen
+
+    if not os.path.exists(os.path.join(FIXED_CORPUS_DIR, "transcripts.parquet")):
+        tmp = tempfile.mkdtemp(prefix="mwep_fixed_corpus_gen_")
+        datagen.generate_to_dir(
+            tmp, n_incidents=FIXED_CORPUS_N_INCIDENTS, seed=42
+        )
+        try:
+            os.rename(tmp, FIXED_CORPUS_DIR)
+        except OSError:  # lost the race or cross-device: another gen won
+            shutil.rmtree(tmp, ignore_errors=True)
+    return FIXED_CORPUS_DIR
+
+
+def kg_pipeline_triples(spark, sf_dir):
+    """The actual KG-construction pipeline (north rule) on the deterministic
+    synthetic transcript corpus. Since round 4 the full output (T1 text +
+    T2 incident + T3 role + T4 collection triples, reference
+    classes.py:265-353) is hash-checked against a DuckDB oracle over the
+    same fixed parquet corpus (oracles.py); exact parity vs the pure-Python
+    reference oracle additionally holds in tests/test_parity.py."""
     from .plans import pipeline
-    from .sinks import CheckpointStore
     from .sources.tables import CorpusTables
 
-    out = tempfile.mkdtemp(prefix="mwep_corpus_")
-    datagen.generate_to_dir(out, n_incidents=20, seed=42)
-    t = CorpusTables(spark, out)
-    store = CheckpointStore(spark, tempfile.mkdtemp(prefix="mwep_ckpt_"))
-    return pipeline.build(t, store=store).full_triples
+    t = CorpusTables(spark, ensure_fixed_corpus())
+    return pipeline.build(t).full_triples
 
 
 # Exactly 50 entries — the driver's correctness window is 50 rows, so every

@@ -78,9 +78,27 @@ _EMB = "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
 _COS = ("list_dot_product(q.v, c.v) / "
         "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))")
 
-_BUCKET = " + ".join(
-    f"(CASE WHEN v[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
-)
+def _rp_bucket_sql(n_bits: int) -> str:
+    """The DuckDB twin of similarity.rp_bucket: the SAME seeded projection
+    weights (plan-build-time literals on the Spark side) rendered as SQL
+    array literals — repr() round-trips doubles exactly, so both engines
+    compute identical dot-product signs and identical bucket ids."""
+    from .operators.similarity import (
+        DEFAULT_DIM, DEFAULT_SEED, projection_weights,
+    )
+
+    terms = []
+    for i, w in enumerate(projection_weights(n_bits, DEFAULT_DIM, DEFAULT_SEED)):
+        arr = ", ".join(repr(float(x)) for x in w)
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, [{arr}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_BUCKET = _rp_bucket_sql(1)      # similarity.DEFAULT_LSH_BITS
+_BUCKET_MP = _rp_bucket_sql(3)   # similarity.DEFAULT_MULTIPROBE_BITS
 
 _TS_IS_GYEAR = "strftime({c}, '%m-%d %H:%M:%S') = '01-01 00:00:00'"
 
@@ -565,10 +583,11 @@ ORACLES: dict[str, str] = {
     """,
     "ann_multiprobe": f"""
         WITH {_EMB},
-        b AS (SELECT vec_id, v, {_BUCKET} AS bucket FROM e),
+        b AS (SELECT vec_id, v, {_BUCKET_MP} AS bucket FROM e),
         probes AS (
           SELECT vec_id, v, p.probe
-          FROM b, UNNEST([bucket, xor(bucket, 1), xor(bucket, 2)]) AS p(probe)
+          FROM b, UNNEST([bucket, xor(bucket, 1), xor(bucket, 2),
+                          xor(bucket, 4)]) AS p(probe)
           WHERE vec_id < 50),
         pairs AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -698,3 +717,134 @@ ORACLES: dict[str, str] = {
         ) WHERE rank <= 2
     """,
 }
+
+
+# --- flagship oracle: the full KG pipeline's full_triples ------------------
+# The corpus is deterministic (datagen seed 42) and generated to a FIXED
+# dir (catalog.ensure_fixed_corpus), so DuckDB reads the SAME parquet the
+# Spark entry reads. The SQL reproduces the by_incident full-collection
+# path end-to-end (reference main.py:218-227 + classes.py:265-353):
+# document assembly (ordered string_agg == operators/documents.py two-phase
+# assembly), F8 missing-page drop, A2 keep-max-name dedup (rank, ties
+# kept — utils.py:386-398), then the union of T1 text / T2 incident /
+# T3 routed-role / T4 collection-label triples with the P3 'uri | label'
+# unpack and the P4 gYear literal rule, set-deduplicated like rdflib.Graph.
+
+def _kg_pipeline_sql(corpus_dir: str) -> str:
+    wd = "http://www.wikidata.org/entity/"
+    sem = "http://semanticweb.cs.vu.nl/2009/11/sem/"
+    grasp = "http://groundedannotationframework.org/grasp#"
+    dct = "http://purl.org/dc/elements/1.1/"
+    fn = "http://premon.fbk.eu/resource/fn17-"
+    premon = "https://premon.fbk.eu/resource/"
+    dcmi_text = "http://purl.org/dc/dcmitype/Text"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rdfs_label = "http://www.w3.org/2000/01/rdf-schema#label"
+    t = lambda name: f"read_parquet('{corpus_dir}/{name}.parquet')"  # noqa: E731
+    return f"""
+        WITH seeds AS (
+          SELECT * FROM {t('incidents')} WHERE participant_id IS NULL
+        ),
+        cm AS (
+          SELECT m.* FROM {t('conv_meta')} m
+          WHERE m.incident_id IN (SELECT incident_id FROM seeds)
+        ),
+        docs AS (
+          SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS content
+          FROM {t('transcripts')} GROUP BY conv_id
+        ),
+        texts0 AS (
+          SELECT cm.incident_id, cm.lang, cm.name, cm.uri, d.content
+          FROM cm JOIN docs d USING (conv_id)
+          WHERE length(d.content) > 0
+        ),
+        texts AS (
+          SELECT incident_id, lang, name, uri, content FROM (
+            SELECT *, rank() OVER (
+              PARTITION BY incident_id, lang, content ORDER BY name DESC
+            ) AS rnk FROM texts0
+          ) WHERE rnk = 1
+        ),
+        incs AS (
+          SELECT * FROM seeds
+          WHERE incident_id IN (SELECT DISTINCT incident_id FROM texts)
+        ),
+        mapping_roles AS (
+          SELECT DISTINCT tm.type_qid, rm.role
+          FROM {t('type2mapping')} tm
+          JOIN {t('role_mappings')} rm USING (mapping_name)
+        ),
+        roles AS (
+          SELECT r.incident_id, r.role, r.value, i.incident_type
+          FROM {t('incident_roles')} r
+          JOIN incs i USING (incident_id)
+          WHERE EXISTS (SELECT 1 FROM mapping_roles m
+                        WHERE m.type_qid = i.incident_type
+                          AND m.role = r.role)
+        ),
+        role_expr AS (
+          SELECT '{wd}' || incident_id AS subj,
+                 (CASE WHEN string_split(role, ':')[1] = 'sem'
+                       THEN '{sem}' ELSE '{premon}' END)
+                   || string_split(role, ':')[2] AS pred,
+                 trim(string_split(value, '|')[1]) AS unpacked,
+                 string_split(role, ':')[2]
+                   IN ('hasTimeStamp', 'time') AS is_time
+          FROM roles
+        ),
+        all_triples AS (
+          -- T1 per reference text (classes.py:304-317); conv_sources=None
+          -- at the full-collection stage, so no dct:source triples
+          SELECT '{wd}' || incident_id AS subj, '{rdfs_label}' AS pred,
+                 name AS obj, TRUE AS obj_is_literal, lang,
+                 NULL AS datatype FROM texts
+          UNION ALL
+          SELECT '{wd}' || incident_id, '{grasp}denotedIn', uri, FALSE,
+                 NULL, NULL FROM texts
+          UNION ALL
+          SELECT uri, '{dct}description', content, TRUE, NULL, NULL FROM texts
+          UNION ALL
+          SELECT uri, '{dct}title', name, TRUE, NULL, NULL FROM texts
+          UNION ALL
+          SELECT uri, '{dct}language', lang, TRUE, NULL, NULL FROM texts
+          UNION ALL
+          SELECT uri, '{dct}type', '{dcmi_text}', FALSE, NULL, NULL FROM texts
+          UNION ALL
+          -- T2 per incident (classes.py:319-324)
+          SELECT '{wd}' || incident_id, '{rdf_type}', '{sem}Event', FALSE,
+                 NULL, NULL FROM incs
+          UNION ALL
+          SELECT '{wd}' || incident_id, '{sem}eventType', incident_type_uri,
+                 FALSE, NULL, NULL FROM incs
+          UNION ALL
+          SELECT '{wd}' || incident_id, '{rdf_type}',
+                 '{fn}change_of_leadership', FALSE, NULL, NULL FROM incs
+          UNION ALL
+          -- T3 routed roles with P3 unpack + P4 gYear rule
+          SELECT subj, pred,
+                 CASE WHEN is_time AND unpacked LIKE '%-01-01T00:00:00Z'
+                      THEN substr(unpacked, 1, 4) ELSE unpacked END,
+                 is_time, NULL,
+                 CASE WHEN NOT is_time THEN NULL
+                      WHEN unpacked LIKE '%-01-01T00:00:00Z'
+                      THEN 'http://www.w3.org/2001/XMLSchema#gYear'
+                      ELSE 'http://www.w3.org/2001/XMLSchema#date' END
+          FROM role_expr
+          UNION ALL
+          -- T4 per event-type collection (classes.py:347)
+          SELECT DISTINCT incident_type_uri, '{rdfs_label}', incident_type,
+                 TRUE, NULL, NULL FROM incs
+        )
+        SELECT DISTINCT subj, pred, obj, obj_is_literal,
+               CAST(lang AS VARCHAR) AS lang,
+               CAST(datatype AS VARCHAR) AS datatype
+        FROM all_triples
+    """
+
+
+def flagship_oracle() -> dict[str, str]:
+    """kg_pipeline_triples oracle over the fixed corpus — generated lazily
+    so importing this module stays side-effect free until SQL is requested."""
+    from .catalog import ensure_fixed_corpus
+
+    return {"kg_pipeline_triples": _kg_pipeline_sql(ensure_fixed_corpus())}

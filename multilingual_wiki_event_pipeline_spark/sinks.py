@@ -289,16 +289,40 @@ def write_layer_union(store: CheckpointStore, layers: dict[str, DataFrame],
     """
     if payload == "typed":
         seen_types: dict[str, str] = {}
+        emitted: set[str] = set()
+        qualified: set[str] = set()
         parts = []
         for name, df in layers.items():
             sel = []
             for f in df.schema.fields:
+                # up-front schema validation (ADVICE r3): a layer column
+                # named like the tag column, or colliding with a qualified
+                # alias another layer already claimed, would make the union
+                # ambiguous — fail loudly before building it.
+                if f.name == "layer":
+                    raise ValueError(
+                        f"layer {name!r} has a column named 'layer', which "
+                        "collides with the union's tag column"
+                    )
                 t = f.dataType.simpleString()
                 out_name = f.name
                 if seen_types.get(f.name, t) != t:
                     out_name = f"{f.name}__{name}"
                 else:
                     seen_types[f.name] = t
+                collides = (
+                    (out_name != f.name and out_name in emitted)
+                    or (out_name == f.name and out_name in qualified)
+                )
+                if collides:
+                    raise ValueError(
+                        f"layer {name!r} column {f.name!r} maps to "
+                        f"{out_name!r}, which collides with a column "
+                        "another layer already emits under that name"
+                    )
+                emitted.add(out_name)
+                if out_name != f.name:
+                    qualified.add(out_name)
                 sel.append(F.col(f.name).alias(out_name))
             parts.append(df.select(F.lit(name).alias("layer"), *sel))
         union = parts[0]

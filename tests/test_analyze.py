@@ -13,6 +13,18 @@ from multilingual_wiki_event_pipeline_spark.sources.tables import CorpusTables
 FLOAT_FIELDS = {"prim_mean", "prim_var", "prim_skew", "prim_kurt"}
 
 
+def _norm_float(v):
+    """Degenerate-statistics sentinel: Spark's var_samp/skewness/kurtosis
+    emit NaN (or null) where the oracle's guards emit None — fold all three
+    to one value so parity compares the statistic, not the engine's choice
+    of missing-value encoding (ADVICE r3)."""
+    import math
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    return v
+
+
 def test_collection_stats_battery(spark, corpus_dir, corpus):
     t = CorpusTables(spark, corpus_dir)
     o = pipeline.build(t, cache_intermediates=True)
@@ -26,7 +38,11 @@ def test_collection_stats_battery(spark, corpus_dir, corpus):
     assert set(got) == set(want)
     for k, v in want.items():
         if k in FLOAT_FIELDS:
-            assert got[k] == pytest.approx(v, abs=2e-6), k
+            g, w = _norm_float(got[k]), _norm_float(v)
+            if w is None:
+                assert g is None, k
+            else:
+                assert g == pytest.approx(w, abs=2e-6), k
         else:
             assert got[k] == v, (k, got[k], v)
     # non-vacuous: distributions have entries, moments are finite

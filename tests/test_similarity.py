@@ -53,6 +53,34 @@ def test_ivf_full_probe_equals_brute_force(spark, emb):
     assert ivf == bf
 
 
+def test_kmeans_trained_ivf_full_probe_equals_brute_force(spark, emb):
+    """The UNSUPERVISED coarse quantizer (relational Lloyd over
+    assign_cells + per-cell means) must make full-probe IVF exhaustive —
+    equal to brute force regardless of where the trained cells landed."""
+    cents = similarity.kmeans_centroids(emb, k=3, n_iters=4)
+    assert cents.count() == 3  # empty-cell guard keeps k constant
+    bf = _pairs(similarity.brute_force_topk(
+        emb, k=3, query_pred=F.col("query_id") < 12))
+    ivf = _pairs(similarity.ivf_topk(
+        emb, cents, k=3, query_pred=F.col("query_id") < 12, n_probe=3))
+    assert ivf == bf
+
+
+def test_kmeans_recovers_separated_clusters(spark, emb):
+    """On three well-separated clusters, Lloyd from first-k init must
+    converge to one cell per true cluster (cell ids are arbitrary; the
+    partition must match the labels)."""
+    cents = similarity.kmeans_centroids(emb, k=3, n_iters=5)
+    assigned = {r.vec_id: r.cell for r in
+                similarity.assign_cells(emb, cents).collect()}
+    by_label: dict[int, set[int]] = {}
+    for vec_id, cell in assigned.items():
+        by_label.setdefault(vec_id % 3, set()).add(cell)
+    # each true cluster maps to exactly one cell, and no two share one
+    assert all(len(cells) == 1 for cells in by_label.values())
+    assert len({next(iter(c)) for c in by_label.values()}) == 3
+
+
 def test_ivf_single_probe_stays_in_cluster(spark, emb):
     cents = similarity.label_centroids(emb)
     got = similarity.ivf_topk(
@@ -69,9 +97,9 @@ def test_multiprobe_superset_of_single_probe(spark, emb):
     """Multi-probe recall is monotone: every (query, neighbor) the
     single-bucket search finds is also found with probes added, and the
     reported sims agree with the exact cosine."""
-    single = _pairs(similarity.lsh_bucketed_topk(emb, k=36, n_bits=4))
+    single = _pairs(similarity.lsh_bucketed_topk(emb, k=36, n_bits=4, dim=4))
     multi = _pairs(similarity.multiprobe_lsh_topk(
-        emb, k=36, n_bits=4, n_probes=2))
+        emb, k=36, n_bits=4, n_probes=2, dim=4))
     assert set(single) <= set(multi)
     # sims are the exact cosine, rounded — spot-check against a local calc
     rows = {r.vec_id: r.embedding for r in emb.collect()}

@@ -165,6 +165,72 @@ def test_turns_split_across_batches(spark, corpus_dir, tmp_path, batch_full_trip
     )
 
 
+def test_compaction_parity_and_continued_ingest(spark, corpus_dir, tmp_path,
+                                                batch_full_triples):
+    """Round-4 streamed-view compaction: (1) compacting absorbs the live
+    batch partitions and the reader output is unchanged; (2) a stream
+    RESUMED after compaction (same checkpoint, new input) re-assembles
+    conversations from the compacted turn history and parity still holds.
+    Worst-case split: even turn_idx arrives before the compaction, odd
+    after — every conversation must be re-assembled across the boundary."""
+    t = CorpusTables(spark, corpus_dir)
+    stream_in = str(tmp_path / "in")
+    os.makedirs(stream_in)
+    tr = spark.read.parquet(f"{corpus_dir}/transcripts.parquet")
+
+    def add_half(parity: int) -> None:
+        (
+            tr.filter(F.col("turn_idx") % 2 == parity)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp_path / f"half{parity}"))
+        )
+        part = [
+            f for f in os.listdir(str(tmp_path / f"half{parity}"))
+            if f.endswith(".parquet")
+        ][0]
+        shutil.copy(
+            str(tmp_path / f"half{parity}" / part),
+            os.path.join(stream_in, f"batchfile_{parity}.parquet"),
+        )
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    add_half(0)
+    q = ingest.incremental_triples(
+        ingest.stream_transcripts(spark, stream_in), t, out, ckpt
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    pre_compact = _triples(ingest.read_streamed_triples(spark, out))
+    max_id = ingest.compact_streamed_triples(spark, out)
+    assert max_id >= 0
+    # live partitions absorbed, compacted stores in place
+    assert not [d for d in os.listdir(out) if d.startswith("batch_id=")]
+    assert not [d for d in os.listdir(f"{out}/_turns")
+                if d.startswith("batch_id=")]
+    # (1) compaction is a pure materialization: reader output unchanged
+    assert _triples(ingest.read_streamed_triples(spark, out)) == pre_compact
+
+    # (2) resume the SAME checkpointed stream on new input (the odd turns)
+    add_half(1)
+    q = ingest.incremental_triples(
+        ingest.stream_transcripts(spark, stream_in), t, out, ckpt
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    got = _triples(ingest.read_streamed_triples(spark, out))
+    assert got == batch_full_triples, (
+        list(got - batch_full_triples)[:4],
+        list(batch_full_triples - got)[:4],
+    )
+    # a second compaction over (compact + new batches) is idempotent too
+    ingest.compact_streamed_triples(spark, out)
+    assert _triples(ingest.read_streamed_triples(spark, out)) == batch_full_triples
+
+
 def test_conversation_progress_stateful(spark, corpus_dir, tmp_path):
     stream_in = str(tmp_path / "in")
     os.makedirs(stream_in)

@@ -1,109 +1,256 @@
 """Two-parallelism scaling benchmark (north rule's N vs 4N executors,
-sandbox proxy: local[8] vs local[32] — same job, same input, separate JVMs).
+sandbox proxy: same job, same input, separate JVMs at local[N] / local[4N]).
 
-Writes BENCH/BASELINE.md (human table + confs + per-stage timings) and
-BENCH/scaling.json (machine-readable).
+Writes BENCH/scaling_{A}v{B}.md (human table + confs + per-stage timings)
+and BENCH/scaling_{A}v{B}.json (machine-readable).
 
-Usage: python tools/bench_scaling.py [n_incidents] [--levels N,4N] [--reps R]
+Usage: python tools/bench_scaling.py [n_incidents] [--levels N,4N]
+           [--reps R] [--payload json|typed] [--corpus-dir DIR]
 
-The sandbox host shows 1.5-5x run-to-run noise (shared VM); each level runs
-R times (default 2) and the BEST run counts — standard practice for wall
-benchmarks under one-sided noise.
+Noise-hardened protocol (round-3 verdict: the sandbox host shows 1.5-5x
+one-sided run-to-run noise, which drowned both the PASS and the MISS it was
+asked to adjudicate):
+
+- **Sentinel contamination metering.** A fixed single-thread CPU job
+  (sha256 over a fixed buffer, ~1 s) is calibrated at start (min of 5
+  runs = the host's clean floor). During every rep a sampler thread
+  re-runs the sentinel every ~20 s, so mid-rep host bursts are seen, not
+  just rep-boundary ones. A rep is REJECTED when the 75th-percentile
+  sentinel wall exceeds 1.35x the calibrated floor (or any single sample
+  exceeds 2.5x); rejected reps are retried up to a per-level attempt cap.
+  Rejected walls are kept in the report — nothing is silently dropped.
+- **Interleaved levels.** Reps alternate A/B/A/B instead of level blocks,
+  so a slow host hour cannot land entirely on one level and masquerade as
+  a scaling effect.
+- **Distribution reporting.** Headline throughput uses the best accepted
+  wall (standard under one-sided noise); the JSON/MD also carry median and
+  spread of accepted walls plus the full accepted/rejected lists.
 """
 
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 import tempfile
+import threading
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from multilingual_wiki_event_pipeline_spark import datagen  # noqa: E402
 
+SENTINEL_BUF = b"\x5a" * (1 << 22)  # 4 MiB fixed buffer
+SENTINEL_ITERS = 150                # ~1 s of single-core sha256 on a clean host
+SENTINEL_PERIOD_SEC = 20.0
+REJECT_P75_RATIO = 1.35
+REJECT_MAX_RATIO = 2.5
 
-def run_level(cpus: int, corpus_dir: str, reps: int) -> dict:
-    best, walls = None, []
-    for _ in range(reps):
-        # level the page-cache field between runs: flush dirty pages so a
-        # run doesn't inherit the previous one's writeback debt
-        subprocess.run(["sync"], check=False)
+
+def sentinel_wall() -> float:
+    """One timed run of the fixed single-thread sentinel job."""
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(SENTINEL_ITERS):
+        h.update(SENTINEL_BUF)
+    h.digest()
+    return time.perf_counter() - t0
+
+
+def calibrate(n: int = 5) -> float:
+    return min(sentinel_wall() for _ in range(n))
+
+
+class SentinelSampler:
+    """Background thread: one sentinel run every SENTINEL_PERIOD_SEC while a
+    rep is in flight. Costs one core — the host has 32 and the reps use 1-4,
+    so the sampler never competes with the measured job."""
+
+    def __init__(self) -> None:
+        self.walls: list[float] = []
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            self.walls.append(sentinel_wall())
+            self._stop.wait(SENTINEL_PERIOD_SEC)
+
+    def __enter__(self) -> "SentinelSampler":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._thread.join(timeout=10)
+
+
+def contamination(walls: list[float], floor: float) -> dict:
+    """Sentinel verdict for one rep: p75 and max ratio vs the calibrated
+    clean floor, plus the accept/reject decision."""
+    if not walls:
+        return {"p75_ratio": None, "max_ratio": None, "accepted": True}
+    ratios = sorted(w / floor for w in walls)
+    p75 = ratios[min(len(ratios) - 1, (3 * len(ratios)) // 4)]
+    mx = ratios[-1]
+    return {
+        "p75_ratio": round(p75, 3),
+        "max_ratio": round(mx, 3),
+        "accepted": p75 <= REJECT_P75_RATIO and mx <= REJECT_MAX_RATIO,
+    }
+
+
+def run_rep(cpus: int, corpus_dir: str, payload: str | None,
+            floor: float) -> dict:
+    """One worker subprocess under sentinel sampling."""
+    subprocess.run(["sync"], check=False)  # level the page-cache field
+    env = dict(os.environ)
+    if payload:
+        env["MWEP_PAYLOAD"] = payload
+    with SentinelSampler() as sampler:
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "_scaling_worker.py"),
              str(cpus), corpus_dir],
-            capture_output=True, text=True, timeout=7200,
+            capture_output=True, text=True, timeout=7200, env=env,
         )
-        if proc.returncode != 0:
-            sys.stderr.write(proc.stderr[-4000:])
-            raise SystemExit(f"worker local[{cpus}] failed")
-        r = json.loads(proc.stdout.strip().splitlines()[-1])
-        walls.append(r["wall_sec"])
-        if best is None or r["wall_sec"] < best["wall_sec"]:
-            best = r
-    # report the full distribution, not just best-of (round-2 verdict):
-    # the host's 1.5-5x one-sided noise makes a single number unreadable
-    best["rep_walls_sec"] = walls
-    return best
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise SystemExit(f"worker local[{cpus}] failed")
+    r = json.loads(proc.stdout.strip().splitlines()[-1])
+    r["sentinel"] = {
+        "walls_sec": [round(w, 3) for w in sampler.walls],
+        **contamination(sampler.walls, floor),
+    }
+    return r
+
+
+def summarize(reps: list[dict]) -> dict:
+    """Level summary over accepted reps (best + median + spread), with the
+    rejected walls kept alongside."""
+    accepted = [r for r in reps if r["sentinel"]["accepted"]]
+    rejected = [r for r in reps if not r["sentinel"]["accepted"]]
+    pool = accepted or reps  # never empty: fall back to all reps, flagged
+    best = min(pool, key=lambda r: r["wall_sec"])
+    walls = sorted(r["wall_sec"] for r in pool)
+    out = dict(best)
+    out["rep_walls_sec"] = [r["wall_sec"] for r in reps]
+    out["accepted_walls_sec"] = [r["wall_sec"] for r in accepted]
+    out["rejected"] = [
+        {"wall_sec": r["wall_sec"], "sentinel": r["sentinel"]} for r in rejected
+    ]
+    out["sentinels"] = [r["sentinel"] for r in reps]
+    out["median_wall_sec"] = round(statistics.median(walls), 2)
+    out["spread_sec"] = round(walls[-1] - walls[0], 2)
+    out["all_accepted"] = not rejected
+    out["fallback_no_accepted_rep"] = not accepted
+    return out
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("n_incidents", nargs="?", type=int, default=1200)
     ap.add_argument("--levels", default="8,32")
-    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--reps", type=int, default=3,
+                    help="accepted reps wanted per level")
+    ap.add_argument("--max-attempts", type=int, default=None,
+                    help="attempt cap per level (default reps+2)")
+    ap.add_argument("--payload", default=None,
+                    help="MWEP_PAYLOAD for the worker (json|typed); "
+                         "default: worker default")
     ap.add_argument("--corpus-dir", default=None,
                     help="reuse a pre-generated corpus (kept afterwards); "
                          "generated there if the dir has no transcripts yet")
     args = ap.parse_args()
     n_incidents = args.n_incidents
-    global LEVELS
-    LEVELS = tuple(int(x) for x in args.levels.split(","))
+    levels = tuple(int(x) for x in args.levels.split(","))
+    max_attempts = args.max_attempts or args.reps + 2
     keep = args.corpus_dir is not None
     corpus_dir = args.corpus_dir or tempfile.mkdtemp(
         prefix="mwep_scaling_corpus_", dir="/dev/shm"
     )
+    floor = calibrate()
+    print(f"sentinel floor: {floor:.3f}s", flush=True)
+    reps: dict[int, list[dict]] = {c: [] for c in levels}
+    attempts = {c: 0 for c in levels}
     try:
         if not os.path.exists(os.path.join(corpus_dir, "transcripts.parquet")):
             os.makedirs(corpus_dir, exist_ok=True)
             datagen.generate_to_dir(corpus_dir, n_incidents=n_incidents, seed=42)
-        results = {c: run_level(c, corpus_dir, args.reps) for c in LEVELS}
+        # interleave A/B/A/B until each level has `reps` accepted or its cap
+        while True:
+            progressed = False
+            for c in levels:
+                n_ok = sum(r["sentinel"]["accepted"] for r in reps[c])
+                if n_ok >= args.reps or attempts[c] >= max_attempts:
+                    continue
+                attempts[c] += 1
+                r = run_rep(c, corpus_dir, args.payload, floor)
+                reps[c].append(r)
+                s = r["sentinel"]
+                print(
+                    f"local[{c}] rep {attempts[c]}: wall {r['wall_sec']}s "
+                    f"sentinel p75x{s['p75_ratio']} "
+                    f"{'ok' if s['accepted'] else 'REJECTED'}",
+                    flush=True,
+                )
+                progressed = True
+            if not progressed:
+                break
     finally:
         if not keep:
             shutil.rmtree(corpus_dir, ignore_errors=True)
 
-    lo, hi = results[LEVELS[0]], results[LEVELS[1]]
+    results = {c: summarize(reps[c]) for c in levels}
+    lo, hi = results[levels[0]], results[levels[1]]
     ratio = hi["turns_per_sec"] / lo["turns_per_sec"]
-    efficiency = ratio / (LEVELS[1] / LEVELS[0])
+    efficiency = ratio / (levels[1] / levels[0])
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     payload = {
         "n_incidents": n_incidents,
         "n_turns": lo["n_turns"],
+        "protocol": {
+            "sentinel_floor_sec": round(floor, 3),
+            "sentinel_period_sec": SENTINEL_PERIOD_SEC,
+            "reject_p75_ratio": REJECT_P75_RATIO,
+            "reject_max_ratio": REJECT_MAX_RATIO,
+            "interleaved": True,
+            "reps_wanted": args.reps,
+            "max_attempts": max_attempts,
+        },
         "levels": results,
         "throughput_ratio": round(ratio, 3),
         "scaling_efficiency": round(efficiency, 3),
         "target": 0.8,
         "pass": efficiency >= 0.8,
     }
-    with open(os.path.join(
-        REPO, "BENCH", f"scaling_{LEVELS[0]}v{LEVELS[1]}.json"
-    ), "w") as f:
+    tag = f"{levels[0]}v{levels[1]}"
+    with open(os.path.join(REPO, "BENCH", f"scaling_{tag}.json"), "w") as f:
         json.dump(payload, f, indent=2)
 
     stage_rows = "\n".join(
         f"| {s} | {lo['stage_wall_sec'].get(s, '—')} | {hi['stage_wall_sec'].get(s, '—')} |"
         for s in sorted(set(lo["stage_wall_sec"]) | set(hi["stage_wall_sec"]))
     )
+
+    def level_row(c: int, r: dict) -> str:
+        rej = [x["wall_sec"] for x in r["rejected"]]
+        return (
+            f"| local[{c}] | {r['wall_sec']} | {r['median_wall_sec']} | "
+            f"{r['turns_per_sec']} | {r['accepted_walls_sec']} | {rej} |"
+        )
+
     md = f"""# BENCH — two-parallelism scaling run
 
 North-rule scaling criterion, sandbox proxy (no multi-node cluster here):
-the **same job on the same input** at `local[{LEVELS[0]}]` and
-`local[{LEVELS[1]}]` in separate JVMs — the stand-in for N vs 4N executors.
+the **same job on the same input** at `local[{levels[0]}]` and
+`local[{levels[1]}]` in separate JVMs — the stand-in for N vs 4N executors.
 
 - Job: full KG pipeline (ingest -> pilot filters -> mention alignment ->
   entity linking -> corefs -> SRL -> triple serialization), stage
@@ -115,34 +262,38 @@ the **same job on the same input** at `local[{LEVELS[0]}]` and
   `spark.sql.files.maxPartitionBytes = 2 MB` (sandbox-scale analog of
   sizing splits to the data; corpus parquet written with 4096-row groups
   so the scan is splittable).
+- Noise protocol: interleaved A/B/A/B reps; a ~1 s single-thread sha256
+  sentinel sampled every {SENTINEL_PERIOD_SEC:.0f} s during each rep
+  (calibrated clean floor {floor:.3f} s); reps with sentinel p75 >
+  {REJECT_P75_RATIO}x floor (or any sample > {REJECT_MAX_RATIO}x) are
+  rejected and retried; headline = best ACCEPTED wall, with median +
+  all rep walls reported.
 
-| parallelism | wall (s), best | turns/sec | all reps (s) |
-|---|---|---|---|
-| local[{LEVELS[0]}] | {lo['wall_sec']} | {lo['turns_per_sec']} | {lo.get('rep_walls_sec')} |
-| local[{LEVELS[1]}] | {hi['wall_sec']} | {hi['turns_per_sec']} | {hi.get('rep_walls_sec')} |
+| parallelism | wall (s), best accepted | median | turns/sec | accepted walls (s) | rejected walls (s) |
+|---|---|---|---|---|---|
+{level_row(levels[0], lo)}
+{level_row(levels[1], hi)}
 
 Output representation: payload={lo.get('payload')}, codec={lo.get('codec')}.
 
-**Throughput ratio ({LEVELS[1]}/{LEVELS[0]} cores): {ratio:.2f}x over a
-{LEVELS[1] // LEVELS[0]}x core increase -> scaling efficiency =
+**Throughput ratio ({levels[1]}/{levels[0]} cores): {ratio:.2f}x over a
+{levels[1] // levels[0]}x core increase -> scaling efficiency =
 {efficiency:.3f}** (target >= 0.8: {"PASS" if efficiency >= 0.8 else "MISS"}).
 
-Per-stage wall seconds (mirrors the reference's stage-timing CSV columns,
-reference main.py:498-500):
+Per-stage wall seconds of the best accepted rep (mirrors the reference's
+stage-timing CSV columns, reference main.py:498-500):
 
-| stage | local[{LEVELS[0]}] | local[{LEVELS[1]}] |
+| stage | local[{levels[0]}] | local[{levels[1]}] |
 |---|---|---|
 {stage_rows}
 
 Output-count equality across levels: {"identical" if lo['counts'] == hi['counts'] else "MISMATCH " + str((lo['counts'], hi['counts']))}
 (counts: {json.dumps(lo['counts'])})
 
-Machine-readable copy: `BENCH/scaling.json`. Reproduce with
-`python tools/bench_scaling.py {n_incidents}`.
+Machine-readable copy: `BENCH/scaling_{tag}.json`. Reproduce with
+`python tools/bench_scaling.py {n_incidents} --levels {levels[0]},{levels[1]}`.
 """
-    with open(os.path.join(
-        REPO, "BENCH", f"scaling_{LEVELS[0]}v{LEVELS[1]}.md"
-    ), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"scaling_{tag}.md"), "w") as f:
         f.write(md)
     print(json.dumps(payload))
 
