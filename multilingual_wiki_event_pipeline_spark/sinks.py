@@ -252,7 +252,7 @@ class CheckpointStore:
 
 
 def write_layer_union(store: CheckpointStore, layers: dict[str, DataFrame],
-                      stage: str, payload: str = "json",
+                      stage: str, payload: str = "typed",
                       compression: str | None = None) -> DataFrame:
     """Fold independent output layers into ONE tagged write job.
 
@@ -264,24 +264,30 @@ def write_layer_union(store: CheckpointStore, layers: dict[str, DataFrame],
     single floor. Per-layer row counts come for free from the parquet
     footers via ``layer_row_counts`` (partition dirs carry ``layer=``).
 
-    ``payload`` picks the union representation:
+    ``payload`` picks the union representation. BOTH sides of the trade
+    are measured (BENCH/BASELINE.md "payload A/B" + scaling tables):
 
-    - ``"json"`` (default): (layer, to_json(struct)) — one 2-column schema
-      regardless of layers. MEASURED WINNER at this workload's shape
-      (BENCH/BASELINE.md "payload A/B", round 3): in back-to-back 8-core
-      runs whose non-output stages timed within 5 % of each other, the
-      json out_layers stage wrote in 29.7 s vs 135.5 s for the typed
-      superschema — a ~40-sparse-column union pays more in per-column
-      writer machinery (def-levels, page/dictionary state × columns ×
-      partitions) than json pays in escaping, and zstd compresses the
-      repeated keys well. Readers: ``from_json(payload, schema)``.
-    - ``"typed"``: a nullable SUPERSCHEMA — every layer keeps its native
-      columns, missing ones null-filled by
+    - ``"typed"`` (DEFAULT since round 4): a nullable SUPERSCHEMA — every
+      layer keeps its native columns, missing ones null-filled by
       ``unionByName(allowMissingColumns=True)``; a column name claimed by
       an earlier layer with a different type is layer-qualified
-      (``name__layer``). Kept because the trade reverses when layers
-      share most columns (narrow superschema) or when readers need
-      column pruning/predicate pushdown on the stored layers.
+      (``name__layer``). Default because it is the 100 TB design-point
+      winner on both axes that matter there: (1) SCALING — the typed
+      full-pipeline 1→4-core run measured efficiency 0.849 (5 reps/level,
+      15.1 M turns) where json's runs measured 0.691/contaminated
+      (BENCH/scaling_1v4.json); (2) READERS — stored layers keep column
+      pruning and predicate pushdown, which a JSON blob forfeits.
+    - ``"json"``: (layer, to_json(struct)) — one 2-column schema
+      regardless of layers. The single-node WALL winner at this
+      workload's shape: in back-to-back 8-core runs whose non-output
+      stages timed within 5 %, the json out_layers stage wrote in 29.7 s
+      vs 135.5 s typed (round-3 A/B; re-measured round 4 — see
+      BENCH/payload_ab_8core.md) — a ~40-sparse-column union pays more in
+      per-column writer machinery (def-levels, page/dictionary state ×
+      columns × partitions) than json pays in escaping, and zstd
+      compresses the repeated keys well. Keep it for single-JVM,
+      wall-clock-bound runs whose output is re-parsed anyway
+      (``from_json(payload, schema)``).
 
     ``compression`` overrides the session parquet codec for this stage
     (e.g. ``"snappy"`` or ``"lz4"`` when write CPU, not storage, is the

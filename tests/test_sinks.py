@@ -98,10 +98,12 @@ def test_counters_roundtrip(spark, store_dir):
 
 
 def test_layer_union_typed_superschema_roundtrip(spark, tmp_path):
-    """write_layer_union payload='typed' folds N layers into one tagged
-    write under a nullable superschema: shared same-type columns merge, a
-    name reused with a different type is layer-qualified, missing columns
-    null-fill, and per-layer counts come from lineage."""
+    """write_layer_union's typed superschema mode — exercised via the
+    DEFAULT payload (typed IS the shipped default; this test pins that) —
+    folds N layers into one tagged write under a nullable superschema:
+    shared same-type columns merge, a name reused with a different type is
+    layer-qualified, missing columns null-fill, and per-layer counts come
+    from lineage."""
     store = CheckpointStore(spark, str(tmp_path / "ckpt_lu"))
     a = spark.range(7).select(F.col("id").alias("x"), (F.col("id") * 2).alias("y"))
     b = spark.range(3).select(F.col("id").cast("string").alias("s"))
@@ -109,8 +111,7 @@ def test_layer_union_typed_superschema_roundtrip(spark, tmp_path):
         F.col("id").alias("x"),                      # same name+type as a.x
         F.col("id").cast("string").alias("y"),        # name clash, new type
     )
-    out = write_layer_union(store, {"a": a, "b": b, "c": c}, "out_layers",
-                            payload="typed")
+    out = write_layer_union(store, {"a": a, "b": b, "c": c}, "out_layers")
     assert set(out.columns) == {"layer", "x", "y", "s", "y__c"}
     assert layer_row_counts(store, "out_layers") == {"a": 7, "b": 3, "c": 2}
     back_a = out.filter(F.col("layer") == "a").select("x", "y")
@@ -125,11 +126,11 @@ def test_layer_union_typed_superschema_roundtrip(spark, tmp_path):
 
 
 def test_layer_union_json_mode(spark, tmp_path):
-    """The JSON payload representation (the measured default) round-trips
-    through from_json."""
+    """The JSON payload representation (the single-JVM wall knob; typed is
+    the shipped default) round-trips through from_json."""
     store = CheckpointStore(spark, str(tmp_path / "ckpt_lu_json"))
     a = spark.range(4).select(F.col("id").alias("x"))
-    out = write_layer_union(store, {"a": a}, "out_layers",
+    out = write_layer_union(store, {"a": a}, "out_layers", payload="json",
                             compression="snappy")
     assert set(out.columns) == {"layer", "payload"}
     back = (

@@ -77,11 +77,16 @@ def main() -> None:
             "corefs": o.corefs,
             "srl_links": o.srl_links,
         }
-        # A/B knobs for the output representation (round-3 verdict item 3):
-        # typed nullable superschema (default, no JSON escaping) vs the
-        # round-2 JSON payload; parquet codec override (e.g. snappy when
-        # write CPU, not storage, binds).
-        payload = os.environ.get("MWEP_PAYLOAD", "json")
+        # A/B knobs for the output representation: MWEP_PAYLOAD overrides;
+        # unset means MEASURE THE SHIPPED DEFAULT (write_layer_union's own
+        # default), so the scaling evidence always tracks the config users
+        # actually get (round-3 verdict item 1).
+        import inspect
+
+        default_payload = inspect.signature(
+            write_layer_union
+        ).parameters["payload"].default
+        payload = os.environ.get("MWEP_PAYLOAD", default_payload)
         codec = os.environ.get("MWEP_CODEC") or None
         write_layer_union(store, outs, "out_layers", payload=payload,
                           compression=codec)
