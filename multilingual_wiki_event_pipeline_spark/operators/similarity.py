@@ -278,8 +278,9 @@ def ivf_topk(embeddings: DataFrame, centroids: DataFrame, k: int = 3,
 
     The candidate join is EQUI on cell — same scale shape as the LSH paths
     (shuffle partitions by cell, skewed cells split by AQE); the centroid
-    table is the trained coarse quantizer (``label_centroids`` is the
-    sandbox stand-in for a k-means trainer — same output schema).
+    table is the trained coarse quantizer — ``kmeans_centroids`` (the
+    unsupervised Lloyd trainer) for real corpora, or ``label_centroids``
+    when the corpus already carries cluster ids (same output schema).
     Raising ``n_probe`` trades compute for recall exactly like multi-probe
     LSH, but probes are the query's *nearest* cells rather than bit flips,
     which tracks the data distribution instead of the hash geometry.

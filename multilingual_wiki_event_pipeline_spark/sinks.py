@@ -265,29 +265,29 @@ def write_layer_union(store: CheckpointStore, layers: dict[str, DataFrame],
     footers via ``layer_row_counts`` (partition dirs carry ``layer=``).
 
     ``payload`` picks the union representation. BOTH sides of the trade
-    are measured (BENCH/BASELINE.md "payload A/B" + scaling tables):
+    are measured (BENCH/payload_ab_8core.md + scaling tables):
 
     - ``"typed"`` (DEFAULT since round 4): a nullable SUPERSCHEMA — every
       layer keeps its native columns, missing ones null-filled by
       ``unionByName(allowMissingColumns=True)``; a column name claimed by
       an earlier layer with a different type is layer-qualified
-      (``name__layer``). Default because it is the 100 TB design-point
-      winner on both axes that matter there: (1) SCALING — the typed
-      full-pipeline 1→4-core run measured efficiency 0.849 (5 reps/level,
-      15.1 M turns) where json's runs measured 0.691/contaminated
-      (BENCH/scaling_1v4.json); (2) READERS — stored layers keep column
-      pruning and predicate pushdown, which a JSON blob forfeits.
+      (``name__layer``). Default because it wins every measured axis:
+      (1) SCALING — the typed full-pipeline 1→4-core run measured
+      efficiency 0.849 (5 reps/level, 15.1 M turns) where json's runs
+      measured 0.691/contaminated (BENCH/scaling_1v4.json); (2) READERS —
+      stored layers keep column pruning and predicate pushdown, which a
+      JSON blob forfeits; (3) WRITE COST — none: the round-4
+      contamination-metered A/B measured the payload-touched stage at
+      parity (typed 29.3 s vs json 29.7 s out_layers at 8 cores;
+      round 3's "typed writes 4.6× slower" was host noise — its clean
+      re-measurement collapsed 135.5 s to 29.3 s, see
+      BENCH/payload_ab_8core.md).
     - ``"json"``: (layer, to_json(struct)) — one 2-column schema
-      regardless of layers. The single-node WALL winner at this
-      workload's shape: in back-to-back 8-core runs whose non-output
-      stages timed within 5 %, the json out_layers stage wrote in 29.7 s
-      vs 135.5 s typed (round-3 A/B; re-measured round 4 — see
-      BENCH/payload_ab_8core.md) — a ~40-sparse-column union pays more in
-      per-column writer machinery (def-levels, page/dictionary state ×
-      columns × partitions) than json pays in escaping, and zstd
-      compresses the repeated keys well. Keep it for single-JVM,
-      wall-clock-bound runs whose output is re-parsed anyway
-      (``from_json(payload, schema)``).
+      regardless of layers, re-parsed by readers via
+      ``from_json(payload, schema)``. No longer claimed as a wall-clock
+      winner (that round-3 reading did not survive noise-controlled
+      re-measurement); kept for sinks that want a fixed 2-column schema
+      across heterogeneous layer sets.
 
     ``compression`` overrides the session parquet codec for this stage
     (e.g. ``"snappy"`` or ``"lz4"`` when write CPU, not storage, is the

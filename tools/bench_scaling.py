@@ -22,6 +22,14 @@ asked to adjudicate):
 - **Interleaved levels.** Reps alternate A/B/A/B instead of level blocks,
   so a slow host hour cannot land entirely on one level and masquerade as
   a scaling effect.
+- **Busy floor for saturating levels.** A level whose core count reaches
+  the machine width (e.g. local[32] on 32 vCPUs) starves the sampler by
+  construction — the sentinel then measures the job's own fair-share +
+  bandwidth pressure, not external contamination, and every rep would be
+  rejected against the idle floor. Such levels are judged against a
+  second floor calibrated under a synthetic full-width CPU load
+  (``calibrate_busy``); non-saturating levels keep the stricter idle
+  floor.
 - **Distribution reporting.** Headline throughput uses the best accepted
   wall (standard under one-sided noise); the JSON/MD also carry median and
   spread of accepted walls plus the full accepted/rejected lists.
@@ -65,6 +73,45 @@ def sentinel_wall() -> float:
 
 def calibrate(n: int = 5) -> float:
     return min(sentinel_wall() for _ in range(n))
+
+
+def _spin(seconds: float) -> None:
+    """Full-core synthetic load for busy-floor calibration (subprocess
+    target — plain sha256 loop, same work profile as the sentinel)."""
+    end = time.perf_counter() + seconds
+    h = hashlib.sha256()
+    while time.perf_counter() < end:
+        h.update(SENTINEL_BUF)
+
+
+def calibrate_busy(idle_floor: float, n_procs: int | None = None,
+                   n_samples: int = 3) -> float:
+    """Sentinel wall while the WHOLE machine runs a synthetic CPU load —
+    the expected sentinel reading during a SATURATING rep (cpus >= nproc)
+    on an otherwise-clean host.
+
+    Rationale (measured round 4): at `local[32]` on a 32-vCPU box the
+    measured job itself competes with the sampler for cycles and shared
+    memory bandwidth, so the sentinel reads 1.5-4x the IDLE floor even
+    with zero external contamination — every saturating-level rep gets
+    auto-rejected and the tool silently degrades to its flagged fallback.
+    Rejection for saturating levels is therefore measured against this
+    busy floor; non-saturating levels keep the idle floor, which is the
+    stricter (correct) baseline when the sampler has a free core."""
+    import multiprocessing as mp
+
+    n = n_procs or os.cpu_count() or 32
+    budget = (n_samples + 1) * max(idle_floor * 8, 4.0)
+    procs = [mp.Process(target=_spin, args=(budget,), daemon=True)
+             for _ in range(n)]
+    for p in procs:
+        p.start()
+    time.sleep(max(idle_floor, 1.0))  # let the load ramp
+    walls = [sentinel_wall() for _ in range(n_samples)]
+    for p in procs:
+        p.terminate()
+        p.join(timeout=5)
+    return max(statistics.median(walls), idle_floor)
 
 
 class SentinelSampler:
@@ -176,6 +223,18 @@ def main() -> None:
     )
     floor = calibrate()
     print(f"sentinel floor: {floor:.3f}s", flush=True)
+    # levels that saturate the machine get the busy floor (see
+    # calibrate_busy): there the measured job itself slows the sampler
+    nproc = os.cpu_count() or 32
+    saturating = [c for c in levels if c >= 0.75 * nproc]
+    busy_floor = None
+    if saturating:
+        busy_floor = calibrate_busy(floor)
+        print(f"busy floor (levels {saturating}): {busy_floor:.3f}s",
+              flush=True)
+    floor_for = {
+        c: busy_floor if c in saturating else floor for c in levels
+    }
     reps: dict[int, list[dict]] = {c: [] for c in levels}
     attempts = {c: 0 for c in levels}
     try:
@@ -190,7 +249,7 @@ def main() -> None:
                 if n_ok >= args.reps or attempts[c] >= max_attempts:
                     continue
                 attempts[c] += 1
-                r = run_rep(c, corpus_dir, args.payload, floor)
+                r = run_rep(c, corpus_dir, args.payload, floor_for[c])
                 reps[c].append(r)
                 s = r["sentinel"]
                 print(
@@ -217,6 +276,8 @@ def main() -> None:
         "n_turns": lo["n_turns"],
         "protocol": {
             "sentinel_floor_sec": round(floor, 3),
+            "busy_floor_sec": round(busy_floor, 3) if busy_floor else None,
+            "busy_floor_levels": saturating,
             "sentinel_period_sec": SENTINEL_PERIOD_SEC,
             "reject_p75_ratio": REJECT_P75_RATIO,
             "reject_max_ratio": REJECT_MAX_RATIO,
