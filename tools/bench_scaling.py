@@ -38,7 +38,6 @@ asked to adjudicate):
 from __future__ import annotations
 
 import argparse
-import hashlib
 import json
 import os
 import shutil
@@ -46,111 +45,16 @@ import statistics
 import subprocess
 import sys
 import tempfile
-import threading
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
 
 from multilingual_wiki_event_pipeline_spark import datagen  # noqa: E402
-
-SENTINEL_BUF = b"\x5a" * (1 << 22)  # 4 MiB fixed buffer
-SENTINEL_ITERS = 150                # ~1 s of single-core sha256 on a clean host
-SENTINEL_PERIOD_SEC = 20.0
-REJECT_P75_RATIO = 1.35
-REJECT_MAX_RATIO = 2.5
-
-
-def sentinel_wall() -> float:
-    """One timed run of the fixed single-thread sentinel job."""
-    t0 = time.perf_counter()
-    h = hashlib.sha256()
-    for _ in range(SENTINEL_ITERS):
-        h.update(SENTINEL_BUF)
-    h.digest()
-    return time.perf_counter() - t0
-
-
-def calibrate(n: int = 5) -> float:
-    return min(sentinel_wall() for _ in range(n))
-
-
-def _spin(seconds: float) -> None:
-    """Full-core synthetic load for busy-floor calibration (subprocess
-    target — plain sha256 loop, same work profile as the sentinel)."""
-    end = time.perf_counter() + seconds
-    h = hashlib.sha256()
-    while time.perf_counter() < end:
-        h.update(SENTINEL_BUF)
-
-
-def calibrate_busy(idle_floor: float, n_procs: int | None = None,
-                   n_samples: int = 3) -> float:
-    """Sentinel wall while the WHOLE machine runs a synthetic CPU load —
-    the expected sentinel reading during a SATURATING rep (cpus >= nproc)
-    on an otherwise-clean host.
-
-    Rationale (measured round 4): at `local[32]` on a 32-vCPU box the
-    measured job itself competes with the sampler for cycles and shared
-    memory bandwidth, so the sentinel reads 1.5-4x the IDLE floor even
-    with zero external contamination — every saturating-level rep gets
-    auto-rejected and the tool silently degrades to its flagged fallback.
-    Rejection for saturating levels is therefore measured against this
-    busy floor; non-saturating levels keep the idle floor, which is the
-    stricter (correct) baseline when the sampler has a free core."""
-    import multiprocessing as mp
-
-    n = n_procs or os.cpu_count() or 32
-    budget = (n_samples + 1) * max(idle_floor * 8, 4.0)
-    procs = [mp.Process(target=_spin, args=(budget,), daemon=True)
-             for _ in range(n)]
-    for p in procs:
-        p.start()
-    time.sleep(max(idle_floor, 1.0))  # let the load ramp
-    walls = [sentinel_wall() for _ in range(n_samples)]
-    for p in procs:
-        p.terminate()
-        p.join(timeout=5)
-    return max(statistics.median(walls), idle_floor)
-
-
-class SentinelSampler:
-    """Background thread: one sentinel run every SENTINEL_PERIOD_SEC while a
-    rep is in flight. Costs one core — the host has 32 and the reps use 1-4,
-    so the sampler never competes with the measured job."""
-
-    def __init__(self) -> None:
-        self.walls: list[float] = []
-        self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._run, daemon=True)
-
-    def _run(self) -> None:
-        while not self._stop.is_set():
-            self.walls.append(sentinel_wall())
-            self._stop.wait(SENTINEL_PERIOD_SEC)
-
-    def __enter__(self) -> "SentinelSampler":
-        self._thread.start()
-        return self
-
-    def __exit__(self, *exc) -> None:
-        self._stop.set()
-        self._thread.join(timeout=10)
-
-
-def contamination(walls: list[float], floor: float) -> dict:
-    """Sentinel verdict for one rep: p75 and max ratio vs the calibrated
-    clean floor, plus the accept/reject decision."""
-    if not walls:
-        return {"p75_ratio": None, "max_ratio": None, "accepted": True}
-    ratios = sorted(w / floor for w in walls)
-    p75 = ratios[min(len(ratios) - 1, (3 * len(ratios)) // 4)]
-    mx = ratios[-1]
-    return {
-        "p75_ratio": round(p75, 3),
-        "max_ratio": round(mx, 3),
-        "accepted": p75 <= REJECT_P75_RATIO and mx <= REJECT_MAX_RATIO,
-    }
+from sentinel import (  # noqa: E402
+    REJECT_MAX_RATIO, REJECT_P75_RATIO, SENTINEL_PERIOD_SEC, SentinelSampler,
+    calibrate, calibrate_busy, contamination,
+)
 
 
 def run_rep(cpus: int, corpus_dir: str, payload: str | None,
