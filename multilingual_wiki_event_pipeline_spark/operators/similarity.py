@@ -336,15 +336,25 @@ def ivf_topk(embeddings: DataFrame, centroids: DataFrame, k: int = 3,
 
 
 def _per_cell_mean(assigned: DataFrame, key: str = "cell",
-                   vec: str = "v") -> DataFrame:
+                   vec: str = "v", round_to: int | None = None) -> DataFrame:
     """(key, vec array<double>) -> (cell, centroid): per-cell per-dimension
     mean. posexplode → groupBy(key, pos) avg (map-side partial agg) →
     re-assemble in pos order. One shuffle on (key, pos); reassembly is a
-    small second shuffle of cell-count × dim rows."""
+    small second shuffle of cell-count × dim rows.
+
+    ``round_to`` rounds each mean to that many decimals — the
+    cross-engine determinism knob for the ``ann_ivf`` DuckDB oracle:
+    float summation ORDER differs between Spark's partial aggregates and
+    DuckDB's scan order, so raw avg() can differ in the last ulp;
+    rounding to 9 decimals wipes the ulp while leaving the clustering
+    geometry untouched."""
+    m = F.avg("x")
+    if round_to is not None:
+        m = F.round(m, round_to)
     exploded = assigned.select(
         F.col(key).alias("cell"), F.posexplode(vec).alias("pos", "x")
     )
-    per_dim = exploded.groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+    per_dim = exploded.groupBy("cell", "pos").agg(m.alias("m"))
     return per_dim.groupBy("cell").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "m"))),
@@ -365,7 +375,8 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
 
 
 def kmeans_centroids(embeddings: DataFrame, k: int = 16,
-                     n_iters: int = 5) -> DataFrame:
+                     n_iters: int = 5,
+                     round_to: int | None = None) -> DataFrame:
     """Relational k-means (Lloyd) trainer for the IVF coarse quantizer —
     no labels needed (round-3 verdict "What's missing" #2).
 
@@ -398,7 +409,7 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 16,
     )
     for _ in range(n_iters):
         assigned = assign_cells(embeddings, cents)
-        new_cents = _per_cell_mean(assigned)
+        new_cents = _per_cell_mean(assigned, round_to=round_to)
         kept = cents.join(new_cents.select("cell"), "cell", "left_anti")
         cents = new_cents.unionByName(kept).localCheckpoint()
     return cents

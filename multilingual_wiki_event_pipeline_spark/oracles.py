@@ -100,6 +100,75 @@ def _rp_bucket_sql(n_bits: int) -> str:
 _BUCKET = _rp_bucket_sql(1)      # similarity.DEFAULT_LSH_BITS
 _BUCKET_MP = _rp_bucket_sql(3)   # similarity.DEFAULT_MULTIPROBE_BITS
 
+
+def _cos_of(a: str, b: str) -> str:
+    return (f"list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b})))")
+
+
+def _ivf_sql(k: int = 8, n_iters: int = 2, n_probe: int = 2, topk: int = 3,
+             dim: int = 64, round_to: int = 9) -> str:
+    """DuckDB twin of catalog.ann_ivf: the deterministic Lloyd trainer
+    (similarity.kmeans_centroids — first-k-by-vec_id init, fixed
+    iterations, empty cells keep their previous centroid) unrolled into
+    one CTE pair per round, then the IVF assign/probe/topk. Per-cell
+    per-dim means are ROUND()ed to ``round_to`` decimals in BOTH engines
+    (similarity._per_cell_mean round_to) so float summation order cannot
+    leak a ulp into the comparison."""
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT vec_id, v, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cell) AS rn
+            FROM (SELECT e.vec_id, e.v, c.cell,
+                         {_cos_of('e.v', 'c.centroid')} AS csim
+                  FROM e CROSS JOIN {cents} c)
+          ) WHERE rn = 1)"""
+
+    ctes = [f"""c0 AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+                 v AS centroid
+          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))"""]
+    for i in range(1, n_iters + 1):
+        ctes.append(assign(f"a{i}", f"c{i - 1}"))
+        ctes.append(f"""m{i} AS (
+          SELECT cell, list(m ORDER BY pos) AS centroid FROM (
+            SELECT cell, p.pos, ROUND(AVG(a.v[p.pos + 1]), {round_to}) AS m
+            FROM a{i} a CROSS JOIN (SELECT unnest(range({dim})) AS pos) p
+            GROUP BY cell, p.pos
+          ) GROUP BY cell)""")
+        ctes.append(f"""c{i} AS (
+          SELECT i.cell, COALESCE(m.centroid, i.centroid) AS centroid
+          FROM c{i - 1} i LEFT JOIN m{i} m USING (cell))""")
+    final = f"c{n_iters}"
+    ctes.append(assign("af", final))
+    ctes.append(f"""qc AS (
+          SELECT query_id, qv, cell FROM (
+            SELECT query_id, qv, cell,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY csim DESC, cell) AS rn
+            FROM (SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+                         {_cos_of('q.v', 'c.centroid')} AS csim
+                  FROM e q CROSS JOIN {final} c WHERE q.vec_id < 50)
+          ) WHERE rn <= {n_probe})""")
+    ctes.append(f"""pairs AS (
+          SELECT qc.query_id, a.vec_id AS neighbor_id,
+                 ROUND({_cos_of('qc.qv', 'a.v')}, 6) AS sim
+          FROM qc JOIN af a USING (cell)
+          WHERE qc.query_id <> a.vec_id)""")
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {_EMB},
+        {body}
+        SELECT query_id, neighbor_id, sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rn
+          FROM pairs
+        ) WHERE rn <= {topk}
+    """
+
 _TS_IS_GYEAR = "strftime({c}, '%m-%d %H:%M:%S') = '01-01 00:00:00'"
 
 ORACLES: dict[str, str] = {
@@ -531,10 +600,6 @@ ORACLES: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY md5(text)
     """,
-    "dedup_minhash_sig": f"""
-        WITH {_MINHASH_BANDS}
-        SELECT doc_id, band, band_sig FROM bands
-    """,
     "dedup_minhash_pairs": f"""
         WITH {_MINHASH_BANDS},
         pairs AS (
@@ -599,6 +664,7 @@ ORACLES: dict[str, str] = {
           FROM pairs
         ) WHERE rn <= 3
     """,
+    "ann_ivf": _ivf_sql(),
     "lang_id_profile": """
         WITH padded AS (
           SELECT doc_id, concat(' ', text, ' ') AS p FROM documents),
@@ -717,6 +783,18 @@ ORACLES: dict[str, str] = {
         ) WHERE rank <= 2
     """,
 }
+
+# Oracles for catalog.EXTRA_QUERIES — entries rotated out of the driver's
+# 50-row correctness window (round 5: dedup_minhash_sig made room for
+# ann_ivf) but still hash-checked by the CI full-catalog gate
+# (tools/check_oracle.run_checks unions these in).
+EXTRA_ORACLES: dict[str, str] = {
+    "dedup_minhash_sig": f"""
+        WITH {_MINHASH_BANDS}
+        SELECT doc_id, band, band_sig FROM bands
+    """,
+}
+
 
 
 # --- flagship oracle: the full KG pipeline's full_triples ------------------
