@@ -914,14 +914,27 @@ def ensure_fixed_corpus() -> str:
     from . import datagen
 
     if not os.path.exists(os.path.join(FIXED_CORPUS_DIR, "transcripts.parquet")):
-        tmp = tempfile.mkdtemp(prefix="mwep_fixed_corpus_gen_")
+        # scratch dir on the SAME filesystem as the destination — mkdtemp's
+        # default honors TMPDIR, which can sit on another mount and make
+        # every os.rename fail with EXDEV (round-4 ADVICE: the except then
+        # misread EXDEV as "lost the race", deleted the corpus, and
+        # returned a nonexistent dir)
+        os.makedirs(os.path.dirname(FIXED_CORPUS_DIR), exist_ok=True)
+        tmp = tempfile.mkdtemp(
+            prefix="mwep_fixed_corpus_gen_",
+            dir=os.path.dirname(FIXED_CORPUS_DIR),
+        )
         datagen.generate_to_dir(
             tmp, n_incidents=FIXED_CORPUS_N_INCIDENTS, seed=42
         )
         try:
             os.rename(tmp, FIXED_CORPUS_DIR)
-        except OSError:  # lost the race or cross-device: another gen won
+        except OSError:  # lost the generation race: another process won
             shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(
+                os.path.join(FIXED_CORPUS_DIR, "transcripts.parquet")
+            ):
+                raise  # not a lost race — surface the real failure
     return FIXED_CORPUS_DIR
 
 

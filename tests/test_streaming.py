@@ -260,3 +260,126 @@ def test_conversation_progress_stateful(spark, corpus_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def _copy_single_parquet(df, scratch_dir: str, dest_file: str) -> None:
+    df.coalesce(1).write.mode("overwrite").parquet(scratch_dir)
+    part = [f for f in os.listdir(scratch_dir) if f.endswith(".parquet")][0]
+    shutil.copy(os.path.join(scratch_dir, part), dest_file)
+
+
+def test_compaction_reversible_dedup_and_manifest_swap(
+        spark, corpus_dir, tmp_path, batch_full_triples):
+    """Round-5, closing the r4 ADVICE (medium) + verdict item 5.
+
+    Reversibility: compaction persists the PRE-A2 collapsed view, so a
+    content-dedup LOSER's triples survive compaction. When a later batch
+    diverges the WINNER's content (its conversation receives more turns),
+    the read-time A2 replay must resurrect the loser — batch semantics
+    hold even though the loser's conversation was never touched after the
+    compaction that absorbed it. (The r4 compaction materialized the A2
+    OUTPUT and deleted the loser forever — this test fails on that code.)
+
+    Manifest swap: the compaction commit is an atomic pointer update and
+    the previous version's dirs are kept for one cycle, so a reader
+    resolved BEFORE a commit still executes after it; dirs older than the
+    kept version are removed by the next commit.
+    """
+    t = CorpusTables(spark, corpus_dir)
+    stream_in = str(tmp_path / "in")
+    os.makedirs(stream_in)
+    tr = spark.read.parquet(f"{corpus_dir}/transcripts.parquet")
+    # batch 0: '-0' convs; batch 1: '-1' convs. The duplicate-content pair
+    # (datagen: i%20==3 — the '-1' page copies '-0's content and its name
+    # sorts LARGER, so '-1' is the A2 winner) lands in separate batches.
+    for suffix in ("0", "1"):
+        _copy_single_parquet(
+            tr.filter(F.col("conv_id").endswith(f"-{suffix}")),
+            str(tmp_path / f"split{suffix}"),
+            os.path.join(stream_in, f"batchfile_{suffix}.parquet"),
+        )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = ingest.incremental_triples(
+        ingest.stream_transcripts(spark, stream_in, max_files_per_trigger=1),
+        t, out, ckpt,
+    )
+    q.awaitTermination(180)
+    assert ingest.compact_streamed_triples(spark, out) >= 0
+
+    snapshot = _triples(ingest.read_streamed_triples(spark, out))
+    assert snapshot == batch_full_triples
+    # lazy reader handle resolved at version 1 — collected only after the
+    # NEXT compaction commits (deterministic resolve-then-swap interleaving)
+    df_v1 = ingest.read_streamed_triples(spark, out)
+
+    def extra_turns(bump: int, text: str):
+        return (
+            tr.filter(F.col("conv_id").endswith("-1"))
+            .groupBy("conv_id")
+            .agg(F.max("turn_idx").alias("mi"), F.max("ts").alias("mts"))
+            .select(
+                "conv_id",
+                (F.col("mi") + bump).cast("int").alias("turn_idx"),
+                F.lit("user").alias("role"),
+                F.lit(text).alias("text"),
+                F.lit(None).cast("string").alias("tool"),
+                F.col("mts").alias("ts"),
+            )
+        )
+
+    # batch 2: one extra turn on every '-1' conversation — every A2 winner
+    # diverges from its untouched '-0' twin
+    e1 = extra_turns(1, "fresh divergence turn")
+    _copy_single_parquet(e1, str(tmp_path / "extra1"),
+                         os.path.join(stream_in, "batchfile_2.parquet"))
+    q = ingest.incremental_triples(
+        ingest.stream_transcripts(spark, stream_in), t, out, ckpt
+    )
+    q.awaitTermination(180)
+    assert ingest.compact_streamed_triples(spark, out) >= 0
+
+    # swap semantics: v2 committed, v1 kept one cycle, pre-commit reader
+    # still executes and sees its resolved (frozen) version
+    assert os.path.isdir(f"{out}/_compact_v2")
+    assert os.path.isdir(f"{out}/_compact_v1")
+    assert _triples(df_v1) == snapshot
+
+    # ground truth = the BATCH pipeline over the augmented transcripts:
+    # both units of each dup pair now survive (contents diverged)
+    aug = tr.unionByName(e1)
+    docs = documents.assemble_documents(aug)
+    seeds = t.incidents.filter(F.col("participant_id").isNull())
+    meta = t.conv_meta.join(
+        seeds.select("incident_id"), "incident_id", "left_semi"
+    )
+    texts = pilot.full_texts(meta, docs)
+    incidents = pilot.incidents_with_texts(seeds, texts)
+    roles = t.incident_roles.join(
+        incidents.select("incident_id"), "incident_id", "left_semi"
+    )
+    expected = _triples(
+        triples.serialize_collection(
+            incidents, texts, roles, t.type2mapping, t.role_mappings
+        )
+    )
+    assert expected != batch_full_triples  # divergence really changed output
+    got = _triples(ingest.read_streamed_triples(spark, out))
+    assert got == expected, (
+        list(got - expected)[:4], list(expected - got)[:4],
+    )
+
+    # batch 3 + third compaction: v1 (older than the kept version) is
+    # dropped, v2 kept one cycle, v3 current
+    _copy_single_parquet(extra_turns(2, "second divergence turn"),
+                         str(tmp_path / "extra2"),
+                         os.path.join(stream_in, "batchfile_3.parquet"))
+    q = ingest.incremental_triples(
+        ingest.stream_transcripts(spark, stream_in), t, out, ckpt
+    )
+    q.awaitTermination(180)
+    assert ingest.compact_streamed_triples(spark, out) >= 0
+    assert not os.path.isdir(f"{out}/_compact_v1")
+    assert os.path.isdir(f"{out}/_compact_v2")
+    assert os.path.isdir(f"{out}/_compact_v3")
+    man = ingest._read_manifest(out)
+    assert man["version"] == 3 and man["triples"].endswith("_compact_v3")
