@@ -23,11 +23,12 @@ dedup, salted partition column on writes (sinks.py).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import cached_property
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from typing import TYPE_CHECKING
+from typing import TYPE_CHECKING, Callable
 
 from ..operators import (
     documents, gazetteer as G, mentions as M, ontology, pilot, srl, triples,
@@ -57,7 +58,18 @@ class PipelineOutputs:
     srl_links: DataFrame
     gazetteer_links: DataFrame
     type_index: DataFrame
-    incident_ancestors: DataFrame
+    # Every field above is a LAZY DataFrame (no job until an action).
+    # incident_ancestors is the one output whose construction itself runs
+    # jobs (the closure's iterate-to-fixpoint needs eager localCheckpoints
+    # and convergence counts), so it is deferred behind a thunk: a consumer
+    # that never reads it pays nothing (round-5 kg attribution measured
+    # ~2.2 s of closure jobs inside build() for an output the headline run
+    # never consumed).
+    incident_ancestors_thunk: "Callable[[], DataFrame]" = None
+
+    @cached_property
+    def incident_ancestors(self) -> DataFrame:
+        return self.incident_ancestors_thunk()
 
 
 def build(t: CorpusTables, target_languages: list[str] = None,
@@ -190,12 +202,12 @@ def build(t: CorpusTables, target_languages: list[str] = None,
     # + ancestor expansion through the ontology closure (utils.py:555-569),
     # the subsumed_by matching substrate (utils.py:117-118).
     typ_index = ontology.type_index(t.incident_direct_types, p_incidents)
-    inc_ancestors = ontology.incident_ancestors(
-        t.incident_direct_types.join(
-            incidents_full.select("incident_id"), "incident_id", "left_semi"
-        ),
-        t.ontology_edges,
+    direct_types_full = t.incident_direct_types.join(
+        incidents_full.select("incident_id"), "incident_id", "left_semi"
     )
+
+    def inc_ancestors() -> DataFrame:
+        return ontology.incident_ancestors(direct_types_full, t.ontology_edges)
 
     return PipelineOutputs(
         docs=docs, turns_out=turns_out,
@@ -205,5 +217,5 @@ def build(t: CorpusTables, target_languages: list[str] = None,
         pilot_triples=pilot_triples,
         tokens=tokens, mentions=linked, corefs=corefs, srl_links=srl_links,
         gazetteer_links=gaz_links,
-        type_index=typ_index, incident_ancestors=inc_ancestors,
+        type_index=typ_index, incident_ancestors_thunk=inc_ancestors,
     )

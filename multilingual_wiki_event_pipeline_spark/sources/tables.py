@@ -24,16 +24,29 @@ TABLE_NAMES = (
 
 @dataclass
 class CorpusTables:
-    """Lazy handles to every corpus input table."""
+    """Lazy handles to every corpus input table.
+
+    Handles are memoized per table name: ``spark.read.parquet`` resolves
+    the schema EAGERLY (a driver-side footer read + a py4j round trip,
+    ~80 ms each), and ``pipeline.build`` touches several tables many
+    times — re-reading cost ~2 s of the measured driver-side plan wall
+    (round-5 kg attribution). One DataFrame handle per table is also what
+    Catalyst wants: identical scan nodes share analysis."""
 
     spark: SparkSession
     root: str
     catalog: str | None = None  # e.g. "iceberg_cat.mwep" when Iceberg is up
 
     def table(self, name: str) -> DataFrame:
-        if self.catalog:
-            return self.spark.read.table(f"{self.catalog}.{name}")
-        return self.spark.read.parquet(f"{self.root}/{name}.parquet")
+        cache = self.__dict__.setdefault("_handles", {})
+        if name not in cache:
+            if self.catalog:
+                cache[name] = self.spark.read.table(f"{self.catalog}.{name}")
+            else:
+                cache[name] = self.spark.read.parquet(
+                    f"{self.root}/{name}.parquet"
+                )
+        return cache[name]
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLE_NAMES:
