@@ -66,8 +66,36 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Skip Hadoop's checksum LocalFileSystem for local writes: it
+        # doubles every create (.crc twin) and, with no native-hadoop lib,
+        # falls back to fork/exec'ing `chmod`/`ls` per metadata op — the
+        # round-5 probes measured those spawns convoying every executor
+        # thread on the JVM's mmap_lock. Real deployments commit through
+        # HDFS/S3 committers; RawLocalFileSystem is the faithful local
+        # stand-in (parquet bytes are identical, just no .crc siblings).
+        .config("spark.hadoop.fs.file.impl",
+                "org.apache.hadoop.fs.RawLocalFileSystem")
     )
+    # Fix the driver heap (-Xms = -Xmx) and pre-touch it at JVM start —
+    # standard fleet practice (executors are sized, not elastic), and on
+    # this sandbox it is load-bearing: an Xmx-only G1 heap cycles
+    # commit -> GC -> uncommit -> re-fault, and the host backs only
+    # ~18 GB of the VM's advertised RAM (tools/page_touch_ceiling.py;
+    # BENCH/BASELINE.md "memory-backing cliff"), so a wandering heap
+    # intermittently falls off a 100x-slower first-touch path. Opt out
+    # with SPARK_HEAP_FIXED=0 (e.g. to run many concurrent sessions).
+    merged_java_opts = False
+    if os.environ.get("SPARK_HEAP_FIXED", "1") != "0":
+        mem = os.environ.get("SPARK_DRIVER_MEM", "8g")
+        fixed_opts = f"-Xms{mem} -XX:+AlwaysPreTouch"
+        user_opts = (extra_conf or {}).get("spark.driver.extraJavaOptions", "")
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", f"{fixed_opts} {user_opts}".strip()
+        )
+        merged_java_opts = True
     for k, v in (extra_conf or {}).items():
+        if merged_java_opts and k == "spark.driver.extraJavaOptions":
+            continue  # merged above
         builder = builder.config(k, v)
     return builder.getOrCreate()
 

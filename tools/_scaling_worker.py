@@ -3,7 +3,17 @@ once at a given parallelism level and prints one JSON line with wall time,
 turns/sec, and per-stage timings (mirroring the reference's stage CSV,
 main.py:498-500).
 
-Usage: python tools/_scaling_worker.py <cpus> <corpus_dir>
+Usage: python tools/_scaling_worker.py <level> <corpus_dir>
+
+``level`` is either an integer N (one JVM, ``local[N]``) or ``ExC``
+(``local-cluster[E,C,mem]``: E separate executor JVMs x C cores each —
+the faithful sandbox proxy for the north rule's "N vs 4N executors",
+because executor-count scaling is what a real cluster changes). The
+round-5 diagnosis (tools/cpu_ceiling.py, tools/page_touch_ceiling.py,
+BENCH/BASELINE.md "Why local[32] anti-scaled") showed single-JVM local[32]
+serializes on process-wide state a real fleet does not share: one G1 heap
+(grow/uncommit churn when only -Xmx is set) and one mmap_lock convoyed by
+Hadoop local-fs chmod fork/execs. Both fixes below apply to either mode.
 """
 
 from __future__ import annotations
@@ -24,31 +34,74 @@ from multilingual_wiki_event_pipeline_spark.sources.tables import CorpusTables  
 
 
 def main() -> None:
-    cpus = int(sys.argv[1])
+    level = sys.argv[1]
     corpus_dir = sys.argv[2]
+    if "x" in level:
+        n_exec, cores_each = (int(p) for p in level.split("x"))
+        cpus = n_exec * cores_each
+    else:
+        n_exec, cores_each = None, None
+        cpus = int(level)
     # one JVM hosts every "executor" thread in local mode: size the heap
-    # like a real executor fleet would be sized (the 8g default starves 32
-    # threads of storage memory — task result blocks get evicted =>
-    # TaskResultLost — once the relational alignment's token-table shuffle
-    # is in the plan). Overridable via SPARK_DRIVER_MEM.
-    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    # like a real executor fleet would be sized — but INSIDE the host's
+    # real backing budget. The r2-r4 value of 48g (chosen after 8g
+    # TaskResultLost evictions at a 60k-incident corpus) is exactly wrong
+    # on this sandbox: the host backs only ~18 GB of the VM's advertised
+    # 125 GB (tools/page_touch_ceiling.py chunk sweep — first-touch
+    # collapses 100x past ~18 GB cumulative), so a 48g heap intermittently
+    # falls off the cliff and walls swing 1.5-5x. 12g pretouched (via
+    # session.py's fixed-heap default) + ~5 GB of python workers + tmpfs
+    # shuffle stays under budget. Overridable via SPARK_DRIVER_MEM.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "12g")
     # tmpfs for shuffle + checkpoint store: the sandbox has ONE ~76 MB/s
     # sys-CPU-bound block device, a resource that on a real cluster scales
     # with the executor count (HDFS/S3/local NVMe per node). Leaving it in
     # the measurement caps both parallelism levels at the same disk ceiling
     # and measures the disk, not the engine.
     shm = tempfile.mkdtemp(prefix=f"mwep_local_{cpus}_", dir="/dev/shm")
-    spark = get_spark(
-        master=f"local[{cpus}]",
-        app_name=f"mwep-scaling-{cpus}",
-        shuffle_partitions=2 * cpus,
+    extra_conf = {
         # sandbox-scale analog of sizing spark.sql.files.maxPartitionBytes to
         # the data: the corpus is a few MB, so give the scan row-group-sized
         # splits; at 100 TB the 128 MB default gives the same >=1-split-per-core.
-        extra_conf={
-            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
-            "spark.local.dir": shm,
-        },
+        "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+        "spark.local.dir": shm,
+        # (RawLocalFileSystem + the fixed pre-touched driver heap now come
+        # from session.get_spark's defaults.)
+    }
+    if n_exec is None:
+        master = f"local[{cpus}]"
+    else:
+        # Budget: host backs ~18 GB total (see above). 4 executors x 3g
+        # + 12g driver-session JVM is too much, so local-cluster runs get
+        # a small driver via SPARK_DRIVER_MEM below and 3g executors,
+        # fixed + pretouched like a real fleet would be.
+        os.environ["SPARK_DRIVER_MEM"] = os.environ.get(
+            "SPARK_DRIVER_LC_MEM", "3g"
+        )
+        exec_mb = int(os.environ.get("SPARK_EXEC_MEM_MB", "3072"))
+        master = f"local-cluster[{n_exec},{cores_each},{exec_mb}]"
+        # the master-string mem is the WORKER's capacity; the executor JVM
+        # heap comes from spark.executor.memory — set both, or the -Xms
+        # below exceeds the default 1g -Xmx and the executor JVM dies at
+        # launch in a relaunch loop.
+        extra_conf["spark.executor.memory"] = f"{exec_mb}m"
+        extra_conf["spark.executor.extraJavaOptions"] = (
+            f"-Xms{exec_mb}m -XX:+AlwaysPreTouch"
+        )
+        # local-cluster executors spawn their own python workers, which
+        # (unlike local[N]'s driver-forked workers) do not inherit the
+        # driver's sys.path — ship the repo root so the pandas-UDF
+        # closures can re-import their modules.
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        prior = os.environ.get("PYTHONPATH", "")
+        extra_conf["spark.executorEnv.PYTHONPATH"] = (
+            f"{repo}:{prior}" if prior else repo
+        )
+    spark = get_spark(
+        master=master,
+        app_name=f"mwep-scaling-{level}",
+        shuffle_partitions=2 * cpus,
+        extra_conf=extra_conf,
     )
     spark.sparkContext.setLogLevel("ERROR")
     t = CorpusTables(spark, corpus_dir)

@@ -119,7 +119,13 @@ def main() -> None:
                          "generated there if the dir has no transcripts yet")
     args = ap.parse_args()
     n_incidents = args.n_incidents
-    levels = tuple(int(x) for x in args.levels.split(","))
+    levels = tuple(args.levels.split(","))  # "8" (local[8]) or "4x8" (local-cluster)
+
+    def total_cores(spec: str) -> int:
+        if "x" in spec:
+            e, c = spec.split("x")
+            return int(e) * int(c)
+        return int(spec)
     max_attempts = args.max_attempts or args.reps + 2
     keep = args.corpus_dir is not None
     corpus_dir = args.corpus_dir or tempfile.mkdtemp(
@@ -130,7 +136,7 @@ def main() -> None:
     # levels that saturate the machine get the busy floor (see
     # calibrate_busy): there the measured job itself slows the sampler
     nproc = os.cpu_count() or 32
-    saturating = [c for c in levels if c >= 0.75 * nproc]
+    saturating = [c for c in levels if total_cores(c) >= 0.75 * nproc]
     busy_floor = None
     if saturating:
         busy_floor = calibrate_busy(floor)
@@ -172,7 +178,7 @@ def main() -> None:
     results = {c: summarize(reps[c]) for c in levels}
     lo, hi = results[levels[0]], results[levels[1]]
     ratio = hi["turns_per_sec"] / lo["turns_per_sec"]
-    efficiency = ratio / (levels[1] / levels[0])
+    efficiency = ratio / (total_cores(levels[1]) / total_cores(levels[0]))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     payload = {
@@ -204,18 +210,26 @@ def main() -> None:
         for s in sorted(set(lo["stage_wall_sec"]) | set(hi["stage_wall_sec"]))
     )
 
-    def level_row(c: int, r: dict) -> str:
+    def master_of(spec: str) -> str:
+        if "x" in spec:
+            e, c = spec.split("x")
+            return f"local-cluster[{e},{c},mem]"
+        return f"local[{spec}]"
+
+    def level_row(c: str, r: dict) -> str:
         rej = [x["wall_sec"] for x in r["rejected"]]
         return (
-            f"| local[{c}] | {r['wall_sec']} | {r['median_wall_sec']} | "
+            f"| {master_of(c)} | {r['wall_sec']} | {r['median_wall_sec']} | "
             f"{r['turns_per_sec']} | {r['accepted_walls_sec']} | {rej} |"
         )
 
     md = f"""# BENCH — two-parallelism scaling run
 
 North-rule scaling criterion, sandbox proxy (no multi-node cluster here):
-the **same job on the same input** at `local[{levels[0]}]` and
-`local[{levels[1]}]` in separate JVMs — the stand-in for N vs 4N executors.
+the **same job on the same input** at `{master_of(levels[0])}` and
+`{master_of(levels[1])}` in separate JVM fleets — the stand-in for N vs 4N
+executors (an `ExC` level spec runs E separate executor JVMs x C cores
+each via local-cluster mode; a plain `N` runs one JVM with N threads).
 
 - Job: full KG pipeline (ingest -> pilot filters -> mention alignment ->
   entity linking -> corefs -> SRL -> triple serialization), stage
@@ -241,14 +255,16 @@ the **same job on the same input** at `local[{levels[0]}]` and
 
 Output representation: payload={lo.get('payload')}, codec={lo.get('codec')}.
 
-**Throughput ratio ({levels[1]}/{levels[0]} cores): {ratio:.2f}x over a
-{levels[1] // levels[0]}x core increase -> scaling efficiency =
+**Throughput ratio ({total_cores(levels[1])}/{total_cores(levels[0])}
+cores): {ratio:.2f}x over a
+{total_cores(levels[1]) // total_cores(levels[0])}x core increase ->
+scaling efficiency =
 {efficiency:.3f}** (target >= 0.8: {"PASS" if efficiency >= 0.8 else "MISS"}).
 
 Per-stage wall seconds of the best accepted rep (mirrors the reference's
 stage-timing CSV columns, reference main.py:498-500):
 
-| stage | local[{levels[0]}] | local[{levels[1]}] |
+| stage | {master_of(levels[0])} | {master_of(levels[1])} |
 |---|---|---|
 {stage_rows}
 
