@@ -150,18 +150,26 @@ def build(t: CorpusTables, target_languages: list[str] = None,
         texts_f4, target_languages, must_have_all_languages,
         must_have_english, one_page_per_language,
     )
+    # cache, don't checkpoint: p_incidents is a small frame (<= one row per
+    # incident) whose F4 aggregation chain feeds FIVE sibling branches of
+    # the fused output write (p_texts/p_roles semi-joins + the three
+    # incident-keyed triple parts). Spark executes a repeated uncached
+    # subplan once PER BRANCH inside a single job — measured at ~9.7 s of
+    # the 32-core pilot_triples wall, the dominant non-scaling slice of
+    # out_layers (round-5 straggler probe).
     p_incidents = pilot.deterministic_pilot_limit(
         inc_f4.join(p_texts.select("incident_id").distinct(), "incident_id", "left_semi"),
         max_pilot_incidents,
-    )
+    ).cache()
     p_texts = maybe_cache(
         p_texts.join(p_incidents.select("incident_id"), "incident_id", "left_semi"),
         "s02_pilot_texts",
     )
+    # same reasoning: consumed by role_triples AND the SRL/coref chains.
     p_roles = pilot.backfill_role_labels(
         t.incident_roles.join(p_incidents.select("incident_id"), "incident_id", "left_semi"),
         t.entity_labels,
-    )
+    ).cache()
     pilot_triples = serialize(
         p_incidents, p_texts, p_roles,
         conv_sources=t.conv_sources,  # pilot stage fetched primary links
