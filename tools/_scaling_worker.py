@@ -49,10 +49,15 @@ def main() -> None:
     # on this sandbox: the host backs only ~18 GB of the VM's advertised
     # 125 GB (tools/page_touch_ceiling.py chunk sweep — first-touch
     # collapses 100x past ~18 GB cumulative), so a 48g heap intermittently
-    # falls off the cliff and walls swing 1.5-5x. 12g pretouched (via
-    # session.py's fixed-heap default) + ~5 GB of python workers + tmpfs
-    # shuffle stays under budget. Overridable via SPARK_DRIVER_MEM.
-    os.environ.setdefault("SPARK_DRIVER_MEM", "12g")
+    # falls off the cliff and walls swing 1.5-5x. 8g pretouched (via
+    # session.py's fixed-heap default) + ~5 GB of python workers at 32
+    # cores + tmpfs shuffle stays under budget (12g measured 3.7x slower
+    # at local[32]: the python-worker fleet pushed the total past the
+    # cliff). 8g verified clean at the 60k-incident corpus (7.5 M turns,
+    # zero TaskResultLost — the r2 evictions came from the retired
+    # relational-alignment token shuffle, not corpus size); raise via
+    # SPARK_DRIVER_MEM only if evictions reappear at larger corpora.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "8g")
     # tmpfs for shuffle + checkpoint store: the sandbox has ONE ~76 MB/s
     # sys-CPU-bound block device, a resource that on a real cluster scales
     # with the executor count (HDFS/S3/local NVMe per node). Leaving it in
