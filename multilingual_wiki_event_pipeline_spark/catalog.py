@@ -845,6 +845,23 @@ def multimodal_frames(spark, sf_dir):
     )
 
 
+def multimodal_resize(spark, sf_dir):
+    """REAL codec-free image resize (round 5 — the former env-limited
+    stub): deterministic 16x12 raw-RGB frames (md5-pattern payloads) ->
+    8x8 nearest-neighbor via the numpy mapInPandas kernel
+    (operators/multimodal.resize_images). The payload is built from md5
+    hexdigest ASCII bytes, so the DuckDB oracle reproduces the EXACT
+    resized bytes with VARCHAR substring arithmetic and the comparison is
+    a full value hash, not plumbing-only."""
+    t = multimodal.to_raw_image_table(
+        _t(spark, sf_dir, "documents"), width=16, height=12
+    )
+    r = multimodal.resize_images(t, target=(8, 8))
+    return r.select(
+        "doc_id", "width", "height", F.md5("payload").alias("payload_md5")
+    )
+
+
 def mention_link_rank(spark, sf_dir):
     """North-star steps 3-4 on the driver tables: gazetteer mention
     detection + candidate-ranked entity linking (KG-corpus twin with exact
@@ -996,5 +1013,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # by dedup_minhash_pairs (the band-signature equi-join consumes them) and
 # canonicalize_components.
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    f.__name__: f for f in [dedup_minhash_sig]
+    f.__name__: f for f in [dedup_minhash_sig, multimodal_resize]
 }

@@ -108,22 +108,95 @@ def frame_sample(binary_df: DataFrame, frame_size: int = 64,
     return narrow.mapInPandas(kernel, schema=FRAME_SCHEMA)
 
 
-def resize_stub(binary_df: DataFrame, target: tuple[int, int] = (32, 32)) -> DataFrame:
-    """Image-resize plumbing: the codec isn't in this container, so the
-    batch kernel raises NotImplementedError for non-text payloads (same
-    contract as decode_features) while the schema and partition-wise
-    execution are real. Plug PIL/libvips into ``kernel`` on a real cluster.
+RAW_RGB_MIME = "image/x-raw-rgb"
+
+
+def to_raw_image_table(documents: DataFrame, width: int = 16,
+                       height: int = 12) -> DataFrame:
+    """documents → deterministic raw RGB frames for the resize path.
+
+    Each doc becomes one uncompressed ``width*height*3``-byte RGB payload
+    derived from its text (md5-seeded byte pattern, repeated to size) —
+    codec-free stand-in for a decoded frame, with the real metadata shape
+    a decode stage would emit: ``meta struct<mime,width,height>``.
     """
-    narrow = binary_df.select("doc_id", "payload", F.col("meta.mime").alias("mime"))
+    pat = F.md5(F.col("text")).cast("binary")  # 32 hex chars = 32 bytes
+    need = width * height * 3
+    reps = (need + 31) // 32
+    payload = F.substring(
+        F.concat(*([pat] * reps)).cast("binary"), 1, need
+    )
+    return documents.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit(RAW_RGB_MIME).alias("mime"),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+        ).alias("meta"),
+    )
+
+
+def resize_images(binary_df: DataFrame,
+                  target: tuple[int, int] = (32, 32)) -> DataFrame:
+    """Nearest-neighbor image resize over RAW RGB payloads — REAL and
+    codec-free: ``numpy.frombuffer → reshape(h, w, 3) → integer index
+    gather → tobytes`` inside an Arrow-batched ``mapInPandas`` kernel.
+    Compressed formats (image/jpeg, ...) still raise NotImplementedError
+    at the batch level: decoding needs codecs this container lacks; plug
+    PIL/libvips in front on a real cluster and feed the raw frames here.
+
+    Nearest-neighbor with the half-pixel src-index convention
+    (src = floor((dst + 0.5) * scale)) — deterministic, so tests pin
+    output bytes against a pure-Python reference implementation.
+    """
+    tw, th = target
+    narrow = binary_df.select(
+        "doc_id", "payload",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
 
     def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
         for pdf in batches:
-            raise NotImplementedError(
-                f"no image codec in this container for resize->{target}; "
-                "plug a decoder here"
-            )
-        yield  # pragma: no cover
+            bad = pdf.loc[pdf["mime"] != RAW_RGB_MIME, "mime"]
+            if len(bad):
+                raise NotImplementedError(
+                    f"no codec for mime={bad.iloc[0]!r} in this container; "
+                    f"decode to {RAW_RGB_MIME} upstream"
+                )
+            out = {"doc_id": [], "width": [], "height": [], "payload": []}
+            for doc_id, payload, w, h in zip(
+                pdf["doc_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                img = np.frombuffer(bytes(payload), dtype=np.uint8)
+                img = img.reshape(int(h), int(w), 3)
+                ys = np.minimum(
+                    ((np.arange(th) + 0.5) * (int(h) / th)).astype(np.int64),
+                    int(h) - 1,
+                )
+                xs = np.minimum(
+                    ((np.arange(tw) + 0.5) * (int(w) / tw)).astype(np.int64),
+                    int(w) - 1,
+                )
+                resized = img[ys][:, xs]
+                out["doc_id"].append(doc_id)
+                out["width"].append(tw)
+                out["height"].append(th)
+                out["payload"].append(resized.tobytes())
+            yield pd.DataFrame(out)
 
     return narrow.mapInPandas(
         kernel, schema="doc_id long, width int, height int, payload binary"
     )
+
+
+def resize_stub(binary_df: DataFrame, target: tuple[int, int] = (32, 32)) -> DataFrame:
+    """Back-compat alias for the pre-round-5 stub name: the resize is now
+    REAL for raw RGB payloads (``resize_images``); only compressed formats
+    remain behind the NotImplementedError escape hatch."""
+    return resize_images(binary_df, target)

@@ -793,6 +793,34 @@ EXTRA_ORACLES: dict[str, str] = {
         WITH {_MINHASH_BANDS}
         SELECT doc_id, band, band_sig FROM bands
     """,
+    # Raw-RGB nearest-neighbor resize, byte-exact: the 16x12 payload is
+    # md5(text) hexdigest ASCII repeated to 576 bytes, so VARCHAR substr
+    # arithmetic IS byte arithmetic. Half-pixel convention mirrors
+    # operators/multimodal.resize_images: src = min(floor((dst+0.5)*s), n-1)
+    # with s_y = 12/8 = 1.5, s_x = 16/8 = 2.0; 3 chars per pixel,
+    # row-major gather, md5 over the reassembled 192-char payload.
+    "multimodal_resize": """
+        WITH pat AS (
+          SELECT doc_id, substr(repeat(md5(text), 18), 1, 576) AS p
+          FROM documents
+        ),
+        px AS (
+          SELECT doc_id, ty.i AS ty, tx.i AS tx,
+                 substr(p,
+                        (LEAST(CAST(floor((ty.i + 0.5) * 1.5) AS INT), 11) * 16
+                         + LEAST(CAST(floor((tx.i + 0.5) * 2.0) AS INT), 15)) * 3
+                        + 1,
+                        3) AS px
+          FROM pat,
+               LATERAL (SELECT unnest(range(8)) AS i) ty,
+               LATERAL (SELECT unnest(range(8)) AS i) tx
+        )
+        SELECT doc_id,
+               CAST(8 AS INT) AS width,
+               CAST(8 AS INT) AS height,
+               md5(string_agg(px, '' ORDER BY ty, tx)) AS payload_md5
+        FROM px GROUP BY doc_id
+    """,
 }
 
 
