@@ -16,6 +16,10 @@ arriving transcripts:
   micro-batches re-emits its incident-level triples).
 - ``conversation_progress``: stateful streaming aggregation (running turn
   count / frontier per conversation) with a watermark bounding state.
+- ``finalize_conversations``: custom stateful operator
+  (``applyInPandasWithState``, event-time timeout) emitting one row per
+  conversation when it quiesces — the signal that makes a conversation's
+  content-dedup decisions safe to materialize at compaction time.
 
 Cross-batch assembly (round-3): a conversation's turns may arrive split
 across ANY number of micro-batches. Each batch's raw turns are persisted
@@ -429,3 +433,96 @@ def conversation_progress(stream: DataFrame, watermark: str = "10 minutes") -> D
             F.max("ts").alias("last_ts"),
         )
     )
+
+
+FINALIZED_SCHEMA = (
+    "conv_id string, n_turns long, max_turn_idx int, "
+    "first_ts timestamp, last_ts timestamp"
+)
+# state keeps epoch-micros longs (not timestamps): simple, tz-proof, and
+# identical across state-store encodings
+_FINAL_STATE_SCHEMA = "n_turns long, max_turn_idx int, first_us long, last_us long"
+
+
+def finalize_conversations(stream: DataFrame, gap: str = "30 seconds",
+                           watermark: str = "10 seconds") -> DataFrame:
+    """Custom stateful operator: emit exactly one row per conversation the
+    moment it QUIESCES — no turn for ``gap`` of event time.
+
+    ``applyInPandasWithState`` with ``EventTimeTimeout``: each micro-batch
+    folds its turns into per-conversation state (turn count, idx frontier,
+    first/last event time) and arms a timeout at ``last_ts + gap``; when
+    the watermark passes that point the state times out, the finalization
+    row is emitted, and the state is dropped — so state size is bounded by
+    the number of IN-FLIGHT conversations, not corpus size, at any scale.
+
+    This is the principled quiescence signal the compaction caveat asks
+    for (round-4 ADVICE): ``compact_streamed_triples`` stays reversible by
+    persisting the pre-A2 view precisely because a live conversation's
+    content may still change; conversations named by this operator's
+    output are the ones whose A2 decisions are safe to materialize.
+
+    A late turn (beyond the watermark delay) for an already-finalized
+    conversation re-opens fresh state and would emit a second finalization
+    row — downstream consumers key on the latest ``last_ts`` per conv_id,
+    the same supersession rule ``read_streamed_triples`` uses for
+    descriptions.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = _duration_us(gap)
+
+    def fold(key: tuple, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            n, mx, first_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns": [n],
+                    "max_turn_idx": [mx],
+                    "first_ts": [pd.Timestamp(first_us, unit="us")],
+                    "last_ts": [pd.Timestamp(last_us, unit="us")],
+                }
+            )
+            return
+        n, mx, first_us, last_us = state.get if state.exists else (0, -1, None, None)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            mx = max(mx, int(pdf["turn_idx"].max()))
+            lo = int(pdf["ts"].min().value // 1000)  # ns -> us
+            hi = int(pdf["ts"].max().value // 1000)
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, mx, first_us, last_us))
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)  # ms epoch
+        return
+        yield  # pragma: no cover — generator contract for the empty case
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=FINALIZED_SCHEMA,
+            stateStructType=_FINAL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _duration_us(spec: str) -> int:
+    """'30 seconds' / '5 minutes' / '100 milliseconds' -> microseconds."""
+    qty, unit = spec.split()
+    per = {
+        "millisecond": 1_000, "milliseconds": 1_000,
+        "second": 1_000_000, "seconds": 1_000_000,
+        "minute": 60_000_000, "minutes": 60_000_000,
+        "hour": 3_600_000_000, "hours": 3_600_000_000,
+    }[unit]
+    return int(qty) * per

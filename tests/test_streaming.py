@@ -383,3 +383,83 @@ def test_compaction_reversible_dedup_and_manifest_swap(
     assert os.path.isdir(f"{out}/_compact_v3")
     man = ingest._read_manifest(out)
     assert man["version"] == 3 and man["triples"].endswith("_compact_v3")
+
+
+def test_finalize_conversations_event_time_timeout(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState, EventTimeTimeout):
+    a conversation finalizes exactly once, when the watermark passes its
+    last turn + gap; state survives a query restart on the same checkpoint.
+
+    Timeline (gap 30s, watermark delay 10s, one file per micro-batch;
+    availableNow additionally runs a final no-data batch that flushes
+    timeouts under the last watermark):
+      f1  conv A  ts 10:00:00, 10:00:05   -> A armed at 10:00:35
+      f2  conv B  ts 10:01:00             -> wm 09:59:55 (from f1); B armed
+      f3  conv C  ts 10:05:00             -> wm 10:00:50: A fires; C armed
+      flush batch                          -> wm 10:04:50: B fires;
+                                              C (10:05:30) stays open
+      --- restart, same checkpoint ---
+      f4  conv D  ts 10:10:00 + flush     -> wm 10:09:50: C fires (state
+                                              recovered from checkpoint);
+                                              D (10:10:30) stays open
+    """
+    from datetime import datetime
+
+    stream_in = str(tmp_path / "fin_in")
+    ckpt = str(tmp_path / "fin_ckpt")
+    os.makedirs(stream_in)
+
+    def turn_file(n, rows):
+        df = spark.createDataFrame(
+            [(c, i, "user", f"turn {i}", None, ts) for c, i, ts in rows],
+            ingest.TRANSCRIPT_SCHEMA,
+        )
+        dest = os.path.join(stream_in, f"f{n}.parquet")
+        _copy_single_parquet(df, str(tmp_path / f"fin_scratch{n}"), dest)
+        os.utime(dest, (1_000_000 + n, 1_000_000 + n))  # deterministic order
+
+    t0 = datetime(2026, 1, 1, 10, 0, 0)
+
+    def at(minute, second=0):
+        return t0.replace(minute=minute, second=second)
+
+    turn_file(1, [("A", 0, at(0)), ("A", 1, at(0, 5))])
+    turn_file(2, [("B", 0, at(1))])
+    turn_file(3, [("C", 0, at(5))])
+
+    out = str(tmp_path / "fin_out")
+
+    def run():
+        # file sink, not memory: the memory sink can't recover from a
+        # checkpoint, and the restart leg is the point of this test
+        fin = ingest.finalize_conversations(
+            ingest.stream_transcripts(spark, stream_in, max_files_per_trigger=1),
+            gap="30 seconds", watermark="10 seconds",
+        )
+        q = (
+            fin.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            r.conv_id: (r.n_turns, r.max_turn_idx, r.first_ts, r.last_ts)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    got = run()
+    assert got == {
+        "A": (2, 1, at(0), at(0, 5)),
+        "B": (1, 0, at(1), at(1)),
+    }, got
+
+    turn_file(4, [("D", 0, at(10))])
+    got = run()  # restart: state for C recovered from the checkpoint
+    assert got == {
+        "A": (2, 1, at(0), at(0, 5)),
+        "B": (1, 0, at(1), at(1)),
+        "C": (1, 0, at(5), at(5)),
+    }, got
