@@ -53,7 +53,9 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
-from sentinel import REJECT_P75_RATIO, calibrate, sentinel_wall  # noqa: E402
+from sentinel import (  # noqa: E402
+    REJECT_P75_RATIO, calibrate, sentinel_wall, sweep_stale_scratch,
+)
 
 from multilingual_wiki_event_pipeline_spark import datagen  # noqa: E402
 from multilingual_wiki_event_pipeline_spark.catalog import QUERIES  # noqa: E402
@@ -137,6 +139,7 @@ def main() -> None:
     sf = _sf_of(sf_dir)
     reps_wanted = max(1, int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "3")))
     max_rounds = reps_wanted + 2
+    sweep_stale_scratch()  # SIGKILLed runs leak tmpfs scratch -> budget noise
     floor = calibrate()
 
     spark = get_spark(app_name="mwep-bench")
@@ -234,6 +237,10 @@ def main() -> None:
                 })
             finally:
                 shutil.rmtree(ckpt, ignore_errors=True)
+                # a rep's cached frames are dead weight to the next rep
+                # (their plans embed this rep's checkpoint paths, so they
+                # can never be re-hit) — drop them so reps stay hermetic
+                spark.catalog.clearCache()
         kg_sec, kg_fallback = _best_accepted(kg_reps)
     finally:
         shutil.rmtree(out, ignore_errors=True)

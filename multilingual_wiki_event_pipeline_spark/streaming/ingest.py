@@ -462,10 +462,15 @@ def finalize_conversations(stream: DataFrame, gap: str = "30 seconds",
     content may still change; conversations named by this operator's
     output are the ones whose A2 decisions are safe to materialize.
 
-    A late turn (beyond the watermark delay) for an already-finalized
-    conversation re-opens fresh state and would emit a second finalization
-    row — downstream consumers key on the latest ``last_ts`` per conv_id,
-    the same supersession rule ``read_streamed_triples`` uses for
+    Late-data contract (standard watermark semantics, pinned by test): a
+    turn arriving with event time at or behind the watermark is dropped by
+    Spark's watermark filter before reaching the operator — a quiesced
+    conversation is never re-opened by data older than the delay. A turn
+    whose event time is still ahead of the watermark but whose
+    conversation already finalized (out-of-order arrival inside the
+    delay) re-opens fresh state and emits a second, superseding row —
+    downstream consumers key on the latest ``last_ts`` per conv_id, the
+    same supersession rule ``read_streamed_triples`` uses for
     descriptions.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -499,6 +504,10 @@ def finalize_conversations(stream: DataFrame, gap: str = "30 seconds",
             first_us = lo if first_us is None else min(first_us, lo)
             last_us = hi if last_us is None else max(last_us, hi)
         state.update((n, mx, first_us, last_us))
+        # always > the current watermark: Spark's watermark filter drops
+        # input rows with ts <= watermark before they reach this operator,
+        # so last_us > wm and last_us + gap > wm — setTimeoutTimestamp
+        # cannot throw its timeout<=watermark error here
         state.setTimeoutTimestamp((last_us + gap_us) // 1000)  # ms epoch
         return
         yield  # pragma: no cover — generator contract for the empty case

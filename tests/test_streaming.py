@@ -402,6 +402,15 @@ def test_finalize_conversations_event_time_timeout(spark, tmp_path):
       f4  conv D  ts 10:10:00 + flush     -> wm 10:09:50: C fires (state
                                               recovered from checkpoint);
                                               D (10:10:30) stays open
+      --- restart, same checkpoint ---
+      f5  conv A  ts 10:00:10 (VERY late) -> DROPPED by the watermark
+                                             filter (ts <= wm 10:09:50):
+                                             a quiesced conversation is
+                                             never re-opened by data older
+                                             than the delay, and no second
+                                             A row appears
+      f6  conv E  ts 10:20:00 + flush     -> wm 10:19:50: D fires;
+                                             E (10:20:30) stays open
     """
     from datetime import datetime
 
@@ -445,21 +454,28 @@ def test_finalize_conversations_event_time_timeout(spark, tmp_path):
             .start()
         )
         q.awaitTermination(180)
-        return {
-            r.conv_id: (r.n_turns, r.max_turn_idx, r.first_ts, r.last_ts)
+        return sorted(
+            (r.conv_id, r.n_turns, r.max_turn_idx, r.first_ts, r.last_ts)
             for r in spark.read.parquet(out).collect()
-        }
+        )
+
+    row_a = ("A", 2, 1, at(0), at(0, 5))
+    row_b = ("B", 1, 0, at(1), at(1))
+    row_c = ("C", 1, 0, at(5), at(5))
 
     got = run()
-    assert got == {
-        "A": (2, 1, at(0), at(0, 5)),
-        "B": (1, 0, at(1), at(1)),
-    }, got
+    assert got == [row_a, row_b], got
 
     turn_file(4, [("D", 0, at(10))])
     got = run()  # restart: state for C recovered from the checkpoint
-    assert got == {
-        "A": (2, 1, at(0), at(0, 5)),
-        "B": (1, 0, at(1), at(1)),
-        "C": (1, 0, at(5), at(5)),
-    }, got
+    assert got == [row_a, row_b, row_c], got
+
+    # a very-late turn (behind the watermark) must NOT re-open a quiesced
+    # conversation: the watermark filter drops it before the operator
+    turn_file(5, [("A", 2, at(0, 10))])
+    turn_file(6, [("E", 0, at(20))])
+    got = run()
+    assert got == [
+        row_a, row_b, row_c,
+        ("D", 1, 0, at(10), at(10)),
+    ], got

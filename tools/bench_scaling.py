@@ -53,7 +53,7 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 from multilingual_wiki_event_pipeline_spark import datagen  # noqa: E402
 from sentinel import (  # noqa: E402
     REJECT_MAX_RATIO, REJECT_P75_RATIO, SENTINEL_PERIOD_SEC, SentinelSampler,
-    calibrate, calibrate_busy, contamination,
+    calibrate, calibrate_busy, contamination, sweep_stale_scratch,
 )
 
 
@@ -128,6 +128,8 @@ def main() -> None:
         return int(spec)
     max_attempts = args.max_attempts or args.reps + 2
     keep = args.corpus_dir is not None
+    if not keep:
+        sweep_stale_scratch()  # SIGKILLed runs leak tmpfs scratch
     corpus_dir = args.corpus_dir or tempfile.mkdtemp(
         prefix="mwep_scaling_corpus_", dir="/dev/shm"
     )

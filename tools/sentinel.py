@@ -129,3 +129,37 @@ def contamination(walls: list[float], floor: float) -> dict:
         "max_ratio": round(mx, 3),
         "accepted": p75 <= REJECT_P75_RATIO and mx <= REJECT_MAX_RATIO,
     }
+
+
+SCRATCH_PREFIXES = ("mwep_scaling_corpus_", "mwep_scale_", "mwep_local_",
+                    "mwep_bench_corpus_", "mwep_bench_ckpt_")
+
+
+def sweep_stale_scratch(echo=print) -> list[str]:
+    """Remove scratch dirs leaked by hard-killed benchmark runs.
+
+    Round-5 finding: two headline-bench runs showed kg reps degrading
+    12 -> 28 s with every sentinel green — ~1.4 GB of corpus/checkpoint
+    dirs from SIGKILLed scaling runs was resident in /dev/shm, and tmpfs
+    pages count against this sandbox's ~18 GB host memory budget (the
+    sentinel's own pages stay resident, so it is blind to self-inflicted
+    budget pressure). The in-process `finally` cleanups can't fire on
+    SIGKILL, so every bench SWEEPS at startup instead. Only one bench may
+    run at a time (concurrent Spark work contaminates sentinels anyway),
+    so an unconditional prefix sweep is safe.
+    """
+    import shutil
+    import tempfile
+
+    removed = []
+    for base in ("/dev/shm", tempfile.gettempdir()):
+        if not os.path.isdir(base):
+            continue
+        for name in os.listdir(base):
+            if name.startswith(SCRATCH_PREFIXES):
+                p = os.path.join(base, name)
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(p)
+    if removed:
+        echo(f"swept {len(removed)} stale scratch dirs: {removed}")
+    return removed
