@@ -84,6 +84,8 @@ HEADLINE = [
     "mention_link_rank",       # gazetteer detection + ranked linking (r2)
     "canonicalize_components", # minhash-candidate CC canonicalization (r2)
     "j10_incident_ancestors",  # ontology closure + ancestor expansion (r2)
+    "sparql_bgp",              # BGP self-joins over the triple store (r5)
+    "graph_pagerank",          # 5-iteration fixed-point PageRank (r5)
 ]
 
 # KG-pipeline corpus size per sf of the operator tables (sf0.1 ~ 600k

@@ -910,6 +910,89 @@ def mention_link_rank(spark, sf_dir):
     )
 
 
+def sparql_bgp(spark, sf_dir):
+    """SPARQL BGP query layer over the K3 triple store (operators/bgp.py —
+    the query-side complement of reference utils.py:33-83, which BUILDS
+    SPARQL against Wikidata; here the constructed KG itself is queryable):
+    actors with both an 'error' and a 'signup' event, carrying each error
+    event's timestamp. Five triple patterns compile to filtered scans +
+    equi-joins on the shared ?ev/?actor/?s variables; constant terms reach
+    the scan as pushed filters and AQE broadcasts the selective sides.
+    Oracle = the same five-way self-join over the triples_events CTE."""
+    from .operators import bgp
+
+    return bgp.bgp_match(
+        triples_events(spark, sf_dir),
+        [
+            ("?ev", "rdfs:label", "error"),
+            ("?ev", "sem:hasActor", "?actor"),
+            ("?ev", "sem:hasTimeStamp", "?etime"),
+            ("?s", "rdfs:label", "signup"),
+            ("?s", "sem:hasActor", "?actor"),
+        ],
+    )
+
+
+def graph_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (operators/graph.py; 5 iterations, d = 85/100
+    exact) over the symmetrized customer↔supplier co-transaction graph
+    (orders ⋈ lineitem). Ranks are BIGINT 1e-12 units with integer
+    division everywhere, so the unrolled-CTE DuckDB oracle matches
+    bit-for-bit — the exact-arithmetic sibling of ann_ivf's round_to
+    pinning (zero float-summation-order risk)."""
+    from .operators import graph
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return graph.pagerank(graph.symmetrize(pairs), n_iters=5)
+
+
+def asof_join_events(spark, sf_dir):
+    """Purchase→last-view attribution as-of join (operators/temporal.py;
+    pandas merge_asof / DuckDB ASOF JOIN semantics): for each 'purchase'
+    event, the same user's most recent 'view' at-or-before it, timestamp
+    ties broken by greatest event_id. Union-tag + running
+    last(ignorenulls) window — ONE shuffle on user_id, never the naive
+    per-key inequality join. Timestamps travel as unix micros (BIGINT) so
+    the cross-engine hash compare is exact."""
+    from .operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; the session tz is pinned UTC (session.py), so
+    # casting re-interprets the wall-clock as a UTC instant — exactly
+    # DuckDB's epoch_us() on a naive timestamp.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        us.alias("purchase_us"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        us.alias("view_us"),
+    )
+    out = temporal.asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_time="purchase_us",
+        right_time="view_us",
+        right_payload=["view_id", "view_us"],
+        tie_break="view_id",
+    )
+    return out.select(
+        "purchase_id", "user_id", "purchase_us",
+        F.col("asof.view_id").alias("view_id"),
+        F.col("asof.view_us").alias("view_us"),
+        (F.col("purchase_us") - F.col("asof.view_us")).alias("gap_us"),
+    )
+
+
 # Fixed corpus for the flagship's DuckDB oracle: datagen is deterministic
 # (seed 42), so both engines can read the SAME parquet from a well-known
 # path — the Spark side through CorpusTables, the oracle SQL through
@@ -996,22 +1079,34 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         embed_cosine_neardup,
         canonicalize_components, w4_sequential_match,
         triples_events, participant_triples, dedup_exact,
-        dedup_minhash_pairs, dedup_simhash, dedup_simhash_pairs, knn_cosine,
-        ann_lsh_bucketed, ann_multiprobe, ann_ivf, lang_id_profile,
+        dedup_minhash_pairs, dedup_simhash_pairs, knn_cosine,
+        ann_multiprobe, ann_ivf, lang_id_profile,
         quality_score,
-        token_count,
         fingerprint, multimodal_meta, multimodal_frames, mention_link_rank,
+        sparql_bgp, graph_pagerank, asof_join_events,
         kg_pipeline_triples,
     ]
 }
 
-# Rotated OUT of the driver's 50-row window (round 5, to make room for
-# ann_ivf) but still hash-checked against their DuckDB oracles every pytest
-# run by the CI full-catalog gate (tests/test_catalog_oracle.py via
-# tools/check_oracle.run_checks, which unions these in):
-# dedup_minhash_sig — its signatures are additionally exercised end-to-end
-# by dedup_minhash_pairs (the band-signature equi-join consumes them) and
-# canonicalize_components.
+# Rotated OUT of the driver's 50-row window but still hash-checked against
+# their DuckDB oracles every pytest run by the CI full-catalog gate
+# (tests/test_catalog_oracle.py via tools/check_oracle.run_checks, which
+# unions these in). Rotation rationale per entry:
+# - dedup_minhash_sig (r5, for ann_ivf) — its signatures are exercised
+#   end-to-end by dedup_minhash_pairs (the band-signature equi-join
+#   consumes them) and canonicalize_components;
+# - dedup_simhash (r5, for sparql_bgp) — its signatures are consumed
+#   end-to-end by dedup_simhash_pairs' pigeonhole join;
+# - token_count (r5, for graph_pagerank) — ws_tokens is the same
+#   expression as quality_score.n_tokens; re_tokens/approx_bpe stay
+#   CI-gated here;
+# - ann_lsh_bucketed (r5, for asof_join_events) — single-probe LSH is
+#   ann_multiprobe's degenerate case (same seeded projections, probe
+#   fan-out of 1); its recall tier stays measured in BENCH/BASELINE.md.
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    f.__name__: f for f in [dedup_minhash_sig, multimodal_resize]
+    f.__name__: f
+    for f in [
+        dedup_minhash_sig, multimodal_resize, dedup_simhash, token_count,
+        ann_lsh_bucketed,
+    ]
 }

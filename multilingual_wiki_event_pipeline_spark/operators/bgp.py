@@ -1,0 +1,127 @@
+"""SPARQL basic-graph-pattern (BGP) matching over a triples DataFrame.
+
+The reference *consumes* SPARQL (it queries Wikidata's endpoint to seed
+incidents — reference `utils.py:33-83` builds SELECT queries over event
+types and bindings); the KG it *produces* is written to disk with no query
+layer on top. This module closes that loop Spark-first: a conjunctive
+triple-pattern query over the (subj, pred, obj) table the K3 sink emits,
+compiled to a chain of filtered scans + equi-joins so Catalyst gets the
+whole plan — constant terms become pushed-down scan predicates, shared
+variables become join keys, and AQE picks broadcast/shuffle per pattern
+selectivity at runtime.
+
+Semantics (SPARQL 1.1 BGP, bag semantics):
+- a pattern is a (subject, predicate, object) triple of terms;
+- a term starting with ``?`` is a variable, anything else matches the
+  column value exactly (IRIs and literals are both plain strings in the
+  triple table — the ``obj_is_literal``/``datatype`` columns are carried
+  by the store, not consulted by term matching);
+- each pattern contributes one solution per matching triple; patterns
+  compose by natural join on their shared variables (bag semantics — no
+  implicit DISTINCT, matching SPARQL SELECT).
+
+Scale notes (100 TB): each pattern is one filtered scan of the triple
+table — predicate/object constants reach the parquet reader as
+PushedFilters, so a store partitioned (or z-ordered) by ``pred`` prunes to
+the touched predicates only. Joins are plain equi-joins on variable
+columns: selective patterns (constant-rich) produce small sides that AQE
+broadcasts; nothing in the compilation is driver-side or per-row Python.
+Disconnected pattern groups are rejected rather than silently compiled to
+a cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TRIPLE_COLS = ("subj", "pred", "obj")
+
+
+def is_var(term: str) -> bool:
+    return term.startswith("?")
+
+
+def parse_bgp(text: str) -> list[tuple[str, str, str]]:
+    """Parse a whitespace-separated BGP string: patterns joined by ``.``,
+    each exactly three terms; double quotes around a term are stripped
+    (literals with spaces are out of scope for this mini-syntax)."""
+    patterns = []
+    for clause in text.split("."):
+        clause = clause.strip()
+        if not clause:
+            continue
+        terms = clause.split()
+        if len(terms) != 3:
+            raise ValueError(f"pattern needs exactly 3 terms: {clause!r}")
+        patterns.append(tuple(t.strip('"') for t in terms))
+    if not patterns:
+        raise ValueError("empty basic graph pattern")
+    return patterns
+
+
+def _compile_pattern(triples: DataFrame,
+                     pattern: tuple[str, str, str]) -> tuple[DataFrame, set]:
+    """One pattern -> (DataFrame with one column per variable, var set).
+
+    Constants filter; variables project (renamed to the variable name).
+    A variable repeated inside one pattern (e.g. ``?x :p ?x``) becomes an
+    intra-pattern equality filter.
+    """
+    df = triples
+    var_to_col: dict[str, str] = {}
+    for term, col in zip(pattern, TRIPLE_COLS):
+        if is_var(term):
+            name = term[1:]
+            if not name:
+                raise ValueError(f"bare '?' in pattern {pattern!r}")
+            if name in var_to_col:
+                df = df.filter(F.col(col) == F.col(var_to_col[name]))
+            else:
+                var_to_col[name] = col
+        else:
+            df = df.filter(F.col(col) == F.lit(term))
+    if not var_to_col:
+        raise ValueError(
+            f"pattern {pattern!r} has no variables (ASK-style existence "
+            "checks: add a variable and aggregate, or filter upstream)"
+        )
+    proj = [F.col(c).alias(v) for v, c in var_to_col.items()]
+    return df.select(*proj), set(var_to_col)
+
+
+def bgp_match(triples: DataFrame,
+              patterns: list[tuple[str, str, str]] | str) -> DataFrame:
+    """Match a conjunctive BGP against ``triples(subj, pred, obj, ...)``.
+
+    Returns one column per distinct variable (sorted by name), one row per
+    solution (bag semantics). Join order is greedy-connected: starting
+    from the first pattern, each round joins the earliest remaining
+    pattern that shares a variable with what's already bound (so listing
+    order never forces a bad plan, and AQE re-plans the join strategy per
+    stage anyway). A BGP whose variable graph is disconnected would be a
+    cartesian product, which this refuses to compile — run the groups as
+    separate queries and combine deliberately.
+    """
+    if isinstance(patterns, str):
+        patterns = parse_bgp(patterns)
+    if not patterns:
+        raise ValueError("empty basic graph pattern")
+    compiled = [_compile_pattern(triples, p) for p in patterns]
+    result, bound = compiled[0]
+    pending = list(range(1, len(compiled)))
+    while pending:
+        pick = next(
+            (i for i in pending if bound & compiled[i][1]), None
+        )
+        if pick is None:
+            left = [patterns[i] for i in pending]
+            raise ValueError(
+                f"patterns {left!r} share no variable with {sorted(bound)} "
+                "— disconnected BGP would compile to a cartesian product"
+            )
+        df, pvars = compiled[pick]
+        result = result.join(df, on=sorted(bound & pvars), how="inner")
+        bound |= pvars
+        pending.remove(pick)
+    return result.select(*sorted(bound))

@@ -1,0 +1,105 @@
+"""Graph centrality over KG edge tables: fixed-point PageRank.
+
+The reference materializes a KG and walks its ontology edges (the closure
+in `utils.py:489-569` that operators/ontology.py re-expresses); what it
+never answers is "which nodes matter" — the standard KG-construction
+follow-up (entity salience, seed ranking for the next crawl round). This
+module adds a deterministic PageRank over an ``edges(src, dst)`` table as
+pure DataFrame relational algebra: per-iteration join + partial-aggregated
+groupBy, lineage truncated with localCheckpoint exactly like the ontology
+closure.
+
+Cross-engine determinism (the reason this is *fixed-point*, not float):
+ranks are BIGINT in units of 1e-12 (``SCALE``). Each step divides a rank
+by an out-degree with INTEGER division and takes the damping factor as the
+exact rational 85/100, also in integer ops. Spark's ``div`` and DuckDB's
+``//`` agree bit-for-bit on non-negative BIGINTs, and BIGINT sums are
+order-independent — so the DuckDB oracle (iterations unrolled as chained
+CTEs) hash-matches exactly, with zero float-summation-order risk. This is
+the exact-arithmetic sibling of ann_ivf's ``round_to`` pinning; rounding
+truncation loses at most outdeg × 1e-12 of mass per node per step, which
+is noise relative to rank magnitudes (~1/N) and identical in both engines.
+
+Simplifications (documented, mirrored in the oracle): dangling nodes (no
+out-edges) leak their mass instead of redistributing it, and there is no
+convergence test — iterations are fixed so the unrolled oracle matches.
+Catalog callers symmetrize their edge tables, which removes dangling nodes
+entirely.
+
+Scale notes (100 TB): the edge table joins RANKS (node-sized, the small
+side as soon as edges >> nodes) once per iteration — shuffle on src — and
+the contribution sum is a partial-agg groupBy on dst. The out-degree join
+is precomputed once and the iteration count is a constant, so total cost
+is n_iters × (one co-partitioned join + one agg). No driver-side state:
+the node count enters the plan as a broadcast 1-row frame, the same
+pattern the catalog's stats entries use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12  # rank unit = 1e-12 of total mass
+DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85 as an exact rational
+
+
+def pagerank(edges: DataFrame, n_iters: int = 5) -> DataFrame:
+    """``edges(src, dst)`` -> ``(node, rank_e12)``; BIGINT fixed-point
+    PageRank after ``n_iters`` synchronous iterations.
+
+    r_0(v)     = SCALE div N
+    r_{t+1}(v) = (15·(SCALE div N)) div 100
+                 + (85·Σ_{(u,v)∈E} r_t(u) div outdeg(u)) div 100
+
+    Duplicate edges are collapsed (set semantics, like the closure's edge
+    prep). Nodes = src ∪ dst; dangling nodes contribute nothing (mass
+    leak — see module docstring).
+    """
+    edges = edges.select("src", "dst").distinct()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # one materialization, reused by every iteration's join
+    weighted = edges.join(deg, "src").localCheckpoint()
+    nodes = (
+        weighted.select(F.col("src").alias("node"))
+        .unionByName(weighted.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # node count as a broadcast 1-row frame: parameterizes the plan
+    # without a driver collect
+    n1 = F.broadcast(nodes.agg(F.count("*").alias("n_nodes")))
+    base = f"({DAMP_DEN - DAMP_NUM}L * ({SCALE}L div n_nodes)) div {DAMP_DEN}L"
+    ranks = nodes.crossJoin(n1).select(
+        "node", F.expr(f"{SCALE}L div n_nodes").alias("rank_e12")
+    )
+    for _ in range(n_iters):
+        in_mass = (
+            weighted.join(ranks, weighted.src == ranks.node)
+            .select(
+                F.col("dst"), F.expr("rank_e12 div outdeg").alias("contrib")
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(in_mass, nodes.node == in_mass.dst, "left")
+            .crossJoin(n1)
+            .select(
+                "node",
+                F.expr(
+                    f"{base} + ({DAMP_NUM}L * coalesce(in_mass, 0L)) "
+                    f"div {DAMP_DEN}L"
+                ).alias("rank_e12"),
+            )
+            .localCheckpoint()  # truncate lineage each round (closure hygiene)
+        )
+    return ranks
+
+
+def symmetrize(pairs: DataFrame) -> DataFrame:
+    """``pairs(src, dst)`` -> both directions, for undirected-walk ranking
+    (also guarantees no dangling nodes: every node has an out-edge)."""
+    return pairs.select("src", "dst").unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )

@@ -171,6 +171,78 @@ def _ivf_sql(k: int = 8, n_iters: int = 2, n_probe: int = 2, topk: int = 3,
 
 _TS_IS_GYEAR = "strftime({c}, '%m-%d %H:%M:%S') = '01-01 00:00:00'"
 
+# The K3 event-triple store, shared between the triples_events entry and
+# the sparql_bgp self-joins (a CTE body — DuckDB allows a nested WITH
+# inside a CTE subquery).
+_TRIPLES_EVENTS_SQL = f"""
+        WITH e AS (SELECT event_id, user_id, event_type, ts FROM events)
+        SELECT subj, pred, obj, obj_is_literal, datatype FROM (
+          SELECT concat('inst:ev', CAST(event_id AS VARCHAR)) AS subj,
+                 'rdf:type' AS pred, 'sem:Event' AS obj,
+                 FALSE AS obj_is_literal, '' AS datatype FROM e
+          UNION ALL
+          SELECT concat('inst:ev', CAST(event_id AS VARCHAR)), 'sem:hasActor',
+                 concat('usr:', CAST(user_id AS VARCHAR)), FALSE, '' FROM e
+          UNION ALL
+          SELECT concat('inst:ev', CAST(event_id AS VARCHAR)), 'rdfs:label',
+                 event_type, TRUE, 'xsd:string' FROM e
+          UNION ALL
+          SELECT concat('inst:ev', CAST(event_id AS VARCHAR)), 'sem:hasTimeStamp',
+                 CASE WHEN {_TS_IS_GYEAR.format(c='ts')}
+                      THEN strftime(ts, '%Y')
+                      ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') END,
+                 TRUE,
+                 CASE WHEN {_TS_IS_GYEAR.format(c='ts')}
+                      THEN 'xsd:gYear' ELSE 'xsd:dateTime' END FROM e
+        )
+"""
+
+
+def _pagerank_sql(n_iters: int = 5, scale: int = 10**12) -> str:
+    """Unrolled-CTE twin of operators/graph.pagerank over the symmetrized
+    customer↔supplier graph: one (join + grouped integer-division sum) CTE
+    per Lloyd-style synchronous iteration. All arithmetic is BIGINT with
+    ``//``, matching Spark's ``div`` bit-for-bit on non-negative values —
+    no float summation anywhere, so no rounding pin is needed."""
+    base = f"(15 * ({scale} // (SELECT n_nodes FROM nn))) // 100"
+    iters = ",\n".join(
+        f"""
+        r{i} AS (
+          SELECT n.node,
+                 CAST({base} + (85 * COALESCE(m.in_mass, 0)) // 100
+                      AS BIGINT) AS rank_e12
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst, SUM(r.rank_e12 // e.outdeg) AS in_mass
+            FROM e JOIN r{i - 1} r ON r.node = e.src GROUP BY e.dst
+          ) m ON m.dst = n.node
+        )"""
+        for i in range(1, n_iters + 1)
+    )
+    return f"""
+        WITH pairs AS (
+          SELECT DISTINCT concat('c', CAST(o_custkey AS VARCHAR)) AS src,
+                          concat('s', CAST(l_suppkey AS VARCHAR)) AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        edges AS (SELECT src, dst FROM pairs
+                  UNION ALL
+                  SELECT dst, src FROM pairs),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+                FROM edges GROUP BY src),
+        e AS (SELECT edges.src, edges.dst, deg.outdeg
+              FROM edges JOIN deg USING (src)),
+        nodes AS (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM edges
+                   UNION ALL SELECT dst FROM edges)),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+        r0 AS (SELECT node,
+                      CAST({scale} // (SELECT n_nodes FROM nn) AS BIGINT)
+                        AS rank_e12
+               FROM nodes),
+        {iters}
+        SELECT node, rank_e12 FROM r{n_iters}
+    """
+
+
 ORACLES: dict[str, str] = {
     # ---- SURVEY §2 relational operators over the testdata tables ----------
     "a1_incident_grouping": """
@@ -540,27 +612,40 @@ ORACLES: dict[str, str] = {
                CAST(MAX(matches) AS BIGINT) AS n_matches
         FROM step GROUP BY user_id
     """,
-    "triples_events": f"""
-        WITH e AS (SELECT event_id, user_id, event_type, ts FROM events)
-        SELECT subj, pred, obj, obj_is_literal, datatype FROM (
-          SELECT concat('inst:ev', CAST(event_id AS VARCHAR)) AS subj,
-                 'rdf:type' AS pred, 'sem:Event' AS obj,
-                 FALSE AS obj_is_literal, '' AS datatype FROM e
-          UNION ALL
-          SELECT concat('inst:ev', CAST(event_id AS VARCHAR)), 'sem:hasActor',
-                 concat('usr:', CAST(user_id AS VARCHAR)), FALSE, '' FROM e
-          UNION ALL
-          SELECT concat('inst:ev', CAST(event_id AS VARCHAR)), 'rdfs:label',
-                 event_type, TRUE, 'xsd:string' FROM e
-          UNION ALL
-          SELECT concat('inst:ev', CAST(event_id AS VARCHAR)), 'sem:hasTimeStamp',
-                 CASE WHEN {_TS_IS_GYEAR.format(c='ts')}
-                      THEN strftime(ts, '%Y')
-                      ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') END,
-                 TRUE,
-                 CASE WHEN {_TS_IS_GYEAR.format(c='ts')}
-                      THEN 'xsd:gYear' ELSE 'xsd:dateTime' END FROM e
-        )
+    "triples_events": _TRIPLES_EVENTS_SQL,
+    # SPARQL BGP over the same triple store: each tr alias is one triple
+    # pattern; constants are WHERE terms, shared variables are join
+    # predicates — exactly what operators/bgp.bgp_match compiles.
+    "sparql_bgp": f"""
+        WITH tr AS ({_TRIPLES_EVENTS_SQL})
+        SELECT p2.obj AS actor, p3.obj AS etime, p1.subj AS ev, p4.subj AS s
+        FROM tr p1
+        JOIN tr p2 ON p2.pred = 'sem:hasActor' AND p2.subj = p1.subj
+        JOIN tr p3 ON p3.pred = 'sem:hasTimeStamp' AND p3.subj = p1.subj
+        JOIN tr p4 ON p4.pred = 'rdfs:label' AND p4.obj = 'signup'
+        JOIN tr p5 ON p5.pred = 'sem:hasActor' AND p5.subj = p4.subj
+                   AND p5.obj = p2.obj
+        WHERE p1.pred = 'rdfs:label' AND p1.obj = 'error'
+    """,
+    "graph_pagerank": _pagerank_sql(),
+    "asof_join_events": """
+        WITH v AS (SELECT event_id AS view_id, user_id,
+                          epoch_us(ts) AS view_us
+                   FROM events WHERE event_type = 'view'),
+        p AS (SELECT event_id AS purchase_id, user_id,
+                     epoch_us(ts) AS purchase_us
+              FROM events WHERE event_type = 'purchase'),
+        j AS (
+          SELECT p.purchase_id, p.user_id, p.purchase_us,
+                 v.view_id, v.view_us,
+                 ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                    ORDER BY v.view_us DESC,
+                                             v.view_id DESC) AS rn
+          FROM p LEFT JOIN v
+            ON v.user_id = p.user_id AND v.view_us <= p.purchase_us)
+        SELECT purchase_id, user_id, purchase_us, view_id, view_us,
+               purchase_us - view_us AS gap_us
+        FROM j WHERE rn = 1
     """,
     "participant_triples": f"""
         WITH e AS (SELECT event_id, user_id, event_type, ts FROM events
@@ -608,10 +693,6 @@ ORACLES: dict[str, str] = {
             ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
         SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs FROM pairs
     """,
-    "dedup_simhash": f"""
-        WITH {_SIMHASH}
-        SELECT doc_id, simhash FROM sh
-    """,
     "dedup_simhash_pairs": f"""
         WITH {_SIMHASH}
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -630,21 +711,6 @@ ORACLES: dict[str, str] = {
                                        ORDER BY sim DESC, neighbor_id) AS rn
           FROM pairs
         ) WHERE rn <= 5
-    """,
-    "ann_lsh_bucketed": f"""
-        WITH {_EMB},
-        b AS (SELECT vec_id, v, {_BUCKET} AS bucket FROM e),
-        pairs AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 CAST(q.bucket AS BIGINT) AS bucket,
-                 ROUND({_COS}, 6) AS sim
-          FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-          WHERE q.vec_id < 50)
-        SELECT query_id, neighbor_id, bucket, sim FROM (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                       ORDER BY sim DESC, neighbor_id) AS rn
-          FROM pairs
-        ) WHERE rn <= 3
     """,
     "ann_multiprobe": f"""
         WITH {_EMB},
@@ -706,13 +772,6 @@ ORACLES: dict[str, str] = {
                      + 0.3 * stop_ratio
                      + 0.3 * least(avg_len / 8.0, 1.0), 4) AS quality
         FROM m
-    """,
-    "token_count": """
-        SELECT doc_id,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens,
-               CAST(length(text) // 4 AS BIGINT) AS approx_bpe
-        FROM documents
     """,
     "fingerprint": """
         WITH t AS (
@@ -785,13 +844,39 @@ ORACLES: dict[str, str] = {
 }
 
 # Oracles for catalog.EXTRA_QUERIES — entries rotated out of the driver's
-# 50-row correctness window (round 5: dedup_minhash_sig made room for
-# ann_ivf) but still hash-checked by the CI full-catalog gate
-# (tools/check_oracle.run_checks unions these in).
+# 50-row correctness window (rotation rationale per entry lives at
+# catalog.EXTRA_QUERIES) but still hash-checked by the CI full-catalog
+# gate (tools/check_oracle.run_checks unions these in).
 EXTRA_ORACLES: dict[str, str] = {
     "dedup_minhash_sig": f"""
         WITH {_MINHASH_BANDS}
         SELECT doc_id, band, band_sig FROM bands
+    """,
+    "dedup_simhash": f"""
+        WITH {_SIMHASH}
+        SELECT doc_id, simhash FROM sh
+    """,
+    "token_count": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens,
+               CAST(length(text) // 4 AS BIGINT) AS approx_bpe
+        FROM documents
+    """,
+    "ann_lsh_bucketed": f"""
+        WITH {_EMB},
+        b AS (SELECT vec_id, v, {_BUCKET} AS bucket FROM e),
+        pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 CAST(q.bucket AS BIGINT) AS bucket,
+                 ROUND({_COS}, 6) AS sim
+          FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 50)
+        SELECT query_id, neighbor_id, bucket, sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rn
+          FROM pairs
+        ) WHERE rn <= 3
     """,
     # Raw-RGB nearest-neighbor resize, byte-exact: the 16x12 payload is
     # md5(text) hexdigest ASCII repeated to 576 bytes, so VARCHAR substr

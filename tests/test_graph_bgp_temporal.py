@@ -1,0 +1,200 @@
+"""Unit semantics for the round-5 KG-query additions: SPARQL BGP matching
+(operators/bgp.py), fixed-point PageRank (operators/graph.py), and the
+as-of join (operators/temporal.py). Hand-built in-memory graphs with
+hand-computed expectations; the driver-table versions are hash-checked
+against DuckDB by the catalog oracle gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from multilingual_wiki_event_pipeline_spark.operators import bgp, graph, temporal
+
+
+# --- BGP --------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    rows = [
+        ("e1", "type", "Event"),
+        ("e2", "type", "Event"),
+        ("e1", "actor", "alice"),
+        ("e2", "actor", "bob"),
+        ("e1", "label", "boom"),
+        ("e2", "label", "boom"),
+        ("alice", "knows", "bob"),
+        ("alice", "likes", "alice"),
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_bgp_single_pattern_constant_filter(triples):
+    out = bgp.bgp_match(triples, [("?x", "actor", "?who")]).collect()
+    assert sorted((r.who, r.x) for r in out) == [("alice", "e1"), ("bob", "e2")]
+
+
+def test_bgp_multi_pattern_join(triples):
+    out = bgp.bgp_match(
+        triples,
+        [("?e", "label", "boom"), ("?e", "actor", "?a"), ("?a", "knows", "?b")],
+    ).collect()
+    assert [(r.a, r.b, r.e) for r in out] == [("alice", "bob", "e1")]
+
+
+def test_bgp_greedy_reorder_connects(triples):
+    # pattern 2 connects only through pattern 3 — listing order must not
+    # matter for a connected variable graph
+    out = bgp.bgp_match(
+        triples,
+        [("?e", "actor", "?a"), ("?b", "type", "Event"), ("?a", "knows", "?x"),
+         ("?x", "actor:none", "?b")],
+    )
+    # ?x actor:none ?b never matches -> empty but compiles
+    assert out.count() == 0
+
+
+def test_bgp_repeated_var_in_one_pattern(triples):
+    out = bgp.bgp_match(triples, [("?x", "likes", "?x")]).collect()
+    assert [r.x for r in out] == ["alice"]
+
+
+def test_bgp_disconnected_raises(triples):
+    with pytest.raises(ValueError, match="disconnected"):
+        bgp.bgp_match(
+            triples, [("?a", "knows", "?b"), ("?c", "type", "Event")]
+        )
+
+
+def test_bgp_no_variables_raises(triples):
+    with pytest.raises(ValueError, match="no variables"):
+        bgp.bgp_match(triples, [("alice", "knows", "bob")])
+
+
+def test_bgp_parse():
+    pats = bgp.parse_bgp('?e label "boom" . ?e actor ?a')
+    assert pats == [("?e", "label", "boom"), ("?e", "actor", "?a")]
+    with pytest.raises(ValueError):
+        bgp.parse_bgp("?a knows")
+
+
+def test_bgp_bag_semantics(spark):
+    # two identical-shape triples on different subjects, projected to one
+    # var -> two rows (no implicit distinct, matching SPARQL SELECT)
+    t = spark.createDataFrame(
+        [("s1", "p", "v"), ("s2", "p", "v")],
+        "subj string, pred string, obj string",
+    )
+    assert bgp.bgp_match(t, [("?s", "p", "?o")]).count() == 2
+
+
+# --- PageRank ---------------------------------------------------------------
+
+
+def _pagerank_dict(spark, edge_rows, n_iters):
+    e = spark.createDataFrame(edge_rows, "src string, dst string")
+    return {
+        r.node: r.rank_e12
+        for r in graph.pagerank(e, n_iters=n_iters).collect()
+    }
+
+
+def test_pagerank_two_cycle_is_uniform(spark):
+    # a <-> b: mass just swaps; every iteration returns the uniform rank
+    ranks = _pagerank_dict(spark, [("a", "b"), ("b", "a")], n_iters=3)
+    half = graph.SCALE // 2
+    expected = (15 * half) // 100 + (85 * half) // 100
+    assert ranks == {"a": expected, "b": expected}
+
+
+def test_pagerank_star_center_dominates(spark):
+    # undirected star: center <-> each of 3 spokes
+    pairs = [("c", f"s{i}") for i in range(3)]
+    edges = pairs + [(b, a) for a, b in pairs]
+    ranks = _pagerank_dict(spark, edges, n_iters=5)
+    assert set(ranks) == {"c", "s0", "s1", "s2"}
+    assert ranks["s0"] == ranks["s1"] == ranks["s2"]
+    assert ranks["c"] > ranks["s0"]
+    # total mass is conserved up to integer-division truncation (each
+    # node's division truncates < outdeg units per iteration)
+    assert abs(sum(ranks.values()) - graph.SCALE) < 100
+
+
+def test_pagerank_one_iteration_hand_computed(spark):
+    # c -> s0, s0 -> c, s1 -> c (s1 receives nothing: base only)
+    ranks = _pagerank_dict(spark, [("c", "s0"), ("s0", "c"), ("s1", "c")],
+                           n_iters=1)
+    third = graph.SCALE // 3
+    base = (15 * third) // 100
+    assert ranks["s1"] == base
+    assert ranks["s0"] == base + (85 * third) // 100
+    assert ranks["c"] == base + (85 * (third + third)) // 100
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    once = _pagerank_dict(spark, [("a", "b"), ("b", "a")], n_iters=2)
+    dup = _pagerank_dict(spark, [("a", "b"), ("a", "b"), ("b", "a")],
+                         n_iters=2)
+    assert once == dup
+
+
+def test_symmetrize(spark):
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    rows = {(r.src, r.dst) for r in graph.symmetrize(e).collect()}
+    assert rows == {("a", "b"), ("b", "a")}
+
+
+# --- as-of join -------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [(1, "k1", 100), (2, "k1", 50), (3, "k2", 10), (4, "k3", 99)],
+        "probe_id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        # k1: states at 40, 100, 100 (tie), 120; k2: none before 10
+        [(10, "k1", 40), (11, "k1", 100), (12, "k1", 100), (13, "k1", 120),
+         (14, "k2", 11)],
+        "state_id long, k string, st long",
+    )
+    return left, right
+
+
+def _run(left, right, **kw):
+    out = temporal.asof_join(
+        left, right, key="k", left_time="t", right_time="st",
+        right_payload=["state_id", "st"], tie_break="state_id", **kw
+    )
+    return {
+        r.probe_id: (r.asof.state_id, r.asof.st) if r.asof else None
+        for r in out.collect()
+    }
+
+
+def test_asof_basic_latest_at_or_before(asof_frames):
+    got = _run(*asof_frames)
+    # probe 1 at t=100: states 11 and 12 tie on time -> greatest state_id
+    assert got[1] == (12, 100)
+    assert got[2] == (10, 40)   # only state 40 precedes t=50
+    assert got[3] is None       # k2's only state is after the probe
+    assert got[4] is None       # k3 has no states at all
+
+
+def test_asof_strict_before(asof_frames):
+    got = _run(*asof_frames, allow_exact_matches=False)
+    assert got[1] == (10, 40)   # the t=100 states no longer match
+    assert got[2] == (10, 40)
+
+
+def test_asof_keeps_all_left_columns_and_rows(asof_frames):
+    left, right = asof_frames
+    out = temporal.asof_join(
+        left.withColumn("extra", F.lit("x")), right, key="k",
+        left_time="t", right_time="st",
+        right_payload=["state_id"], tie_break="state_id",
+    )
+    assert out.count() == left.count()
+    assert set(out.columns) == {"probe_id", "k", "t", "extra", "asof"}
