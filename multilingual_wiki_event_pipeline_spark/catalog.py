@@ -914,11 +914,14 @@ def sparql_bgp(spark, sf_dir):
     """SPARQL BGP query layer over the K3 triple store (operators/bgp.py —
     the query-side complement of reference utils.py:33-83, which BUILDS
     SPARQL against Wikidata; here the constructed KG itself is queryable):
-    actors with both an 'error' and a 'signup' event, carrying each error
-    event's timestamp. Five triple patterns compile to filtered scans +
-    equi-joins on the shared ?ev/?actor/?s variables; constant terms reach
-    the scan as pushed filters and AQE broadcasts the selective sides.
-    Oracle = the same five-way self-join over the triples_events CTE."""
+    actors with both a late-January 'error' and a 'signup' event, plus
+    (OPTIONAL, SPARQL left-join) any 'purchase' events of the same actor.
+    Five required patterns compile to filtered scans + equi-joins on the
+    shared ?ev/?actor/?s variables (constant terms reach the scan as
+    pushed filters, AQE broadcasts the selective sides); the FILTER on
+    ?etime is a post-join predicate Catalyst pushes back to the
+    timestamp pattern's scan side. Oracle = the same self-joins + LEFT
+    JOIN over the triples_events CTE."""
     from .operators import bgp
 
     return bgp.bgp_match(
@@ -930,6 +933,11 @@ def sparql_bgp(spark, sf_dir):
             ("?s", "rdfs:label", "signup"),
             ("?s", "sem:hasActor", "?actor"),
         ],
+        optional=[[
+            ("?ev2", "rdfs:label", "purchase"),
+            ("?ev2", "sem:hasActor", "?actor"),
+        ]],
+        filters=["etime >= '2024-01-20'"],
     )
 
 

@@ -18,7 +18,13 @@ Semantics (SPARQL 1.1 BGP, bag semantics):
   by the store, not consulted by term matching);
 - each pattern contributes one solution per matching triple; patterns
   compose by natural join on their shared variables (bag semantics — no
-  implicit DISTINCT, matching SPARQL SELECT).
+  implicit DISTINCT, matching SPARQL SELECT);
+- OPTIONAL groups are SPARQL left joins (new variables null where the
+  group misses); FILTER is a post-join Spark SQL predicate over the
+  variable columns (Catalyst pushes it back down where legal);
+- a constant predicate ``p+`` is a SPARQL 1.1 one-or-more property path,
+  evaluated as the transitive closure of p's edges via the ontology
+  closure operator (iterative equi-join, checkpointed).
 
 Scale notes (100 TB): each pattern is one filtered scan of the triple
 table — predicate/object constants reach the parquet reader as
@@ -67,7 +73,31 @@ def _compile_pattern(triples: DataFrame,
     Constants filter; variables project (renamed to the variable name).
     A variable repeated inside one pattern (e.g. ``?x :p ?x``) becomes an
     intra-pattern equality filter.
+
+    A constant predicate ending in ``+`` is a SPARQL 1.1 one-or-more
+    property path: the pattern matches the TRANSITIVE closure of that
+    predicate's edges, computed by the same iterative-equi-join closure
+    the ontology operator uses (``ancestor_closure(reflexive=False)`` —
+    sound for the acyclic hierarchies KG stores hold; broadcast edge set,
+    localCheckpoint lineage hygiene). The closure result stands in for
+    the triple scan, so variables/constants in subject/object position
+    compose exactly as for a plain pattern.
     """
+    p = pattern[1]
+    if not is_var(p) and p.endswith("+") and len(p) > 1:
+        from .ontology import ancestor_closure
+
+        edges = triples.filter(F.col("pred") == p[:-1]).select(
+            F.col("subj").alias("child"), F.col("obj").alias("parent")
+        )
+        # the closure frame stands in for the triple scan; its pred column
+        # carries the path marker itself, so the generic constant filter
+        # below is a no-op match and subject/object compose as usual
+        triples = ancestor_closure(edges, reflexive=False).select(
+            F.col("node").alias("subj"),
+            F.lit(p).alias("pred"),
+            F.col("ancestor").alias("obj"),
+        )
     df = triples
     var_to_col: dict[str, str] = {}
     for term, col in zip(pattern, TRIPLE_COLS):
@@ -90,30 +120,22 @@ def _compile_pattern(triples: DataFrame,
     return df.select(*proj), set(var_to_col)
 
 
-def bgp_match(triples: DataFrame,
-              patterns: list[tuple[str, str, str]] | str) -> DataFrame:
-    """Match a conjunctive BGP against ``triples(subj, pred, obj, ...)``.
+def _join_group(triples: DataFrame,
+                patterns: list[tuple[str, str, str]]) -> tuple[DataFrame, set]:
+    """Compile one connected pattern group to its natural join.
 
-    Returns one column per distinct variable (sorted by name), one row per
-    solution (bag semantics). Join order is greedy-connected: starting
-    from the first pattern, each round joins the earliest remaining
-    pattern that shares a variable with what's already bound (so listing
-    order never forces a bad plan, and AQE re-plans the join strategy per
-    stage anyway). A BGP whose variable graph is disconnected would be a
-    cartesian product, which this refuses to compile — run the groups as
-    separate queries and combine deliberately.
+    Join order is greedy-connected: starting from the first pattern, each
+    round joins the earliest remaining pattern that shares a variable with
+    what's already bound (so listing order never forces a bad plan, and
+    AQE re-plans the join strategy per stage anyway). A group whose
+    variable graph is disconnected would be a cartesian product, which
+    this refuses to compile.
     """
-    if isinstance(patterns, str):
-        patterns = parse_bgp(patterns)
-    if not patterns:
-        raise ValueError("empty basic graph pattern")
     compiled = [_compile_pattern(triples, p) for p in patterns]
     result, bound = compiled[0]
     pending = list(range(1, len(compiled)))
     while pending:
-        pick = next(
-            (i for i in pending if bound & compiled[i][1]), None
-        )
+        pick = next((i for i in pending if bound & compiled[i][1]), None)
         if pick is None:
             left = [patterns[i] for i in pending]
             raise ValueError(
@@ -124,4 +146,52 @@ def bgp_match(triples: DataFrame,
         result = result.join(df, on=sorted(bound & pvars), how="inner")
         bound |= pvars
         pending.remove(pick)
-    return result.select(*sorted(bound))
+    return result, bound
+
+
+def bgp_match(triples: DataFrame,
+              patterns: list[tuple[str, str, str]] | str,
+              optional: list[list[tuple[str, str, str]] | str] | None = None,
+              filters: list[str] | None = None,
+              select: list[str] | None = None) -> DataFrame:
+    """Match a SPARQL-SELECT-shaped query against
+    ``triples(subj, pred, obj, ...)``.
+
+    - ``patterns``: the required BGP — one column per distinct variable,
+      one row per solution (bag semantics).
+    - ``optional``: OPTIONAL groups (SPARQL left-join semantics): each
+      group is itself a connected BGP, joined to the required solutions
+      with a LEFT join on the shared variables — its new variables come
+      back null where the group doesn't match. Groups must share at least
+      one variable with the required part.
+    - ``filters``: FILTER expressions — Spark SQL boolean strings over the
+      variable columns (e.g. ``"etime >= '2024-02'"``), applied after all
+      joins. Catalyst pushes them down past the joins where legal, so a
+      filter on a single pattern's variable still reaches that scan.
+    - ``select``: projected variables (default: all, sorted by name).
+    """
+    if isinstance(patterns, str):
+        patterns = parse_bgp(patterns)
+    if not patterns:
+        raise ValueError("empty basic graph pattern")
+    result, bound = _join_group(triples, patterns)
+    for group in optional or []:
+        if isinstance(group, str):
+            group = parse_bgp(group)
+        gdf, gvars = _join_group(triples, group)
+        shared = bound & gvars
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL group {group!r} shares no variable with "
+                f"{sorted(bound)} — a disconnected OPTIONAL would be a "
+                "cartesian product"
+            )
+        result = result.join(gdf, on=sorted(shared), how="left")
+        bound |= gvars
+    for pred in filters or []:
+        result = result.filter(F.expr(pred))
+    out = sorted(bound) if select is None else list(select)
+    missing = set(out) - bound
+    if missing:
+        raise ValueError(f"select of unbound variables: {sorted(missing)}")
+    return result.select(*out)

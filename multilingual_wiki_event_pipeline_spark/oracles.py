@@ -617,15 +617,25 @@ ORACLES: dict[str, str] = {
     # pattern; constants are WHERE terms, shared variables are join
     # predicates — exactly what operators/bgp.bgp_match compiles.
     "sparql_bgp": f"""
-        WITH tr AS ({_TRIPLES_EVENTS_SQL})
-        SELECT p2.obj AS actor, p3.obj AS etime, p1.subj AS ev, p4.subj AS s
-        FROM tr p1
-        JOIN tr p2 ON p2.pred = 'sem:hasActor' AND p2.subj = p1.subj
-        JOIN tr p3 ON p3.pred = 'sem:hasTimeStamp' AND p3.subj = p1.subj
-        JOIN tr p4 ON p4.pred = 'rdfs:label' AND p4.obj = 'signup'
-        JOIN tr p5 ON p5.pred = 'sem:hasActor' AND p5.subj = p4.subj
-                   AND p5.obj = p2.obj
-        WHERE p1.pred = 'rdfs:label' AND p1.obj = 'error'
+        WITH tr AS ({_TRIPLES_EVENTS_SQL}),
+        req AS (
+          SELECT p2.obj AS actor, p3.obj AS etime, p1.subj AS ev,
+                 p4.subj AS s
+          FROM tr p1
+          JOIN tr p2 ON p2.pred = 'sem:hasActor' AND p2.subj = p1.subj
+          JOIN tr p3 ON p3.pred = 'sem:hasTimeStamp' AND p3.subj = p1.subj
+          JOIN tr p4 ON p4.pred = 'rdfs:label' AND p4.obj = 'signup'
+          JOIN tr p5 ON p5.pred = 'sem:hasActor' AND p5.subj = p4.subj
+                     AND p5.obj = p2.obj
+          WHERE p1.pred = 'rdfs:label' AND p1.obj = 'error'
+            AND p3.obj >= '2024-01-20'),
+        opt AS (
+          SELECT p7.obj AS actor, p6.subj AS ev2
+          FROM tr p6
+          JOIN tr p7 ON p7.pred = 'sem:hasActor' AND p7.subj = p6.subj
+          WHERE p6.pred = 'rdfs:label' AND p6.obj = 'purchase')
+        SELECT req.actor, req.etime, req.ev, opt.ev2, req.s
+        FROM req LEFT JOIN opt ON opt.actor = req.actor
     """,
     "graph_pagerank": _pagerank_sql(),
     "asof_join_events": """

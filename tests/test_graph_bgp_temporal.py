@@ -79,6 +79,52 @@ def test_bgp_parse():
         bgp.parse_bgp("?a knows")
 
 
+def test_bgp_optional_left_join(triples):
+    out = bgp.bgp_match(
+        triples,
+        [("?e", "type", "Event"), ("?e", "actor", "?a")],
+        optional=[[("?a", "knows", "?friend")]],
+    ).collect()
+    assert {r.a: r.friend for r in out} == {"alice": "bob", "bob": None}
+
+
+def test_bgp_filter(triples):
+    out = bgp.bgp_match(
+        triples, [("?e", "actor", "?a")], filters=["a = 'alice'"]
+    ).collect()
+    assert [(r.a, r.e) for r in out] == [("alice", "e1")]
+
+
+def test_bgp_select_projection(triples):
+    out = bgp.bgp_match(triples, [("?e", "actor", "?a")], select=["e"])
+    assert out.columns == ["e"]
+    with pytest.raises(ValueError, match="unbound"):
+        bgp.bgp_match(triples, [("?e", "actor", "?a")], select=["zzz"])
+
+
+def test_bgp_optional_disconnected_raises(triples):
+    with pytest.raises(ValueError, match="OPTIONAL"):
+        bgp.bgp_match(
+            triples, [("?e", "actor", "?a")],
+            optional=[[("?x", "type", "Event")]],
+        )
+
+
+def test_bgp_property_path_transitive(spark):
+    t = spark.createDataFrame(
+        [("a", "sub", "b"), ("b", "sub", "c"), ("c", "sub", "d"),
+         ("a", "other", "z")],
+        "subj string, pred string, obj string",
+    )
+    out = bgp.bgp_match(t, [("a", "sub+", "?anc")])
+    assert sorted(r.anc for r in out.collect()) == ["b", "c", "d"]
+    # a path pattern composes with plain patterns on shared variables
+    out2 = bgp.bgp_match(
+        t, [("?x", "sub+", "d"), ("?x", "other", "?y")]
+    ).collect()
+    assert [(r.x, r.y) for r in out2] == [("a", "z")]
+
+
 def test_bgp_bag_semantics(spark):
     # two identical-shape triples on different subjects, projected to one
     # var -> two rows (no implicit distinct, matching SPARQL SELECT)
@@ -187,6 +233,54 @@ def test_asof_strict_before(asof_frames):
     got = _run(*asof_frames, allow_exact_matches=False)
     assert got[1] == (10, 40)   # the t=100 states no longer match
     assert got[2] == (10, 40)
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Differential test vs pandas.merge_asof — the public semantics
+    reference — on a seeded random workload dense with timestamp ties,
+    unmatched keys, and keys present on only one side. pandas breaks
+    right-side time ties by taking the LAST row in sorted order, so a
+    stable sort by (time, tie) makes its choice equal to our greatest-
+    tie_break rule."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(1234)
+    keys = ["a", "b", "c", "d"]
+    left_pd = pd.DataFrame({
+        "probe_id": range(200),
+        "k": [rng.choice(keys) for _ in range(200)],
+        "t": [rng.randrange(0, 40) for _ in range(200)],
+    })
+    right_pd = pd.DataFrame({
+        "state_id": range(300),
+        "k": [rng.choice(keys + ["e"]) for _ in range(300)],
+        "st": [rng.randrange(0, 40) for _ in range(300)],
+    })
+    for exact in (True, False):
+        merged = pd.merge_asof(
+            left_pd.sort_values("t", kind="stable"),
+            right_pd.sort_values(["st", "state_id"], kind="stable"),
+            left_on="t", right_on="st", by="k",
+            direction="backward", allow_exact_matches=exact,
+        )
+        expected = {
+            int(r.probe_id):
+                None if pd.isna(r.state_id) else int(r.state_id)
+            for r in merged.itertuples()
+        }
+        out = temporal.asof_join(
+            spark.createDataFrame(left_pd),
+            spark.createDataFrame(right_pd),
+            key="k", left_time="t", right_time="st",
+            right_payload=["state_id"], tie_break="state_id",
+            allow_exact_matches=exact,
+        ).collect()
+        got = {
+            r.probe_id: (r.asof.state_id if r.asof else None) for r in out
+        }
+        assert got == expected, f"allow_exact_matches={exact}"
 
 
 def test_asof_keeps_all_left_columns_and_rows(asof_frames):
