@@ -915,13 +915,17 @@ def sparql_bgp(spark, sf_dir):
     the query-side complement of reference utils.py:33-83, which BUILDS
     SPARQL against Wikidata; here the constructed KG itself is queryable):
     actors with both a late-January 'error' and a 'signup' event, plus
-    (OPTIONAL, SPARQL left-join) any 'purchase' events of the same actor.
-    Five required patterns compile to filtered scans + equi-joins on the
-    shared ?ev/?actor/?s variables (constant terms reach the scan as
-    pushed filters, AQE broadcasts the selective sides); the FILTER on
-    ?etime is a post-join predicate Catalyst pushes back to the
-    timestamp pattern's scan side. Oracle = the same self-joins + LEFT
-    JOIN over the triples_events CTE."""
+    (OPTIONAL, SPARQL left-join) the same actor's month-end 'purchase'
+    events. Five required patterns compile to filtered scans + equi-joins
+    on the shared ?ev/?actor/?s variables (constant terms reach the scan
+    as pushed filters, AQE broadcasts the selective sides); the FILTER on
+    ?etime is a post-join predicate Catalyst pushes back to the timestamp
+    pattern's scan side; the FILTER on ?ptime is scoped INSIDE the
+    OPTIONAL group (SPARQL filter-scope rule — actors with no month-end
+    purchase keep their row, ev2/ptime null; top-level placement would
+    silently turn the left join inner). Oracle = the same self-joins +
+    LEFT JOIN over the triples_events CTE with the purchase filter in the
+    optional CTE's WHERE."""
     from .operators import bgp
 
     return bgp.bgp_match(
@@ -933,10 +937,14 @@ def sparql_bgp(spark, sf_dir):
             ("?s", "rdfs:label", "signup"),
             ("?s", "sem:hasActor", "?actor"),
         ],
-        optional=[[
-            ("?ev2", "rdfs:label", "purchase"),
-            ("?ev2", "sem:hasActor", "?actor"),
-        ]],
+        optional=[{
+            "patterns": [
+                ("?ev2", "rdfs:label", "purchase"),
+                ("?ev2", "sem:hasActor", "?actor"),
+                ("?ev2", "sem:hasTimeStamp", "?ptime"),
+            ],
+            "filters": ["ptime >= '2024-01-28'"],
+        }],
         filters=["etime >= '2024-01-20'"],
     )
 

@@ -21,7 +21,14 @@ Semantics (SPARQL 1.1 BGP, bag semantics):
   implicit DISTINCT, matching SPARQL SELECT);
 - OPTIONAL groups are SPARQL left joins (new variables null where the
   group misses); FILTER is a post-join Spark SQL predicate over the
-  variable columns (Catalyst pushes it back down where legal);
+  variable columns (Catalyst pushes it back down where legal). A FILTER
+  written INSIDE an OPTIONAL group (the ``{"patterns": ..., "filters":
+  ...}`` form) is scoped to the group per SPARQL 1.1: it restricts which
+  group solutions exist BEFORE the left join, so required solutions the
+  filtered group misses still come back (with nulls) — whereas the same
+  expression as a top-level FILTER would evaluate to NULL on those rows
+  and silently turn the left join into an inner one (the classic SPARQL
+  filter-scope trap);
 - a constant predicate ``p+`` is a SPARQL 1.1 one-or-more property path,
   evaluated as the transitive closure of p's edges via the ontology
   closure operator (iterative equi-join, checkpointed).
@@ -163,7 +170,11 @@ def bgp_match(triples: DataFrame,
       group is itself a connected BGP, joined to the required solutions
       with a LEFT join on the shared variables — its new variables come
       back null where the group doesn't match. Groups must share at least
-      one variable with the required part.
+      one variable with the required part. A group may also be a dict
+      ``{"patterns": <BGP>, "filters": [<expr>, ...]}``: its filters are
+      scoped INSIDE the group (applied before the left join), matching
+      SPARQL's FILTER-inside-OPTIONAL semantics — required solutions the
+      filtered group misses survive with nulls.
     - ``filters``: FILTER expressions — Spark SQL boolean strings over the
       variable columns (e.g. ``"etime >= '2024-02'"``), applied after all
       joins. Catalyst pushes them down past the joins where legal, so a
@@ -176,9 +187,15 @@ def bgp_match(triples: DataFrame,
         raise ValueError("empty basic graph pattern")
     result, bound = _join_group(triples, patterns)
     for group in optional or []:
+        gfilters: list[str] = []
+        if isinstance(group, dict):
+            gfilters = list(group.get("filters", []))
+            group = group["patterns"]
         if isinstance(group, str):
             group = parse_bgp(group)
         gdf, gvars = _join_group(triples, group)
+        for pred in gfilters:
+            gdf = gdf.filter(F.expr(pred))
         shared = bound & gvars
         if not shared:
             raise ValueError(

@@ -630,11 +630,15 @@ ORACLES: dict[str, str] = {
           WHERE p1.pred = 'rdfs:label' AND p1.obj = 'error'
             AND p3.obj >= '2024-01-20'),
         opt AS (
-          SELECT p7.obj AS actor, p6.subj AS ev2
+          -- the ptime filter lives HERE (inside the optional group), not
+          -- in the outer query: SPARQL FILTER-inside-OPTIONAL scoping
+          SELECT p7.obj AS actor, p6.subj AS ev2, p8.obj AS ptime
           FROM tr p6
           JOIN tr p7 ON p7.pred = 'sem:hasActor' AND p7.subj = p6.subj
-          WHERE p6.pred = 'rdfs:label' AND p6.obj = 'purchase')
-        SELECT req.actor, req.etime, req.ev, opt.ev2, req.s
+          JOIN tr p8 ON p8.pred = 'sem:hasTimeStamp' AND p8.subj = p6.subj
+          WHERE p6.pred = 'rdfs:label' AND p6.obj = 'purchase'
+            AND p8.obj >= '2024-01-28')
+        SELECT req.actor, req.etime, req.ev, opt.ev2, opt.ptime, req.s
         FROM req LEFT JOIN opt ON opt.actor = req.actor
     """,
     "graph_pagerank": _pagerank_sql(),

@@ -88,6 +88,28 @@ def test_bgp_optional_left_join(triples):
     assert {r.a: r.friend for r in out} == {"alice": "bob", "bob": None}
 
 
+def test_bgp_optional_group_scoped_filter(spark):
+    """SPARQL filter-scope rule: a FILTER inside an OPTIONAL group
+    restricts the group's solutions before the left join (non-matching
+    required rows keep nulls); the same expression as a top-level FILTER
+    evaluates NULL on those rows and drops them (left join turns inner)."""
+    t = spark.createDataFrame(
+        [("e1", "actor", "alice"), ("e2", "actor", "bob"),
+         ("alice", "score", "9"), ("bob", "score", "2")],
+        "subj string, pred string, obj string",
+    )
+    req = [("?e", "actor", "?a")]
+    grp = [("?a", "score", "?sc")]
+    scoped = bgp.bgp_match(
+        t, req, optional=[{"patterns": grp, "filters": ["sc >= '5'"]}]
+    ).collect()
+    assert {r.a: r.sc for r in scoped} == {"alice": "9", "bob": None}
+    toplevel = bgp.bgp_match(
+        t, req, optional=[grp], filters=["sc >= '5'"]
+    ).collect()
+    assert {r.a: r.sc for r in toplevel} == {"alice": "9"}
+
+
 def test_bgp_filter(triples):
     out = bgp.bgp_match(
         triples, [("?e", "actor", "?a")], filters=["a = 'alice'"]
