@@ -967,6 +967,24 @@ def graph_pagerank(spark, sf_dir):
     return graph.pagerank(graph.symmetrize(pairs), n_iters=5)
 
 
+def graph_lpa(spark, sf_dir):
+    """Synchronous label-propagation communities (operators/graph.py;
+    3 fixed iterations, most-frequent-neighbor label, smallest-label
+    tie-break) over the same symmetrized customer↔supplier
+    co-transaction graph PageRank ranks. Fully deterministic (pinned
+    tie-break, fixed rounds), so the unrolled-CTE DuckDB oracle — one
+    count+row_number CTE per round — hash-matches exactly."""
+    from .operators import graph
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return graph.label_propagation(graph.symmetrize(pairs), n_iters=3)
+
+
 def asof_join_events(spark, sf_dir):
     """Purchase→last-view attribution as-of join (operators/temporal.py;
     pandas merge_asof / DuckDB ASOF JOIN semantics): for each 'purchase'
@@ -1119,10 +1137,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # - ann_lsh_bucketed (r5, for asof_join_events) — single-probe LSH is
 #   ann_multiprobe's degenerate case (same seeded projections, probe
 #   fan-out of 1); its recall tier stays measured in BENCH/BASELINE.md.
+# graph_lpa and multimodal_resize were born here (the 50-row window was
+# already full when they landed); same CI hash-gate as the rotated
+# entries.
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     f.__name__: f
     for f in [
         dedup_minhash_sig, multimodal_resize, dedup_simhash, token_count,
-        ann_lsh_bucketed,
+        ann_lsh_bucketed, graph_lpa,
     ]
 }

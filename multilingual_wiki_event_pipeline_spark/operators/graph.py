@@ -1,4 +1,5 @@
-"""Graph centrality over KG edge tables: fixed-point PageRank.
+"""Graph algorithms over KG edge tables: fixed-point PageRank and
+synchronous label-propagation community detection.
 
 The reference materializes a KG and walks its ontology edges (the closure
 in `utils.py:489-569` that operators/ontology.py re-expresses); what it
@@ -95,6 +96,60 @@ def pagerank(edges: DataFrame, n_iters: int = 5) -> DataFrame:
             .localCheckpoint()  # truncate lineage each round (closure hygiene)
         )
     return ranks
+
+
+def label_propagation(edges: DataFrame, n_iters: int = 3) -> DataFrame:
+    """``edges(src, dst)`` -> ``(node, label)``: synchronous label
+    propagation (community detection), the GraphFrames-style LPA the
+    north-star names for entity-canonicalization neighborhoods.
+
+    Deterministic by construction so the unrolled-CTE DuckDB oracle
+    hash-matches: every node starts labeled with its own id; each
+    synchronous round it adopts the most frequent label among its
+    in-neighbors, ties broken by SMALLEST label (GraphFrames leaves the
+    tie-break undefined — pinning it is what makes this testable).
+    Iterations are fixed (no convergence test), and callers pass
+    symmetrized edges (``symmetrize``), which both makes communities
+    undirected and guarantees every node has in-edges. The synchronous
+    update shares sync-LPA's documented caveat (GraphFrames docs):
+    bipartite-ish regions can oscillate rather than converge — fixed
+    iterations keep that deterministic too.
+
+    Scale notes (100 TB): per round, ONE shuffle — edges ⋈ labels on src
+    (labels is node-sized, the small side once edges >> nodes) — then a
+    two-level partial-agg count and a struct-min argmin, both map-side
+    combinable. localCheckpoint truncates lineage per round exactly like
+    pagerank/ontology closure.
+    """
+    edges = edges.select("src", "dst").distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iters):
+        counts = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # argmin of (-cnt, label): struct ordering gives most-frequent
+        # label, smallest label on ties — no window, stays a partial agg
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("neg_cnt"),
+                        F.col("label").alias("label"),
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.label").alias("label"))
+            .localCheckpoint()
+        )
+    return labels
 
 
 def symmetrize(pairs: DataFrame) -> DataFrame:

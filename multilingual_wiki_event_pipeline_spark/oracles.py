@@ -861,7 +861,41 @@ ORACLES: dict[str, str] = {
 # 50-row correctness window (rotation rationale per entry lives at
 # catalog.EXTRA_QUERIES) but still hash-checked by the CI full-catalog
 # gate (tools/check_oracle.run_checks unions these in).
+def _lpa_sql(n_iters: int = 3) -> str:
+    """Unrolled-CTE twin of operators/graph.label_propagation over the
+    symmetrized customer↔supplier graph: per round, count in-neighbor
+    labels and keep the (cnt DESC, label ASC) winner per node — the same
+    pinned tie-break the Spark struct-min argmin implements."""
+    rounds = ",\n".join(
+        f"""
+        l{i} AS (
+          SELECT node, label FROM (
+            SELECT e.dst AS node, l.label, COUNT(*) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY e.dst
+                                      ORDER BY COUNT(*) DESC, l.label) AS rn
+            FROM edges e JOIN l{i - 1} l ON l.node = e.src
+            GROUP BY e.dst, l.label
+          ) WHERE rn = 1
+        )"""
+        for i in range(1, n_iters + 1)
+    )
+    return f"""
+        WITH pairs AS (
+          SELECT DISTINCT concat('c', CAST(o_custkey AS VARCHAR)) AS src,
+                          concat('s', CAST(l_suppkey AS VARCHAR)) AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        edges AS (SELECT DISTINCT src, dst FROM
+                  (SELECT src, dst FROM pairs
+                   UNION ALL
+                   SELECT dst, src FROM pairs)),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+        {rounds}
+        SELECT node, label FROM l{n_iters}
+    """
+
+
 EXTRA_ORACLES: dict[str, str] = {
+    "graph_lpa": _lpa_sql(),
     "dedup_minhash_sig": f"""
         WITH {_MINHASH_BANDS}
         SELECT doc_id, band, band_sig FROM bands

@@ -1,6 +1,6 @@
 """Unit semantics for the round-5 KG-query additions: SPARQL BGP matching
-(operators/bgp.py), fixed-point PageRank (operators/graph.py), and the
-as-of join (operators/temporal.py). Hand-built in-memory graphs with
+(operators/bgp.py), fixed-point PageRank + label-propagation communities
+(operators/graph.py), and the as-of join (operators/temporal.py). Hand-built in-memory graphs with
 hand-computed expectations; the driver-table versions are hash-checked
 against DuckDB by the catalog oracle gate."""
 
@@ -211,6 +211,84 @@ def test_symmetrize(spark):
     e = spark.createDataFrame([("a", "b")], "src string, dst string")
     rows = {(r.src, r.dst) for r in graph.symmetrize(e).collect()}
     assert rows == {("a", "b"), ("b", "a")}
+
+
+# --- Label propagation ------------------------------------------------------
+
+
+def _lpa_reference(edge_rows, n_iters):
+    """Tiny pure-Python synchronous LPA with the pinned tie-break
+    (most-frequent in-neighbor label, smallest label on ties) — the
+    differential oracle for the distributed implementation."""
+    from collections import Counter, defaultdict
+
+    in_nbrs = defaultdict(list)
+    for s, d in set(edge_rows):
+        in_nbrs[d].append(s)
+    labels = {n for e in edge_rows for n in e}
+    labels = {n: n for n in labels}
+    for _ in range(n_iters):
+        labels = {
+            n: min(
+                Counter(labels[u] for u in in_nbrs[n]).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0]
+            for n in labels
+        }
+    return labels
+
+
+def _lpa_dict(spark, edge_rows, n_iters):
+    e = spark.createDataFrame(edge_rows, "src string, dst string")
+    return {
+        r.node: r.label
+        for r in graph.label_propagation(e, n_iters=n_iters).collect()
+    }
+
+
+def test_lpa_disconnected_cliques_flood_to_local_min(spark):
+    # two disconnected triangles: each floods to its own smallest node id
+    # within 2 rounds — two communities, one label each
+    tri1 = [("a1", "a2"), ("a2", "a3"), ("a1", "a3")]
+    tri2 = [("b1", "b2"), ("b2", "b3"), ("b1", "b3")]
+    pairs = tri1 + tri2
+    edges = pairs + [(d, s) for s, d in pairs]
+    got = _lpa_dict(spark, edges, n_iters=2)
+    assert got == {"a1": "a1", "a2": "a1", "a3": "a1",
+                   "b1": "b1", "b2": "b1", "b3": "b1"}
+
+
+def test_lpa_bridge_flooding_matches_reference(spark):
+    # add one bridge edge between the triangles: the min-label tie-break
+    # makes the globally smallest label invade across the bridge (a
+    # documented artifact of deterministic sync LPA) — pin that the
+    # distributed impl reproduces the reference's flooding exactly
+    tri1 = [("a1", "a2"), ("a2", "a3"), ("a1", "a3")]
+    tri2 = [("b1", "b2"), ("b2", "b3"), ("b1", "b3")]
+    pairs = tri1 + tri2 + [("a1", "b1")]
+    edges = pairs + [(d, s) for s, d in pairs]
+    got = _lpa_dict(spark, edges, n_iters=3)
+    assert got == _lpa_reference(edges, 3)
+    assert got == {n: "a1" for n in got}
+
+
+def test_lpa_matches_reference_on_random_graph(spark):
+    import random
+
+    rng = random.Random(42)
+    nodes = [f"n{i:02d}" for i in range(20)]
+    pairs = {
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(60)
+    }
+    pairs = [(s, d) for s, d in pairs if s != d]
+    edges = pairs + [(d, s) for s, d in pairs]
+    for iters in (1, 4):
+        assert _lpa_dict(spark, edges, iters) == _lpa_reference(edges, iters)
+
+
+def test_lpa_duplicate_edges_collapse(spark):
+    edges = [("a", "b"), ("b", "a")]
+    assert _lpa_dict(spark, edges + edges, 2) == _lpa_dict(spark, edges, 2)
 
 
 # --- as-of join -------------------------------------------------------------
