@@ -967,6 +967,36 @@ def graph_pagerank(spark, sf_dir):
     return graph.pagerank(graph.symmetrize(pairs), n_iters=5)
 
 
+def sparql_union(spark, sf_dir):
+    """SPARQL UNION over the K3 triple store (operators/bgp.bgp_union):
+    month-end 'error' events (with timestamp) ∪ all 'signup' events
+    (no timestamp pattern — ?etime comes back null, SPARQL's unbound).
+    Each branch compiles independently (own pushed filters + join
+    strategy); the union is a shuffle-free unionByName. Oracle = UNION
+    ALL with a typed NULL column in the signup branch."""
+    from .operators import bgp
+
+    return bgp.bgp_union(
+        triples_events(spark, sf_dir),
+        [
+            {
+                "patterns": [
+                    ("?ev", "rdfs:label", "error"),
+                    ("?ev", "sem:hasActor", "?actor"),
+                    ("?ev", "sem:hasTimeStamp", "?etime"),
+                ],
+                "filters": ["etime >= '2024-01-30'"],
+            },
+            {
+                "patterns": [
+                    ("?ev", "rdfs:label", "signup"),
+                    ("?ev", "sem:hasActor", "?actor"),
+                ]
+            },
+        ],
+    )
+
+
 def graph_lpa(spark, sf_dir):
     """Synchronous label-propagation communities (operators/graph.py;
     3 fixed iterations, most-frequent-neighbor label, smallest-label
@@ -1144,6 +1174,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     f.__name__: f
     for f in [
         dedup_minhash_sig, multimodal_resize, dedup_simhash, token_count,
-        ann_lsh_bucketed, graph_lpa,
+        ann_lsh_bucketed, graph_lpa, sparql_union,
     ]
 }

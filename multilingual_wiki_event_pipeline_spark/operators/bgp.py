@@ -31,7 +31,11 @@ Semantics (SPARQL 1.1 BGP, bag semantics):
   filter-scope trap);
 - a constant predicate ``p+`` is a SPARQL 1.1 one-or-more property path,
   evaluated as the transitive closure of p's edges via the ontology
-  closure operator (iterative equi-join, checkpointed).
+  closure operator (iterative equi-join, checkpointed);
+- the rest of the SELECT surface: VALUES (broadcast inline-binding join),
+  DISTINCT (set semantics), ORDER BY / LIMIT (TakeOrdered top-k when both
+  present), and UNION (``bgp_union`` — unionByName with null for unbound
+  branch variables).
 
 Scale notes (100 TB): each pattern is one filtered scan of the triple
 table — predicate/object constants reach the parquet reader as
@@ -160,7 +164,11 @@ def bgp_match(triples: DataFrame,
               patterns: list[tuple[str, str, str]] | str,
               optional: list[list[tuple[str, str, str]] | str] | None = None,
               filters: list[str] | None = None,
-              select: list[str] | None = None) -> DataFrame:
+              select: list[str] | None = None,
+              values: dict[str, list] | None = None,
+              distinct: bool = False,
+              order_by: list[str] | None = None,
+              limit: int | None = None) -> DataFrame:
     """Match a SPARQL-SELECT-shaped query against
     ``triples(subj, pred, obj, ...)``.
 
@@ -180,6 +188,19 @@ def bgp_match(triples: DataFrame,
       joins. Catalyst pushes them down past the joins where legal, so a
       filter on a single pattern's variable still reaches that scan.
     - ``select``: projected variables (default: all, sorted by name).
+    - ``values``: SPARQL VALUES inline bindings — ``{"?actor": ["u1",
+      "u7"]}`` joins the solutions against a broadcast literal table on
+      the named variables (multi-variable dicts bind positionally: the
+      lists are parallel rows). Must share at least one variable with the
+      pattern solutions (a disjoint VALUES would be a cartesian product).
+    - ``distinct``: SELECT DISTINCT set semantics (one shuffle on the
+      projected columns).
+    - ``order_by``: ORDER BY terms, each ``"var"`` or ``"var desc"``,
+      applied to the projected solution sequence. With ``limit`` Spark
+      plans TakeOrdered (per-partition top-k + single merge — no global
+      sort); without it this is a full global sort, which is the query's
+      own request.
+    - ``limit``: LIMIT n.
     """
     if isinstance(patterns, str):
         patterns = parse_bgp(patterns)
@@ -205,10 +226,62 @@ def bgp_match(triples: DataFrame,
             )
         result = result.join(gdf, on=sorted(shared), how="left")
         bound |= gvars
+    if values:
+        vvars = [v.lstrip("?") for v in values]
+        shared = bound & set(vvars)
+        if not shared:
+            raise ValueError(
+                f"VALUES variables {sorted(vvars)} share nothing with "
+                f"{sorted(bound)} — a disjoint VALUES would be a cartesian "
+                "product"
+            )
+        rows = list(zip(*[values[v] for v in values]))
+        vdf = result.sparkSession.createDataFrame(rows, vvars)
+        result = result.join(F.broadcast(vdf), on=sorted(shared))
+        bound |= set(vvars)
     for pred in filters or []:
         result = result.filter(F.expr(pred))
     out = sorted(bound) if select is None else list(select)
     missing = set(out) - bound
     if missing:
         raise ValueError(f"select of unbound variables: {sorted(missing)}")
-    return result.select(*out)
+    result = result.select(*out)
+    if distinct:
+        result = result.distinct()
+    if order_by:
+        keys = []
+        for term in order_by:
+            parts = term.split()
+            col = F.col(parts[0])
+            keys.append(
+                col.desc() if len(parts) > 1 and parts[1].lower() == "desc"
+                else col.asc()
+            )
+        result = result.orderBy(*keys)
+    if limit is not None:
+        result = result.limit(limit)
+    return result
+
+
+def bgp_union(triples: DataFrame, groups: list) -> DataFrame:
+    """SPARQL UNION: the bag concatenation of each group's solutions.
+
+    Each element of ``groups`` is either a BGP (pattern list or string)
+    or a dict of ``bgp_match`` keyword arguments (``{"patterns": ...,
+    "filters": ..., ...}``) — each branch compiles independently, then
+    the solution sequences concatenate by variable NAME, with variables a
+    branch doesn't bind coming back null (SPARQL's unbound). Column set =
+    union of all branch variables, sorted. Spark shape: a plain unionByName
+    of the branch plans — no shuffle of its own; each branch keeps its own
+    pushed filters and join strategy.
+    """
+    if not groups:
+        raise ValueError("empty UNION")
+    branches = []
+    for g in groups:
+        kwargs = dict(g) if isinstance(g, dict) else {"patterns": g}
+        branches.append(bgp_match(triples, **kwargs))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b, allowMissingColumns=True)
+    return out.select(*sorted(out.columns))

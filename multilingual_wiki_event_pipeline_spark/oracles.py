@@ -896,6 +896,23 @@ def _lpa_sql(n_iters: int = 3) -> str:
 
 EXTRA_ORACLES: dict[str, str] = {
     "graph_lpa": _lpa_sql(),
+    # UNION ALL twin of bgp_union: branch 2 binds no timestamp pattern, so
+    # ?etime is SPARQL-unbound there — a typed NULL column in SQL
+    "sparql_union": f"""
+        WITH tr AS ({_TRIPLES_EVENTS_SQL})
+        SELECT p2.obj AS actor, p3.obj AS etime, p1.subj AS ev
+        FROM tr p1
+        JOIN tr p2 ON p2.pred = 'sem:hasActor' AND p2.subj = p1.subj
+        JOIN tr p3 ON p3.pred = 'sem:hasTimeStamp' AND p3.subj = p1.subj
+        WHERE p1.pred = 'rdfs:label' AND p1.obj = 'error'
+          AND p3.obj >= '2024-01-30'
+        UNION ALL
+        SELECT p2.obj AS actor, CAST(NULL AS VARCHAR) AS etime,
+               p1.subj AS ev
+        FROM tr p1
+        JOIN tr p2 ON p2.pred = 'sem:hasActor' AND p2.subj = p1.subj
+        WHERE p1.pred = 'rdfs:label' AND p1.obj = 'signup'
+    """,
     "dedup_minhash_sig": f"""
         WITH {_MINHASH_BANDS}
         SELECT doc_id, band, band_sig FROM bands

@@ -147,6 +147,49 @@ def test_bgp_property_path_transitive(spark):
     assert [(r.x, r.y) for r in out2] == [("a", "z")]
 
 
+def test_bgp_values_inline_binding(triples):
+    out = bgp.bgp_match(
+        triples, [("?e", "actor", "?a")], values={"?a": ["alice", "zz"]}
+    ).collect()
+    assert [(r.a, r.e) for r in out] == [("alice", "e1")]
+    with pytest.raises(ValueError, match="VALUES"):
+        bgp.bgp_match(triples, [("?e", "actor", "?a")], values={"?z": ["x"]})
+
+
+def test_bgp_distinct(triples):
+    # both events carry label 'boom': projecting ?lbl alone gives two bag
+    # rows, one distinct row
+    assert bgp.bgp_match(
+        triples, [("?e", "label", "?lbl")], select=["lbl"]
+    ).count() == 2
+    assert bgp.bgp_match(
+        triples, [("?e", "label", "?lbl")], select=["lbl"], distinct=True
+    ).count() == 1
+
+
+def test_bgp_order_by_limit(triples):
+    out = bgp.bgp_match(
+        triples, [("?e", "actor", "?a")], order_by=["a desc"], limit=1
+    ).collect()
+    assert [(r.a, r.e) for r in out] == [("bob", "e2")]
+
+
+def test_bgp_union_null_for_unbound(triples):
+    out = bgp.bgp_union(
+        triples,
+        [
+            [("?e", "actor", "?a")],
+            {"patterns": [("?a", "knows", "?friend")]},
+        ],
+    ).collect()
+    got = sorted(((r.a, r.e or "", r.friend or "") for r in out))
+    assert got == [
+        ("alice", "", "bob"),
+        ("alice", "e1", ""),
+        ("bob", "e2", ""),
+    ]
+
+
 def test_bgp_bag_semantics(spark):
     # two identical-shape triples on different subjects, projected to one
     # var -> two rows (no implicit distinct, matching SPARQL SELECT)
