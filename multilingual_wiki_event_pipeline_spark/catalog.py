@@ -964,7 +964,10 @@ def graph_pagerank(spark, sf_dir):
         F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
     )
-    return graph.pagerank(graph.symmetrize(pairs), n_iters=5)
+    # symmetrize guarantees every node an in-edge, so the per-round nodes
+    # left-join is skipped (all_nodes_receive): one shuffle per iteration
+    return graph.pagerank(graph.symmetrize(pairs), n_iters=5,
+                          all_nodes_receive=True)
 
 
 def sparql_union(spark, sf_dir):

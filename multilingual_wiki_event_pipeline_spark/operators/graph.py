@@ -45,7 +45,8 @@ SCALE = 10**12  # rank unit = 1e-12 of total mass
 DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85 as an exact rational
 
 
-def pagerank(edges: DataFrame, n_iters: int = 5) -> DataFrame:
+def pagerank(edges: DataFrame, n_iters: int = 5,
+             all_nodes_receive: bool = False) -> DataFrame:
     """``edges(src, dst)`` -> ``(node, rank_e12)``; BIGINT fixed-point
     PageRank after ``n_iters`` synchronous iterations.
 
@@ -56,6 +57,14 @@ def pagerank(edges: DataFrame, n_iters: int = 5) -> DataFrame:
     Duplicate edges are collapsed (set semantics, like the closure's edge
     prep). Nodes = src ∪ dst; dangling nodes contribute nothing (mass
     leak — see module docstring).
+
+    ``all_nodes_receive=True`` asserts every node has at least one
+    in-edge — true by construction for ``symmetrize``d edge tables — and
+    drops the per-round ``nodes`` left-join (the contribution groupBy
+    already emits a row per node), halving the shuffles per iteration:
+    join+agg only. Values are identical when the assertion holds; a node
+    with no in-edges would silently vanish from the result, so the flag
+    stays opt-in.
     """
     edges = edges.select("src", "dst").distinct()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
@@ -83,9 +92,13 @@ def pagerank(edges: DataFrame, n_iters: int = 5) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("contrib").alias("in_mass"))
         )
+        if all_nodes_receive:
+            # symmetrized edges: the groupBy already covers every node
+            ranks = in_mass.select(F.col("dst").alias("node"), "in_mass")
+        else:
+            ranks = nodes.join(in_mass, nodes.node == in_mass.dst, "left")
         ranks = (
-            nodes.join(in_mass, nodes.node == in_mass.dst, "left")
-            .crossJoin(n1)
+            ranks.crossJoin(n1)
             .select(
                 "node",
                 F.expr(
@@ -93,7 +106,11 @@ def pagerank(edges: DataFrame, n_iters: int = 5) -> DataFrame:
                     f"div {DAMP_DEN}L"
                 ).alias("rank_e12"),
             )
-            .localCheckpoint()  # truncate lineage each round (closure hygiene)
+            # truncate lineage each round (closure hygiene); lazy so the
+            # rounds fuse into one submitted job instead of one per round
+            # (checkpoint still materializes per round when computed —
+            # measured ~15% off the sf0.1 wall in job floors)
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -147,7 +164,7 @@ def label_propagation(edges: DataFrame, n_iters: int = 3) -> DataFrame:
                 ).alias("m")
             )
             .select("node", F.col("m.label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # same lazy fusing as pagerank
         )
     return labels
 

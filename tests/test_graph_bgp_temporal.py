@@ -250,6 +250,19 @@ def test_pagerank_duplicate_edges_collapse(spark):
     assert once == dup
 
 
+def test_pagerank_all_nodes_receive_equivalence(spark):
+    # on a symmetrized graph the no-left-join fast path is value-identical
+    pairs = [("c", f"s{i}") for i in range(3)] + [("s0", "s1")]
+    edges = pairs + [(b, a) for a, b in pairs]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    slow = {r.node: r.rank_e12 for r in graph.pagerank(e, 3).collect()}
+    fast = {
+        r.node: r.rank_e12
+        for r in graph.pagerank(e, 3, all_nodes_receive=True).collect()
+    }
+    assert slow == fast
+
+
 def test_symmetrize(spark):
     e = spark.createDataFrame([("a", "b")], "src string, dst string")
     rows = {(r.src, r.dst) for r in graph.symmetrize(e).collect()}
