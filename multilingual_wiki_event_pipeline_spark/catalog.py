@@ -1000,6 +1000,30 @@ def sparql_union(spark, sf_dir):
     )
 
 
+def sparql_construct(spark, sf_dir):
+    """SPARQL CONSTRUCT over the K3 store (operators/bgp.bgp_construct):
+    rewrite late-January error events into a compact 'flagged' graph —
+    per (error event, actor) solution emit (actor, ex:flagged, ev) and
+    (ev, ex:status, error). CONSTRUCT output is an RDF graph, so the
+    result is DISTINCT (the one spot SPARQL's bag semantics flips to
+    set). Oracle = the same join + UNION + DISTINCT in SQL."""
+    from .operators import bgp
+
+    return bgp.bgp_construct(
+        triples_events(spark, sf_dir),
+        template=[
+            ("?actor", "ex:flagged", "?ev"),
+            ("?ev", "ex:status", "error"),
+        ],
+        patterns=[
+            ("?ev", "rdfs:label", "error"),
+            ("?ev", "sem:hasActor", "?actor"),
+            ("?ev", "sem:hasTimeStamp", "?etime"),
+        ],
+        filters=["etime >= '2024-01-20'"],
+    )
+
+
 def graph_lpa(spark, sf_dir):
     """Synchronous label-propagation communities (operators/graph.py;
     3 fixed iterations, most-frequent-neighbor label, smallest-label
@@ -1177,6 +1201,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     f.__name__: f
     for f in [
         dedup_minhash_sig, multimodal_resize, dedup_simhash, token_count,
-        ann_lsh_bucketed, graph_lpa, sparql_union,
+        ann_lsh_bucketed, graph_lpa, sparql_union, sparql_construct,
     ]
 }

@@ -263,6 +263,60 @@ def bgp_match(triples: DataFrame,
     return result
 
 
+def bgp_construct(triples: DataFrame,
+                  template: list[tuple[str, str, str]],
+                  patterns: list[tuple[str, str, str]] | str,
+                  **match_kwargs) -> DataFrame:
+    """SPARQL CONSTRUCT: instantiate ``template`` triples once per WHERE
+    solution, returning a new ``(subj, pred, obj)`` graph.
+
+    The reference's whole pipeline is a CONSTRUCT in spirit (structured
+    rows in, triples out — `utils.py:33-83` builds the query side against
+    Wikidata); this operator closes the loop on the produced store:
+    matched solutions (``bgp_match`` with any of its SELECT kwargs) are
+    projected through each template triple — variables substitute their
+    bindings, constants pass through — and the per-template outputs union
+    into one graph with DISTINCT (CONSTRUCT emits an RDF *graph*, i.e.
+    set semantics — the one place the bag-semantics rule flips). Template
+    variables must be bound by the WHERE clause; solutions where a
+    template variable is unbound (OPTIONAL miss) drop that instantiation
+    only, per spec.
+
+    Spark shape: one select per template triple over the shared solution
+    plan + unionByName + a single distinct — the only shuffle CONSTRUCT
+    adds on top of the match.
+    """
+    if not template:
+        raise ValueError("empty CONSTRUCT template")
+    sol = bgp_match(triples, patterns, **match_kwargs)
+    bound = set(sol.columns)
+    parts = []
+    for t in template:
+        tvars = {term.lstrip("?") for term in t if is_var(term)}
+        missing = tvars - bound
+        if missing:
+            raise ValueError(
+                f"CONSTRUCT template {t!r} uses unbound variables: "
+                f"{sorted(missing)}"
+            )
+        cols = [
+            (F.col(term.lstrip("?")) if is_var(term) else F.lit(term))
+            .cast("string")
+            .alias(c)
+            for term, c in zip(t, TRIPLE_COLS)
+        ]
+        part = sol.select(*cols)
+        if tvars:  # unbound (null) bindings drop the instantiation, per spec
+            part = part.na.drop(subset=[
+                c for term, c in zip(t, TRIPLE_COLS) if is_var(term)
+            ])
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
 def bgp_union(triples: DataFrame, groups: list) -> DataFrame:
     """SPARQL UNION: the bag concatenation of each group's solutions.
 

@@ -898,6 +898,22 @@ EXTRA_ORACLES: dict[str, str] = {
     "graph_lpa": _lpa_sql(),
     # UNION ALL twin of bgp_union: branch 2 binds no timestamp pattern, so
     # ?etime is SPARQL-unbound there — a typed NULL column in SQL
+    # CONSTRUCT twin: same error+actor+time join, each template triple a
+    # UNION branch, DISTINCT for RDF-graph set semantics
+    "sparql_construct": f"""
+        WITH tr AS ({_TRIPLES_EVENTS_SQL}),
+        sol AS (
+          SELECT p2.obj AS actor, p1.subj AS ev
+          FROM tr p1
+          JOIN tr p2 ON p2.pred = 'sem:hasActor' AND p2.subj = p1.subj
+          JOIN tr p3 ON p3.pred = 'sem:hasTimeStamp' AND p3.subj = p1.subj
+          WHERE p1.pred = 'rdfs:label' AND p1.obj = 'error'
+            AND p3.obj >= '2024-01-20')
+        SELECT DISTINCT subj, pred, obj FROM (
+          SELECT actor AS subj, 'ex:flagged' AS pred, ev AS obj FROM sol
+          UNION ALL
+          SELECT ev AS subj, 'ex:status' AS pred, 'error' AS obj FROM sol)
+    """,
     "sparql_union": f"""
         WITH tr AS ({_TRIPLES_EVENTS_SQL})
         SELECT p2.obj AS actor, p3.obj AS etime, p1.subj AS ev

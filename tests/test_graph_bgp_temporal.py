@@ -190,6 +190,47 @@ def test_bgp_union_null_for_unbound(triples):
     ]
 
 
+def test_bgp_construct_graph_semantics(triples):
+    # both events share label 'boom': one (boom, seen, yes) row survives
+    # the DISTINCT (CONSTRUCT = set semantics), plus one derived triple
+    # per event
+    out = bgp.bgp_construct(
+        triples,
+        template=[("?lbl", "seen", "yes"), ("?e", "hasLabel", "?lbl")],
+        patterns=[("?e", "label", "?lbl")],
+    ).collect()
+    got = sorted((r.subj, r.pred, r.obj) for r in out)
+    assert got == [
+        ("boom", "seen", "yes"),
+        ("e1", "hasLabel", "boom"),
+        ("e2", "hasLabel", "boom"),
+    ]
+
+
+def test_bgp_construct_optional_null_drops_instantiation(triples):
+    # bob has no 'knows' edge: the ?friend template triple drops for his
+    # solution only; the ?a triple still emits for both
+    out = bgp.bgp_construct(
+        triples,
+        template=[("?a", "active", "yes"), ("?a", "buddy", "?friend")],
+        patterns=[("?e", "actor", "?a")],
+        optional=[[("?a", "knows", "?friend")]],
+    ).collect()
+    got = sorted((r.subj, r.pred, r.obj) for r in out)
+    assert got == [
+        ("alice", "active", "yes"),
+        ("alice", "buddy", "bob"),
+        ("bob", "active", "yes"),
+    ]
+
+
+def test_bgp_construct_unbound_template_var_raises(triples):
+    with pytest.raises(ValueError, match="unbound"):
+        bgp.bgp_construct(
+            triples, [("?zzz", "p", "o")], [("?e", "actor", "?a")]
+        )
+
+
 def test_bgp_bag_semantics(spark):
     # two identical-shape triples on different subjects, projected to one
     # var -> two rows (no implicit distinct, matching SPARQL SELECT)
