@@ -317,6 +317,30 @@ def bgp_construct(triples: DataFrame,
     return out.distinct()
 
 
+def bgp_ask(triples: DataFrame,
+            patterns: list[tuple[str, str, str]] | str,
+            **match_kwargs) -> bool:
+    """SPARQL ASK: does at least one solution exist? Compiles the same
+    plan as ``bgp_match`` and probes it with ``limit(1)`` — Spark stops
+    the scan at the first produced row (CollectLimit), so ASK never pays
+    for the full solution set. The one deliberately driver-side operator
+    in this module: ASK's result IS a scalar."""
+    return bool(bgp_match(triples, patterns, **match_kwargs).limit(1).take(1))
+
+
+def bgp_describe(triples: DataFrame, resources: list[str]) -> DataFrame:
+    """SPARQL DESCRIBE (simple-description semantics: every triple whose
+    subject OR object is a named resource — the common default; spec
+    leaves the exact description form to the implementation). A single
+    filtered scan with an IN predicate on both positions — pushed to the
+    reader, no join."""
+    if not resources:
+        raise ValueError("DESCRIBE of no resources")
+    return triples.select(*TRIPLE_COLS).filter(
+        F.col("subj").isin(resources) | F.col("obj").isin(resources)
+    )
+
+
 def bgp_union(triples: DataFrame, groups: list) -> DataFrame:
     """SPARQL UNION: the bag concatenation of each group's solutions.
 

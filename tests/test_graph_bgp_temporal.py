@@ -231,6 +231,26 @@ def test_bgp_construct_unbound_template_var_raises(triples):
         )
 
 
+def test_bgp_ask(triples):
+    assert bgp.bgp_ask(triples, [("?e", "actor", "alice")]) is True
+    assert bgp.bgp_ask(triples, [("?e", "actor", "nobody")]) is False
+    assert bgp.bgp_ask(
+        triples, [("?e", "actor", "?a")], filters=["a = 'bob'"]
+    ) is True
+
+
+def test_bgp_describe(triples):
+    out = bgp.bgp_describe(triples, ["alice"]).collect()
+    got = sorted((r.subj, r.pred, r.obj) for r in out)
+    assert got == [
+        ("alice", "knows", "bob"),
+        ("alice", "likes", "alice"),
+        ("e1", "actor", "alice"),
+    ]
+    with pytest.raises(ValueError):
+        bgp.bgp_describe(triples, [])
+
+
 def test_bgp_bag_semantics(spark):
     # two identical-shape triples on different subjects, projected to one
     # var -> two rows (no implicit distinct, matching SPARQL SELECT)
