@@ -29,9 +29,12 @@ Semantics (SPARQL 1.1 BGP, bag semantics):
   expression as a top-level FILTER would evaluate to NULL on those rows
   and silently turn the left join into an inner one (the classic SPARQL
   filter-scope trap);
-- a constant predicate ``p+`` is a SPARQL 1.1 one-or-more property path,
-  evaluated as the transitive closure of p's edges via the ontology
-  closure operator (iterative equi-join, checkpointed);
+- a constant predicate may be a SPARQL 1.1 property path: ``p+`` /
+  ``p*`` closures (iterative equi-join via the ontology closure
+  operator, checkpointed; ``*`` adds the identity over all graph nodes
+  per spec), ``^p`` inverse, ``a/b`` sequence, ``a|b`` alternation —
+  composable, e.g. ``^a/b+``; wrap a predicate in ``<...>`` to force
+  literal-IRI matching (real IRIs contain ``/``);
 - the rest of the SELECT surface: VALUES (broadcast inline-binding join),
   DISTINCT (set semantics), ORDER BY / LIMIT (TakeOrdered top-k when both
   present), and UNION (``bgp_union`` — unionByName with null for unbound
@@ -77,6 +80,81 @@ def parse_bgp(text: str) -> list[tuple[str, str, str]]:
     return patterns
 
 
+def _is_path(p: str) -> bool:
+    """Is a constant predicate a property-path expression? ``|``/``/``
+    anywhere, leading ``^``, or a trailing ``+``/``*`` (with something
+    before it). ``<...>``-wrapped IRIs are handled before this is asked."""
+    return (
+        "|" in p
+        or "/" in p
+        or p.startswith("^")
+        or (len(p) > 1 and p[-1] in "+*")
+    )
+
+
+def _path_edges(triples: DataFrame, p: str) -> DataFrame:
+    """Compile a SPARQL 1.1 property-path expression to its edge relation
+    ``(subj, obj)`` — every pair connected by the path.
+
+    Grammar (operator precedence low→high, no parentheses — SPARQL's
+    grouping forms are out of this mini-syntax's scope):
+
+    - ``a|b``  alternation: union of the branch relations (shuffle-free);
+    - ``a/b``  sequence: equi-join obj→subj through each step;
+    - ``^p``   inverse: the swapped scan;
+    - ``p+``   one-or-more: transitive closure via the ontology
+      operator's iterative equi-join (broadcast edges, checkpointed);
+    - ``p*``   zero-or-more: the ``+`` closure UNION the identity over
+      ALL graph nodes (per spec a zero-length path relates every node in
+      the graph to itself, not just nodes touching ``p``);
+    - anything else: one filtered scan of the triple table (constant
+      pred → PushedFilters).
+    """
+    if "|" in p:
+        parts = [_path_edges(triples, q) for q in p.split("|")]
+        out = parts[0]
+        for q in parts[1:]:
+            out = out.unionByName(q)
+        return out
+    if "/" in p:
+        steps = p.split("/")
+        out = _path_edges(triples, steps[0])
+        for step in steps[1:]:
+            nxt = _path_edges(triples, step).select(
+                F.col("subj").alias("_mid"), F.col("obj").alias("_obj")
+            )
+            out = (
+                out.join(nxt, out.obj == nxt._mid)
+                .select("subj", F.col("_obj").alias("obj"))
+            )
+        return out
+    if p.startswith("^"):
+        return _path_edges(triples, p[1:]).select(
+            F.col("obj").alias("subj"), F.col("subj").alias("obj")
+        )
+    if len(p) > 1 and p[-1] in "+*":
+        from .ontology import ancestor_closure
+
+        edges = _path_edges(triples, p[:-1]).select(
+            F.col("subj").alias("child"), F.col("obj").alias("parent")
+        )
+        closure = ancestor_closure(edges, reflexive=False).select(
+            F.col("node").alias("subj"), F.col("ancestor").alias("obj")
+        )
+        if p[-1] == "*":
+            nodes = (
+                triples.select("subj")
+                .unionByName(triples.select(F.col("obj").alias("subj")))
+                .distinct()
+            )
+            closure = closure.unionByName(
+                nodes.select("subj", F.col("subj").alias("obj"))
+            )
+        return closure
+    base = p[1:-1] if p.startswith("<") and p.endswith(">") else p
+    return triples.filter(F.col("pred") == base).select("subj", "obj")
+
+
 def _compile_pattern(triples: DataFrame,
                      pattern: tuple[str, str, str]) -> tuple[DataFrame, set]:
     """One pattern -> (DataFrame with one column per variable, var set).
@@ -85,30 +163,23 @@ def _compile_pattern(triples: DataFrame,
     A variable repeated inside one pattern (e.g. ``?x :p ?x``) becomes an
     intra-pattern equality filter.
 
-    A constant predicate ending in ``+`` is a SPARQL 1.1 one-or-more
-    property path: the pattern matches the TRANSITIVE closure of that
-    predicate's edges, computed by the same iterative-equi-join closure
-    the ontology operator uses (``ancestor_closure(reflexive=False)`` —
-    sound for the acyclic hierarchies KG stores hold; broadcast edge set,
-    localCheckpoint lineage hygiene). The closure result stands in for
-    the triple scan, so variables/constants in subject/object position
-    compose exactly as for a plain pattern.
+    A constant predicate may be a SPARQL 1.1 property-path expression
+    (see ``_path_edges``): ``p+`` / ``p*`` closures, ``^p`` inverse,
+    ``a/b`` sequence, ``a|b`` alternation. The compiled path frame stands
+    in for the triple scan (its pred column carries the path expression
+    itself), so variables/constants in subject/object position compose
+    exactly as for a plain pattern. A predicate wrapped in ``<...>`` is a
+    literal IRI — never path-interpreted (real IRIs contain ``/``) — with
+    the brackets stripped before matching.
     """
     p = pattern[1]
-    if not is_var(p) and p.endswith("+") and len(p) > 1:
-        from .ontology import ancestor_closure
-
-        edges = triples.filter(F.col("pred") == p[:-1]).select(
-            F.col("subj").alias("child"), F.col("obj").alias("parent")
-        )
-        # the closure frame stands in for the triple scan; its pred column
-        # carries the path marker itself, so the generic constant filter
-        # below is a no-op match and subject/object compose as usual
-        triples = ancestor_closure(edges, reflexive=False).select(
-            F.col("node").alias("subj"),
-            F.lit(p).alias("pred"),
-            F.col("ancestor").alias("obj"),
-        )
+    if not is_var(p):
+        if p.startswith("<") and p.endswith(">"):
+            pattern = (pattern[0], p[1:-1], pattern[2])
+        elif _is_path(p):
+            triples = _path_edges(triples, p).select(
+                "subj", F.lit(p).alias("pred"), "obj"
+            )
     df = triples
     var_to_col: dict[str, str] = {}
     for term, col in zip(pattern, TRIPLE_COLS):

@@ -251,6 +251,57 @@ def test_bgp_describe(triples):
         bgp.bgp_describe(triples, [])
 
 
+@pytest.fixture(scope="module")
+def path_triples(spark):
+    rows = [
+        ("a", "sub", "b"), ("b", "sub", "c"), ("c", "sub", "d"),
+        ("a", "other", "z"), ("z", "alt", "w"),
+        ("x", "http://ex.org/p", "y"),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string"
+    )
+
+
+def test_bgp_path_inverse(path_triples):
+    out = bgp.bgp_match(path_triples, [("b", "^sub", "?who")]).collect()
+    assert [r.who for r in out] == ["a"]
+
+
+def test_bgp_path_sequence(path_triples):
+    # other/alt: a -other-> z -alt-> w
+    out = bgp.bgp_match(path_triples, [("?s", "other/alt", "?o")]).collect()
+    assert [(r.s, r.o) for r in out] == [("a", "w")]
+
+
+def test_bgp_path_alternation(path_triples):
+    out = bgp.bgp_match(path_triples, [("a", "sub|other", "?o")]).collect()
+    assert sorted(r.o for r in out) == ["b", "z"]
+
+
+def test_bgp_path_zero_or_more(path_triples):
+    # sub*: the + closure from a, PLUS identity (a,a); identity covers all
+    # graph nodes, so an unrelated node also self-matches
+    out = bgp.bgp_match(path_triples, [("a", "sub*", "?anc")]).collect()
+    assert sorted(r.anc for r in out) == ["a", "b", "c", "d"]
+    out2 = bgp.bgp_match(path_triples, [("z", "sub*", "?anc")]).collect()
+    assert sorted(r.anc for r in out2) == ["z"]
+
+
+def test_bgp_path_composed_inverse_sequence(path_triples):
+    # ^other/sub+ : z -^other-> a -sub+-> {b,c,d}
+    out = bgp.bgp_match(path_triples, [("z", "^other/sub+", "?n")]).collect()
+    assert sorted(r.n for r in out) == ["b", "c", "d"]
+
+
+def test_bgp_angle_brackets_escape_path_interpretation(path_triples):
+    # an IRI with a slash matches literally when <>-wrapped
+    out = bgp.bgp_match(
+        path_triples, [("?s", "<http://ex.org/p>", "?o")]
+    ).collect()
+    assert [(r.s, r.o) for r in out] == [("x", "y")]
+
+
 def test_bgp_bag_semantics(spark):
     # two identical-shape triples on different subjects, projected to one
     # var -> two rows (no implicit distinct, matching SPARQL SELECT)
