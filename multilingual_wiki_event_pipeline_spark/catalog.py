@@ -1024,6 +1024,27 @@ def sparql_construct(spark, sf_dir):
     )
 
 
+def sparql_agg(spark, sf_dir):
+    """SPARQL GROUP BY + aggregates + HAVING over the K3 store: per actor,
+    the error-event count and latest error timestamp, keeping actors with
+    at least two errors. One shuffle on the grouping variable with
+    map-side partial aggregation; HAVING is a post-agg filter. Oracle =
+    the same join + GROUP BY + HAVING in SQL."""
+    from .operators import bgp
+
+    return bgp.bgp_match(
+        triples_events(spark, sf_dir),
+        patterns=[
+            ("?ev", "rdfs:label", "error"),
+            ("?ev", "sem:hasActor", "?actor"),
+            ("?ev", "sem:hasTimeStamp", "?etime"),
+        ],
+        group_by=["?actor"],
+        aggregates={"n_errors": "count(ev)", "latest": "max(etime)"},
+        having=["n_errors >= 2"],
+    )
+
+
 def graph_lpa(spark, sf_dir):
     """Synchronous label-propagation communities (operators/graph.py;
     3 fixed iterations, most-frequent-neighbor label, smallest-label
@@ -1202,5 +1223,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     for f in [
         dedup_minhash_sig, multimodal_resize, dedup_simhash, token_count,
         ann_lsh_bucketed, graph_lpa, sparql_union, sparql_construct,
+        sparql_agg,
     ]
 }

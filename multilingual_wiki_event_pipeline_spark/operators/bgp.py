@@ -237,6 +237,9 @@ def bgp_match(triples: DataFrame,
               filters: list[str] | None = None,
               select: list[str] | None = None,
               values: dict[str, list] | None = None,
+              group_by: list[str] | None = None,
+              aggregates: dict[str, str] | None = None,
+              having: list[str] | None = None,
               distinct: bool = False,
               order_by: list[str] | None = None,
               limit: int | None = None) -> DataFrame:
@@ -264,6 +267,16 @@ def bgp_match(triples: DataFrame,
       the named variables (multi-variable dicts bind positionally: the
       lists are parallel rows). Must share at least one variable with the
       pattern solutions (a disjoint VALUES would be a cartesian product).
+    - ``group_by`` / ``aggregates`` / ``having``: SPARQL aggregation —
+      ``group_by`` lists grouping variables, ``aggregates`` maps output
+      names to Spark SQL aggregate expressions over the variable columns
+      (``{"n": "count(ev)", "latest": "max(etime)"}``; like SPARQL,
+      ``count(var)`` skips unbound/null bindings), ``having`` filters
+      groups post-aggregation. ``aggregates`` alone (no ``group_by``) is
+      SPARQL's single implicit group. After aggregation the bound
+      variables are the grouping vars + aggregate names; ``select``/
+      ``order_by`` refer to those. One shuffle on the grouping keys,
+      partial aggregation map-side.
     - ``distinct``: SELECT DISTINCT set semantics (one shuffle on the
       projected columns).
     - ``order_by``: ORDER BY terms, each ``"var"`` or ``"var desc"``,
@@ -311,6 +324,20 @@ def bgp_match(triples: DataFrame,
         result = result.join(F.broadcast(vdf), on=sorted(shared))
         bound |= set(vvars)
     for pred in filters or []:
+        result = result.filter(F.expr(pred))
+    if aggregates or group_by:
+        if not aggregates:
+            raise ValueError("GROUP BY without aggregates — use distinct "
+                             "for plain grouping-as-dedup")
+        gvars = [g.lstrip("?") for g in group_by or []]
+        missing = set(gvars) - bound
+        if missing:
+            raise ValueError(f"GROUP BY of unbound variables: "
+                             f"{sorted(missing)}")
+        aggs = [F.expr(e).alias(name) for name, e in aggregates.items()]
+        result = result.groupBy(*gvars).agg(*aggs)
+        bound = set(gvars) | set(aggregates)
+    for pred in having or []:
         result = result.filter(F.expr(pred))
     out = sorted(bound) if select is None else list(select)
     missing = set(out) - bound

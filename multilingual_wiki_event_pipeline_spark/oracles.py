@@ -898,6 +898,20 @@ EXTRA_ORACLES: dict[str, str] = {
     "graph_lpa": _lpa_sql(),
     # UNION ALL twin of bgp_union: branch 2 binds no timestamp pattern, so
     # ?etime is SPARQL-unbound there — a typed NULL column in SQL
+    # GROUP BY twin: count skips nothing here (ev never null in the
+    # required pattern), HAVING filters groups post-agg
+    "sparql_agg": f"""
+        WITH tr AS ({_TRIPLES_EVENTS_SQL})
+        SELECT p2.obj AS actor,
+               CAST(COUNT(p1.subj) AS BIGINT) AS n_errors,
+               MAX(p3.obj) AS latest
+        FROM tr p1
+        JOIN tr p2 ON p2.pred = 'sem:hasActor' AND p2.subj = p1.subj
+        JOIN tr p3 ON p3.pred = 'sem:hasTimeStamp' AND p3.subj = p1.subj
+        WHERE p1.pred = 'rdfs:label' AND p1.obj = 'error'
+        GROUP BY p2.obj
+        HAVING COUNT(p1.subj) >= 2
+    """,
     # CONSTRUCT twin: same error+actor+time join, each template triple a
     # UNION branch, DISTINCT for RDF-graph set semantics
     "sparql_construct": f"""

@@ -231,6 +231,44 @@ def test_bgp_construct_unbound_template_var_raises(triples):
         )
 
 
+def test_bgp_group_by_aggregates_having(spark):
+    t = spark.createDataFrame(
+        [("e1", "actor", "alice"), ("e2", "actor", "alice"),
+         ("e3", "actor", "bob")],
+        "subj string, pred string, obj string",
+    )
+    out = bgp.bgp_match(
+        t, [("?e", "actor", "?a")],
+        group_by=["?a"], aggregates={"n": "count(e)", "last_ev": "max(e)"},
+    ).collect()
+    assert sorted((r.a, r.n, r.last_ev) for r in out) == [
+        ("alice", 2, "e2"), ("bob", 1, "e3"),
+    ]
+    kept = bgp.bgp_match(
+        t, [("?e", "actor", "?a")],
+        group_by=["?a"], aggregates={"n": "count(e)"}, having=["n >= 2"],
+    ).collect()
+    assert [(r.a, r.n) for r in kept] == [("alice", 2)]
+    # implicit single group (no GROUP BY), SPARQL-style
+    total = bgp.bgp_match(
+        t, [("?e", "actor", "?a")], aggregates={"n": "count(e)"}
+    ).collect()
+    assert [(r.n,) for r in total] == [(3,)]
+    with pytest.raises(ValueError, match="without aggregates"):
+        bgp.bgp_match(t, [("?e", "actor", "?a")], group_by=["?a"])
+
+
+def test_bgp_count_skips_unbound(triples):
+    # SPARQL count(?var) ignores unbound bindings: bob has no 'knows'
+    # edge, so count(friend) counts only alice's binding
+    out = bgp.bgp_match(
+        triples, [("?e", "actor", "?a")],
+        optional=[[("?a", "knows", "?friend")]],
+        aggregates={"n_rows": "count(a)", "n_friends": "count(friend)"},
+    ).collect()
+    assert [(r.n_rows, r.n_friends) for r in out] == [(2, 1)]
+
+
 def test_bgp_ask(triples):
     assert bgp.bgp_ask(triples, [("?e", "actor", "alice")]) is True
     assert bgp.bgp_ask(triples, [("?e", "actor", "nobody")]) is False
