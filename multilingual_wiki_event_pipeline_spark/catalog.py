@@ -1045,6 +1045,31 @@ def sparql_agg(spark, sf_dir):
     )
 
 
+def sparql_minus(spark, sf_dir):
+    """SPARQL MINUS over the K3 store: error events whose actor did NOT
+    sign up in the opening days of the window (the date filter is scoped
+    inside the negation group, same scoping machinery as OPTIONAL) — a
+    LEFT ANTI join on the shared ?actor variable (AQE broadcasts the
+    filtered signup side). Oracle = the same ANTI JOIN in SQL."""
+    from .operators import bgp
+
+    return bgp.bgp_match(
+        triples_events(spark, sf_dir),
+        patterns=[
+            ("?ev", "rdfs:label", "error"),
+            ("?ev", "sem:hasActor", "?actor"),
+        ],
+        minus=[{
+            "patterns": [
+                ("?s", "rdfs:label", "signup"),
+                ("?s", "sem:hasActor", "?actor"),
+                ("?s", "sem:hasTimeStamp", "?stime"),
+            ],
+            "filters": ["stime < '2024-01-03'"],
+        }],
+    )
+
+
 def graph_lpa(spark, sf_dir):
     """Synchronous label-propagation communities (operators/graph.py;
     3 fixed iterations, most-frequent-neighbor label, smallest-label
@@ -1223,6 +1248,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     for f in [
         dedup_minhash_sig, multimodal_resize, dedup_simhash, token_count,
         ann_lsh_bucketed, graph_lpa, sparql_union, sparql_construct,
-        sparql_agg,
+        sparql_agg, sparql_minus,
     ]
 }

@@ -237,6 +237,8 @@ def bgp_match(triples: DataFrame,
               filters: list[str] | None = None,
               select: list[str] | None = None,
               values: dict[str, list] | None = None,
+              minus: list | None = None,
+              not_exists: list | None = None,
               group_by: list[str] | None = None,
               aggregates: dict[str, str] | None = None,
               having: list[str] | None = None,
@@ -267,6 +269,14 @@ def bgp_match(triples: DataFrame,
       the named variables (multi-variable dicts bind positionally: the
       lists are parallel rows). Must share at least one variable with the
       pattern solutions (a disjoint VALUES would be a cartesian product).
+    - ``minus`` / ``not_exists``: SPARQL negation, both compiled to a
+      LEFT ANTI join on the variables shared with the solution set — the
+      shuffle-free-when-broadcastable plan Spark was built for. The two
+      differ exactly where the spec says they do: a ``minus`` group
+      sharing NO variable removes nothing (MINUS is defined by domain
+      compatibility, and disjoint-domain solutions are never compatible),
+      while a ``not_exists`` group sharing no variable is an uncorrelated
+      existence test — if it matches anything, every solution drops.
     - ``group_by`` / ``aggregates`` / ``having``: SPARQL aggregation —
       ``group_by`` lists grouping variables, ``aggregates`` maps output
       names to Spark SQL aggregate expressions over the variable columns
@@ -323,6 +333,31 @@ def bgp_match(triples: DataFrame,
         vdf = result.sparkSession.createDataFrame(rows, vvars)
         result = result.join(F.broadcast(vdf), on=sorted(shared))
         bound |= set(vvars)
+    for kind, groups in (("minus", minus), ("not_exists", not_exists)):
+        for group in groups or []:
+            gfilters = []
+            if isinstance(group, dict):
+                gfilters = list(group.get("filters", []))
+                group = group["patterns"]
+            if isinstance(group, str):
+                group = parse_bgp(group)
+            gdf, gvars = _join_group(triples, group)
+            for pred in gfilters:  # scoped inside the negation group
+                gdf = gdf.filter(F.expr(pred))
+            shared = bound & gvars
+            if shared:
+                result = result.join(gdf, on=sorted(shared), how="left_anti")
+            elif kind == "not_exists":
+                # uncorrelated NOT EXISTS: keep all solutions iff the
+                # group is empty — a broadcast 1-row count, no collect
+                empty = F.broadcast(
+                    gdf.limit(1).agg(F.count("*").alias("_n"))
+                )
+                result = result.crossJoin(empty).filter(
+                    F.col("_n") == 0
+                ).drop("_n")
+            # MINUS with no shared variable removes nothing (spec):
+            # disjoint-domain solutions are never compatible
     for pred in filters or []:
         result = result.filter(F.expr(pred))
     if aggregates or group_by:

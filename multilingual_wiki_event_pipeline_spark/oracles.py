@@ -898,6 +898,23 @@ EXTRA_ORACLES: dict[str, str] = {
     "graph_lpa": _lpa_sql(),
     # UNION ALL twin of bgp_union: branch 2 binds no timestamp pattern, so
     # ?etime is SPARQL-unbound there — a typed NULL column in SQL
+    # MINUS twin: LEFT ANTI on the shared ?actor variable
+    "sparql_minus": f"""
+        WITH tr AS ({_TRIPLES_EVENTS_SQL}),
+        err AS (
+          SELECT p2.obj AS actor, p1.subj AS ev
+          FROM tr p1
+          JOIN tr p2 ON p2.pred = 'sem:hasActor' AND p2.subj = p1.subj
+          WHERE p1.pred = 'rdfs:label' AND p1.obj = 'error'),
+        signup AS (
+          SELECT p4.obj AS actor
+          FROM tr p3
+          JOIN tr p4 ON p4.pred = 'sem:hasActor' AND p4.subj = p3.subj
+          JOIN tr p5 ON p5.pred = 'sem:hasTimeStamp' AND p5.subj = p3.subj
+          WHERE p3.pred = 'rdfs:label' AND p3.obj = 'signup'
+            AND p5.obj < '2024-01-03')
+        SELECT actor, ev FROM err ANTI JOIN signup USING (actor)
+    """,
     # GROUP BY twin: count skips nothing here (ev never null in the
     # required pattern), HAVING filters groups post-agg
     "sparql_agg": f"""

@@ -269,6 +269,30 @@ def test_bgp_count_skips_unbound(triples):
     assert [(r.n_rows, r.n_friends) for r in out] == [(2, 1)]
 
 
+def test_bgp_minus_and_not_exists_shared_var(triples):
+    # actors with an event but no 'knows' edge: alice knows bob, bob
+    # knows nobody -> only bob survives either negation form
+    for kw in ("minus", "not_exists"):
+        out = bgp.bgp_match(
+            triples, [("?e", "actor", "?a")],
+            **{kw: [[("?a", "knows", "?x")]]},
+        ).collect()
+        assert [(r.a, r.e) for r in out] == [("bob", "e2")], kw
+
+
+def test_bgp_minus_vs_not_exists_disjoint_group(triples):
+    # the spec's famous divergence: a negation group sharing NO variable
+    # with the solutions. MINUS removes nothing (no shared domain ->
+    # never compatible); NOT EXISTS is an uncorrelated existence test ->
+    # everything drops when the group matches anything
+    req = [("?e", "actor", "?a")]
+    disjoint = [[("?z", "knows", "?w")]]  # matches (alice knows bob)
+    assert bgp.bgp_match(triples, req, minus=disjoint).count() == 2
+    assert bgp.bgp_match(triples, req, not_exists=disjoint).count() == 0
+    never = [[("?z", "hates", "?w")]]  # matches nothing
+    assert bgp.bgp_match(triples, req, not_exists=never).count() == 2
+
+
 def test_bgp_ask(triples):
     assert bgp.bgp_ask(triples, [("?e", "actor", "alice")]) is True
     assert bgp.bgp_ask(triples, [("?e", "actor", "nobody")]) is False
