@@ -1088,6 +1088,24 @@ def graph_lpa(spark, sf_dir):
     return graph.label_propagation(graph.symmetrize(pairs), n_iters=3)
 
 
+def graph_bfs(spark, sf_dir):
+    """BFS landmark distances (operators/graph.bfs_distances; 4 fixed
+    relaxation rounds) from customer c1 over the symmetrized
+    customer↔supplier co-transaction graph — shortest hop counts, BIGINT,
+    min-relaxation per round, so the unrolled-CTE DuckDB oracle matches
+    exactly. Nodes beyond 4 hops are absent (documented operator
+    contract)."""
+    from .operators import graph
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return graph.bfs_distances(graph.symmetrize(pairs), ["c1"], max_depth=4)
+
+
 def asof_join_events(spark, sf_dir):
     """Purchase→last-view attribution as-of join (operators/temporal.py;
     pandas merge_asof / DuckDB ASOF JOIN semantics): for each 'purchase'
@@ -1248,6 +1266,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     for f in [
         dedup_minhash_sig, multimodal_resize, dedup_simhash, token_count,
         ann_lsh_bucketed, graph_lpa, sparql_union, sparql_construct,
-        sparql_agg, sparql_minus,
+        sparql_agg, sparql_minus, graph_bfs,
     ]
 }

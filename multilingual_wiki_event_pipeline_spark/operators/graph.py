@@ -1,5 +1,6 @@
-"""Graph algorithms over KG edge tables: fixed-point PageRank and
-synchronous label-propagation community detection.
+"""Graph algorithms over KG edge tables: fixed-point PageRank,
+synchronous label-propagation community detection, and BFS landmark
+distances.
 
 The reference materializes a KG and walks its ontology edges (the closure
 in `utils.py:489-569` that operators/ontology.py re-expresses); what it
@@ -167,6 +168,51 @@ def label_propagation(edges: DataFrame, n_iters: int = 3) -> DataFrame:
             .localCheckpoint(eager=False)  # same lazy fusing as pagerank
         )
     return labels
+
+
+def bfs_distances(edges: DataFrame, sources: list[str],
+                  max_depth: int = 10) -> DataFrame:
+    """``edges(src, dst)`` + source node ids -> ``(node, dist)``: shortest
+    hop count from the nearest source, breadth-first (GraphFrames
+    ``shortestPaths``-style landmark distances, the third of the graph
+    trio after centrality and communities).
+
+    Deterministic and oracle-unrollable: distances are BIGINT, each
+    synchronous round relaxes ``dist(v) = min(dist(v), min over
+    in-neighbors u of dist(u)+1)``, and rounds are fixed at ``max_depth``
+    (nodes farther than that, or unreachable, are absent from the
+    result — document at call sites). Frontier-only optimization is
+    deliberately skipped: the full-relaxation round is one join + one
+    partial-agg min per round, the same shuffle count, and keeps the
+    DuckDB twin a pure per-round CTE.
+
+    Scale notes (100 TB): per round ONE shuffle (edges ⋈ dist on src)
+    plus a map-side-combinable min agg; dist is node-sized, the small
+    side once edges >> nodes. Lazy localCheckpoint per round fuses the
+    rounds into one submitted job, as in pagerank/LPA.
+    """
+    if not sources:
+        raise ValueError("bfs_distances needs at least one source node")
+    edges = edges.select("src", "dst").distinct().localCheckpoint()
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(s, 0) for s in sources], "node string, dist long"
+    )
+    for _ in range(max_depth):
+        relaxed = (
+            edges.join(dist, edges.src == dist.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.lit(1).cast("long")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist
 
 
 def symmetrize(pairs: DataFrame) -> DataFrame:

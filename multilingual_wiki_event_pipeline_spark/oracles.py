@@ -894,8 +894,40 @@ def _lpa_sql(n_iters: int = 3) -> str:
     """
 
 
+def _bfs_sql(n_rounds: int = 4, source: str = "c1") -> str:
+    """Unrolled-CTE twin of operators/graph.bfs_distances: per round,
+    union the current distances with every in-neighbor's dist+1 and keep
+    the min per node — the same full relaxation the Spark rounds run."""
+    rounds = ",\n".join(
+        f"""
+        d{i} AS (
+          SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d{i - 1}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + 1 AS dist
+            FROM edges e JOIN d{i - 1} d ON d.node = e.src
+          ) GROUP BY node
+        )"""
+        for i in range(1, n_rounds + 1)
+    )
+    return f"""
+        WITH pairs AS (
+          SELECT DISTINCT concat('c', CAST(o_custkey AS VARCHAR)) AS src,
+                          concat('s', CAST(l_suppkey AS VARCHAR)) AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        edges AS (SELECT DISTINCT src, dst FROM
+                  (SELECT src, dst FROM pairs
+                   UNION ALL
+                   SELECT dst, src FROM pairs)),
+        d0 AS (SELECT '{source}' AS node, CAST(0 AS BIGINT) AS dist),
+        {rounds}
+        SELECT node, dist FROM d{n_rounds}
+    """
+
+
 EXTRA_ORACLES: dict[str, str] = {
     "graph_lpa": _lpa_sql(),
+    "graph_bfs": _bfs_sql(),
     # UNION ALL twin of bgp_union: branch 2 binds no timestamp pattern, so
     # ?etime is SPARQL-unbound there — a typed NULL column in SQL
     # MINUS twin: LEFT ANTI on the shared ?actor variable

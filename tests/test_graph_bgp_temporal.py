@@ -437,6 +437,34 @@ def test_pagerank_all_nodes_receive_equivalence(spark):
     assert slow == fast
 
 
+def test_bfs_distances_path_graph(spark):
+    # a -> b -> c -> d chain plus a shortcut a -> c
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")],
+        "src string, dst string",
+    )
+    got = {
+        r.node: r.dist
+        for r in graph.bfs_distances(e, ["a"], max_depth=5).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_bfs_distances_multi_source_and_depth_cutoff(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    got = {
+        r.node: r.dist
+        for r in graph.bfs_distances(e, ["a", "x"], max_depth=1).collect()
+    }
+    # depth 1: c is beyond the cutoff and absent; disconnected islands
+    # each measure from their own source
+    assert got == {"a": 0, "b": 1, "x": 0, "y": 1}
+    with pytest.raises(ValueError):
+        graph.bfs_distances(e, [])
+
+
 def test_symmetrize(spark):
     e = spark.createDataFrame([("a", "b")], "src string, dst string")
     rows = {(r.src, r.dst) for r in graph.symmetrize(e).collect()}
