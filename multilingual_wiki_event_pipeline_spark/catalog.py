@@ -1085,7 +1085,8 @@ def graph_lpa(spark, sf_dir):
         F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
     )
-    return graph.label_propagation(graph.symmetrize(pairs), n_iters=3)
+    return graph.label_propagation(graph.symmetrize(pairs), n_iters=3,
+                                    all_nodes_receive=True)
 
 
 def graph_bfs(spark, sf_dir):

@@ -80,21 +80,52 @@ def parse_bgp(text: str) -> list[tuple[str, str, str]]:
     return patterns
 
 
+# upper bound on closure rounds for p+/p* paths. The closure operator
+# checks convergence every few rounds and stops early, so raising this
+# costs nothing on shallow graphs; chains deeper than this bound are
+# silently truncated (document at call sites if your KG has them).
+PATH_MAX_DEPTH = 60
+
+
+def _split_top(p: str, sep: str) -> list[str]:
+    """Split a path expression on ``sep`` at bracket depth zero —
+    ``<...>``-wrapped IRIs are opaque (they legitimately contain ``/``,
+    and may contain ``|``)."""
+    parts, buf, depth = [], [], 0
+    for ch in p:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth = max(0, depth - 1)
+        if ch == sep and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
 def _is_path(p: str) -> bool:
     """Is a constant predicate a property-path expression? ``|``/``/``
-    anywhere, leading ``^``, or a trailing ``+``/``*`` (with something
-    before it). ``<...>``-wrapped IRIs are handled before this is asked."""
+    outside ``<...>`` brackets, leading ``^``, or a trailing ``+``/``*``
+    (with something before it). A fully bracket-wrapped IRI is never a
+    path (handled before this is asked), but bracketed steps may appear
+    INSIDE a composite path (``^<http://ex.org/p>/q``)."""
     return (
-        "|" in p
-        or "/" in p
+        len(_split_top(p, "|")) > 1
+        or len(_split_top(p, "/")) > 1
         or p.startswith("^")
         or (len(p) > 1 and p[-1] in "+*")
     )
 
 
-def _path_edges(triples: DataFrame, p: str) -> DataFrame:
+def _path_edges(triples: DataFrame, p: str,
+                extra_nodes: tuple[str, ...] = ()) -> DataFrame:
     """Compile a SPARQL 1.1 property-path expression to its edge relation
-    ``(subj, obj)`` — every pair connected by the path.
+    ``(subj, obj)`` — every pair connected by the path. ``extra_nodes``
+    carries the enclosing pattern's constant endpoints, needed only by
+    the ``*`` zero-length identity (see below).
 
     Grammar (operator precedence low→high, no parentheses — SPARQL's
     grouping forms are out of this mini-syntax's scope):
@@ -110,17 +141,18 @@ def _path_edges(triples: DataFrame, p: str) -> DataFrame:
     - anything else: one filtered scan of the triple table (constant
       pred → PushedFilters).
     """
-    if "|" in p:
-        parts = [_path_edges(triples, q) for q in p.split("|")]
+    alts = _split_top(p, "|")
+    if len(alts) > 1:
+        parts = [_path_edges(triples, q, extra_nodes) for q in alts]
         out = parts[0]
         for q in parts[1:]:
             out = out.unionByName(q)
         return out
-    if "/" in p:
-        steps = p.split("/")
-        out = _path_edges(triples, steps[0])
+    steps = _split_top(p, "/")
+    if len(steps) > 1:
+        out = _path_edges(triples, steps[0], extra_nodes)
         for step in steps[1:]:
-            nxt = _path_edges(triples, step).select(
+            nxt = _path_edges(triples, step, extra_nodes).select(
                 F.col("subj").alias("_mid"), F.col("obj").alias("_obj")
             )
             out = (
@@ -129,27 +161,39 @@ def _path_edges(triples: DataFrame, p: str) -> DataFrame:
             )
         return out
     if p.startswith("^"):
-        return _path_edges(triples, p[1:]).select(
+        return _path_edges(triples, p[1:], extra_nodes).select(
             F.col("obj").alias("subj"), F.col("subj").alias("obj")
         )
     if len(p) > 1 and p[-1] in "+*":
         from .ontology import ancestor_closure
 
-        edges = _path_edges(triples, p[:-1]).select(
+        edges = _path_edges(triples, p[:-1], extra_nodes).select(
             F.col("subj").alias("child"), F.col("obj").alias("parent")
         )
-        closure = ancestor_closure(edges, reflexive=False).select(
+        closure = ancestor_closure(
+            edges, max_depth=PATH_MAX_DEPTH, reflexive=False
+        ).select(
             F.col("node").alias("subj"), F.col("ancestor").alias("obj")
         )
         if p[-1] == "*":
+            # zero-length path: every node relates to itself. Graph nodes
+            # plus any constant endpoints of the enclosing pattern — per
+            # SPARQL 1.1 ZeroLengthPath a bound term matches itself even
+            # when it appears nowhere in the graph.
             nodes = (
                 triples.select("subj")
                 .unionByName(triples.select(F.col("obj").alias("subj")))
-                .distinct()
             )
+            if extra_nodes:
+                spark = triples.sparkSession
+                nodes = nodes.unionByName(
+                    spark.createDataFrame(
+                        [(n,) for n in extra_nodes], "subj string"
+                    )
+                )
             closure = closure.unionByName(
-                nodes.select("subj", F.col("subj").alias("obj"))
-            )
+                nodes.distinct().select("subj", F.col("subj").alias("obj"))
+            ).distinct()  # a cyclic p+ already contains (c,c) pairs
         return closure
     base = p[1:-1] if p.startswith("<") and p.endswith(">") else p
     return triples.filter(F.col("pred") == base).select("subj", "obj")
@@ -174,12 +218,18 @@ def _compile_pattern(triples: DataFrame,
     """
     p = pattern[1]
     if not is_var(p):
-        if p.startswith("<") and p.endswith(">"):
-            pattern = (pattern[0], p[1:-1], pattern[2])
-        elif _is_path(p):
-            triples = _path_edges(triples, p).select(
+        # path test FIRST: "<a>/<b>" both starts with "<" and ends with
+        # ">" but is a sequence of two bracketed steps, not one IRI —
+        # _is_path's bracket-aware splits classify it correctly
+        if _is_path(p):
+            endpoints = tuple(
+                t for t in (pattern[0], pattern[2]) if not is_var(t)
+            )
+            triples = _path_edges(triples, p, endpoints).select(
                 "subj", F.lit(p).alias("pred"), "obj"
             )
+        elif p.startswith("<") and p.endswith(">"):
+            pattern = (pattern[0], p[1:-1], pattern[2])
     df = triples
     var_to_col: dict[str, str] = {}
     for term, col in zip(pattern, TRIPLE_COLS):
@@ -231,6 +281,23 @@ def _join_group(triples: DataFrame,
     return result, bound
 
 
+def _compile_group(triples: DataFrame, group) -> tuple[DataFrame, set]:
+    """Normalize one OPTIONAL/MINUS/NOT-EXISTS group spec — a pattern
+    list, a BGP string, or ``{"patterns": ..., "filters": [...]}`` with
+    group-scoped filters applied before the enclosing join — to its
+    compiled (DataFrame, variable set)."""
+    gfilters: list[str] = []
+    if isinstance(group, dict):
+        gfilters = list(group.get("filters", []))
+        group = group["patterns"]
+    if isinstance(group, str):
+        group = parse_bgp(group)
+    gdf, gvars = _join_group(triples, group)
+    for pred in gfilters:
+        gdf = gdf.filter(F.expr(pred))
+    return gdf, gvars
+
+
 def bgp_match(triples: DataFrame,
               patterns: list[tuple[str, str, str]] | str,
               optional: list[list[tuple[str, str, str]] | str] | None = None,
@@ -277,6 +344,13 @@ def bgp_match(triples: DataFrame,
       compatibility, and disjoint-domain solutions are never compatible),
       while a ``not_exists`` group sharing no variable is an uncorrelated
       existence test — if it matches anything, every solution drops.
+      Documented deviation: a shared variable that is NULL in a solution
+      (an OPTIONAL miss) never matches in the anti-join (SQL null
+      equality), whereas strict SPARQL substitution treats an unbound
+      variable as leaving the negation pattern free — so negation
+      correlated on optional-introduced variables keeps such rows here
+      where SPARQL's NOT EXISTS may drop them. Correlate negation on
+      required-pattern variables to stay clear of the corner.
     - ``group_by`` / ``aggregates`` / ``having``: SPARQL aggregation —
       ``group_by`` lists grouping variables, ``aggregates`` maps output
       names to Spark SQL aggregate expressions over the variable columns
@@ -302,15 +376,7 @@ def bgp_match(triples: DataFrame,
         raise ValueError("empty basic graph pattern")
     result, bound = _join_group(triples, patterns)
     for group in optional or []:
-        gfilters: list[str] = []
-        if isinstance(group, dict):
-            gfilters = list(group.get("filters", []))
-            group = group["patterns"]
-        if isinstance(group, str):
-            group = parse_bgp(group)
-        gdf, gvars = _join_group(triples, group)
-        for pred in gfilters:
-            gdf = gdf.filter(F.expr(pred))
+        gdf, gvars = _compile_group(triples, group)
         shared = bound & gvars
         if not shared:
             raise ValueError(
@@ -329,21 +395,19 @@ def bgp_match(triples: DataFrame,
                 f"{sorted(bound)} — a disjoint VALUES would be a cartesian "
                 "product"
             )
+        lengths = {v: len(values[v]) for v in values}
+        if len(set(lengths.values())) > 1 or 0 in lengths.values():
+            raise ValueError(
+                f"VALUES lists must be parallel non-empty rows, got "
+                f"lengths {lengths}"
+            )
         rows = list(zip(*[values[v] for v in values]))
         vdf = result.sparkSession.createDataFrame(rows, vvars)
         result = result.join(F.broadcast(vdf), on=sorted(shared))
         bound |= set(vvars)
     for kind, groups in (("minus", minus), ("not_exists", not_exists)):
         for group in groups or []:
-            gfilters = []
-            if isinstance(group, dict):
-                gfilters = list(group.get("filters", []))
-                group = group["patterns"]
-            if isinstance(group, str):
-                group = parse_bgp(group)
-            gdf, gvars = _join_group(triples, group)
-            for pred in gfilters:  # scoped inside the negation group
-                gdf = gdf.filter(F.expr(pred))
+            gdf, gvars = _compile_group(triples, group)
             shared = bound & gvars
             if shared:
                 result = result.join(gdf, on=sorted(shared), how="left_anti")

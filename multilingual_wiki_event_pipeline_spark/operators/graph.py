@@ -116,7 +116,8 @@ def pagerank(edges: DataFrame, n_iters: int = 5,
     return ranks
 
 
-def label_propagation(edges: DataFrame, n_iters: int = 3) -> DataFrame:
+def label_propagation(edges: DataFrame, n_iters: int = 3,
+                      all_nodes_receive: bool = False) -> DataFrame:
     """``edges(src, dst)`` -> ``(node, label)``: synchronous label
     propagation (community detection), the GraphFrames-style LPA the
     north-star names for entity-canonicalization neighborhoods.
@@ -126,12 +127,18 @@ def label_propagation(edges: DataFrame, n_iters: int = 3) -> DataFrame:
     synchronous round it adopts the most frequent label among its
     in-neighbors, ties broken by SMALLEST label (GraphFrames leaves the
     tie-break undefined — pinning it is what makes this testable).
-    Iterations are fixed (no convergence test), and callers pass
-    symmetrized edges (``symmetrize``), which both makes communities
-    undirected and guarantees every node has in-edges. The synchronous
-    update shares sync-LPA's documented caveat (GraphFrames docs):
-    bipartite-ish regions can oscillate rather than converge — fixed
-    iterations keep that deterministic too.
+    Iterations are fixed (no convergence test). The synchronous update
+    shares sync-LPA's documented caveat (GraphFrames docs): bipartite-ish
+    regions can oscillate rather than converge — fixed iterations keep
+    that deterministic too.
+
+    By default a node with no in-neighbors keeps its current label (one
+    extra node-sized left-join per round). ``all_nodes_receive=True``
+    asserts every node has in-edges — true by construction for
+    ``symmetrize``d edge tables, which is what the catalog callers pass —
+    and drops that join, leaving ONE shuffle per round; under the flag a
+    node with no in-edges silently vanishes from the result, so it stays
+    opt-in (same contract as ``pagerank``).
 
     Scale notes (100 TB): per round, ONE shuffle — edges ⋈ labels on src
     (labels is node-sized, the small side once edges >> nodes) — then a
@@ -140,9 +147,13 @@ def label_propagation(edges: DataFrame, n_iters: int = 3) -> DataFrame:
     pagerank/ontology closure.
     """
     edges = edges.select("src", "dst").distinct().localCheckpoint()
+    init = edges.select(F.col("src").alias("node"))
+    if not all_nodes_receive:
+        # dst-only nodes exist when the input is not symmetrized; they
+        # must start labeled too or they could never appear at all
+        init = init.unionByName(edges.select(F.col("dst").alias("node")))
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
+        init.distinct()
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
@@ -154,7 +165,7 @@ def label_propagation(edges: DataFrame, n_iters: int = 3) -> DataFrame:
         )
         # argmin of (-cnt, label): struct ordering gives most-frequent
         # label, smallest label on ties — no window, stays a partial agg
-        labels = (
+        adopted = (
             counts.groupBy("node")
             .agg(
                 F.min(
@@ -164,9 +175,16 @@ def label_propagation(edges: DataFrame, n_iters: int = 3) -> DataFrame:
                     )
                 ).alias("m")
             )
-            .select("node", F.col("m.label").alias("label"))
-            .localCheckpoint(eager=False)  # same lazy fusing as pagerank
+            .select("node", F.col("m.label").alias("adopted"))
         )
+        if all_nodes_receive:
+            labels = adopted.select("node", F.col("adopted").alias("label"))
+        else:
+            labels = labels.join(adopted, "node", "left").select(
+                "node", F.coalesce("adopted", "label").alias("label")
+            )
+        # same lazy fusing as pagerank
+        labels = labels.localCheckpoint(eager=False)
     return labels
 
 

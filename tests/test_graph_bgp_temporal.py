@@ -318,7 +318,7 @@ def path_triples(spark):
     rows = [
         ("a", "sub", "b"), ("b", "sub", "c"), ("c", "sub", "d"),
         ("a", "other", "z"), ("z", "alt", "w"),
-        ("x", "http://ex.org/p", "y"),
+        ("x", "http://ex.org/p", "y"), ("y", "http://ex.org/q", "m"),
     ]
     return spark.createDataFrame(
         rows, "subj string, pred string, obj string"
@@ -362,6 +362,50 @@ def test_bgp_angle_brackets_escape_path_interpretation(path_triples):
         path_triples, [("?s", "<http://ex.org/p>", "?o")]
     ).collect()
     assert [(r.s, r.o) for r in out] == [("x", "y")]
+
+
+def test_bgp_bracketed_iri_inside_composite_path(path_triples):
+    # a <>-wrapped IRI containing '/' used as a STEP of a composite path:
+    # the '|'/'/' splits must be bracket-aware or the IRI shatters
+    out = bgp.bgp_match(
+        path_triples, [("?s", "<http://ex.org/p>|other", "?o")]
+    ).collect()
+    assert sorted((r.s, r.o) for r in out) == [("a", "z"), ("x", "y")]
+    out2 = bgp.bgp_match(
+        path_triples, [("?s", "^<http://ex.org/p>", "?o")]
+    ).collect()
+    assert [(r.s, r.o) for r in out2] == [("y", "x")]
+
+
+def test_bgp_sequence_of_two_bracketed_iris(path_triples):
+    # "<a>/<b>" starts with "<" and ends with ">" like a plain IRI, but
+    # is a two-step sequence — the path test must run first
+    out = bgp.bgp_match(
+        path_triples,
+        [("?s", "<http://ex.org/p>/<http://ex.org/q>", "?o")],
+    ).collect()
+    assert [(r.s, r.o) for r in out] == [("x", "m")]
+
+
+def test_bgp_path_star_constant_endpoint_absent_from_graph(path_triples):
+    # SPARQL 1.1 ZeroLengthPath: a bound term matches itself even when it
+    # appears nowhere in the graph
+    out = bgp.bgp_match(path_triples, [("q", "sub*", "?anc")]).collect()
+    assert [r.anc for r in out] == ["q"]
+    out2 = bgp.bgp_match(path_triples, [("?s", "sub*", "q")]).collect()
+    assert [r.s for r in out2] == ["q"]
+
+
+def test_bgp_values_ragged_rows_raise(triples):
+    with pytest.raises(ValueError, match="parallel non-empty"):
+        bgp.bgp_match(
+            triples, [("?e", "actor", "?a")],
+            values={"?a": ["alice", "bob"], "?tag": ["x"]},
+        )
+    with pytest.raises(ValueError, match="parallel non-empty"):
+        bgp.bgp_match(
+            triples, [("?e", "actor", "?a")], values={"?a": []},
+        )
 
 
 def test_bgp_bag_semantics(spark):
@@ -490,7 +534,7 @@ def _lpa_reference(edge_rows, n_iters):
             n: min(
                 Counter(labels[u] for u in in_nbrs[n]).items(),
                 key=lambda kv: (-kv[1], kv[0]),
-            )[0]
+            )[0] if in_nbrs[n] else labels[n]  # no in-nbrs: keep label
             for n in labels
         }
     return labels
@@ -547,6 +591,31 @@ def test_lpa_matches_reference_on_random_graph(spark):
 def test_lpa_duplicate_edges_collapse(spark):
     edges = [("a", "b"), ("b", "a")]
     assert _lpa_dict(spark, edges + edges, 2) == _lpa_dict(spark, edges, 2)
+
+
+def test_lpa_directed_keeps_no_in_edge_nodes(spark):
+    # directed chain a->b->c: "a" has no in-edges. The safe default keeps
+    # it (with its own label) and floods its label down the chain; the
+    # fast path would silently drop it.
+    edges = [("a", "b"), ("b", "c")]
+    got = _lpa_dict(spark, edges, n_iters=2)
+    assert got == {"a": "a", "b": "a", "c": "a"}
+    assert got == _lpa_reference(edges, 2)
+
+
+def test_lpa_all_nodes_receive_equivalence(spark):
+    # on symmetrized edges both paths compute identical labels; the flag
+    # only drops the per-round keep-label left-join
+    pairs = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"), ("a1", "b1"),
+             ("b1", "b2")]
+    edges = pairs + [(d, s) for s, d in pairs]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    slow = {r.node: r.label
+            for r in graph.label_propagation(e, 3).collect()}
+    fast = {r.node: r.label
+            for r in graph.label_propagation(
+                e, 3, all_nodes_receive=True).collect()}
+    assert slow == fast
 
 
 # --- as-of join -------------------------------------------------------------

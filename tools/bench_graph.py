@@ -74,7 +74,9 @@ def main() -> None:
         "pagerank_5it": lambda: graph.pagerank(
             sym, n_iters=5, all_nodes_receive=True
         ).count(),
-        "lpa_3it": lambda: graph.label_propagation(sym, n_iters=3).count(),
+        "lpa_3it": lambda: graph.label_propagation(
+            sym, n_iters=3, all_nodes_receive=True
+        ).count(),
         "bfs_4it": lambda: graph.bfs_distances(sym, ["h0"], max_depth=4).count(),
     }
     detail: dict[str, list[dict]] = {k: [] for k in algos}
