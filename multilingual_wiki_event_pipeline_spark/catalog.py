@@ -1070,6 +1070,32 @@ def sparql_minus(spark, sf_dir):
     )
 
 
+def sparql_text(spark, sf_dir):
+    """SPARQL *text* front-end (operators/sparql.py): the sparql_bgp
+    query authored as the query STRING a reference user would write
+    (reference utils.py:33-83 builds exactly this textual form), parsed
+    and compiled to the same bgp_match plan — predicate-object lists,
+    OPTIONAL with its FILTER group-scoped through the text path, and the
+    top-level FILTER. Oracle = sparql_bgp's oracle verbatim (identical
+    compiled semantics, identical columns)."""
+    from .operators.sparql import sparql_query
+
+    return sparql_query(triples_events(spark, sf_dir), """
+        SELECT * WHERE {
+            ?ev rdfs:label "error" ;
+                sem:hasActor ?actor ;
+                sem:hasTimeStamp ?etime .
+            ?s rdfs:label "signup" ;
+               sem:hasActor ?actor .
+            OPTIONAL { ?ev2 rdfs:label "purchase" ;
+                            sem:hasActor ?actor ;
+                            sem:hasTimeStamp ?ptime .
+                       FILTER(?ptime >= "2024-01-28") }
+            FILTER(?etime >= "2024-01-20")
+        }
+    """)
+
+
 def graph_lpa(spark, sf_dir):
     """Synchronous label-propagation communities (operators/graph.py;
     3 fixed iterations, most-frequent-neighbor label, smallest-label
@@ -1267,6 +1293,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     for f in [
         dedup_minhash_sig, multimodal_resize, dedup_simhash, token_count,
         ann_lsh_bucketed, graph_lpa, sparql_union, sparql_construct,
-        sparql_agg, sparql_minus, graph_bfs,
+        sparql_agg, sparql_minus, graph_bfs, sparql_text,
     ]
 }

@@ -32,9 +32,10 @@ Semantics (SPARQL 1.1 BGP, bag semantics):
 - a constant predicate may be a SPARQL 1.1 property path: ``p+`` /
   ``p*`` closures (iterative equi-join via the ontology closure
   operator, checkpointed; ``*`` adds the identity over all graph nodes
-  per spec), ``^p`` inverse, ``a/b`` sequence, ``a|b`` alternation —
-  composable, e.g. ``^a/b+``; wrap a predicate in ``<...>`` to force
-  literal-IRI matching (real IRIs contain ``/``);
+  per spec), ``^p`` inverse, ``a/b`` sequence, ``a|b`` alternation,
+  ``(...)`` grouping — composable, e.g. ``^a/b+`` or ``(a|b)/c``; wrap
+  a predicate in ``<...>`` to force literal-IRI matching (real IRIs
+  contain ``/``);
 - the rest of the SELECT surface: VALUES (broadcast inline-binding join),
   DISTINCT (set semantics), ORDER BY / LIMIT (TakeOrdered top-k when both
   present), and UNION (``bgp_union`` — unionByName with null for unbound
@@ -90,14 +91,19 @@ PATH_MAX_DEPTH = 60
 def _split_top(p: str, sep: str) -> list[str]:
     """Split a path expression on ``sep`` at bracket depth zero —
     ``<...>``-wrapped IRIs are opaque (they legitimately contain ``/``,
-    and may contain ``|``)."""
-    parts, buf, depth = [], [], 0
+    ``|``, and parens), and ``(...)`` groups nest. Parens are counted
+    only outside angle brackets."""
+    parts, buf, angle, paren = [], [], 0, 0
     for ch in p:
         if ch == "<":
-            depth += 1
+            angle += 1
         elif ch == ">":
-            depth = max(0, depth - 1)
-        if ch == sep and depth == 0:
+            angle = max(0, angle - 1)
+        elif angle == 0 and ch == "(":
+            paren += 1
+        elif angle == 0 and ch == ")":
+            paren = max(0, paren - 1)
+        if ch == sep and angle == 0 and paren == 0:
             parts.append("".join(buf))
             buf = []
         else:
@@ -106,16 +112,38 @@ def _split_top(p: str, sep: str) -> list[str]:
     return parts
 
 
+def _paren_wrapped(p: str) -> bool:
+    """Is the whole expression one ``(...)`` group? (Not e.g.
+    ``(a)/(b)``, whose first paren closes mid-string.) Parens inside
+    ``<...>`` IRIs don't count."""
+    if not (p.startswith("(") and p.endswith(")")):
+        return False
+    angle, paren = 0, 0
+    for i, ch in enumerate(p):
+        if ch == "<":
+            angle += 1
+        elif ch == ">":
+            angle = max(0, angle - 1)
+        elif angle == 0 and ch == "(":
+            paren += 1
+        elif angle == 0 and ch == ")":
+            paren -= 1
+            if paren == 0:
+                return i == len(p) - 1
+    return False
+
+
 def _is_path(p: str) -> bool:
     """Is a constant predicate a property-path expression? ``|``/``/``
-    outside ``<...>`` brackets, leading ``^``, or a trailing ``+``/``*``
-    (with something before it). A fully bracket-wrapped IRI is never a
-    path (handled before this is asked), but bracketed steps may appear
-    INSIDE a composite path (``^<http://ex.org/p>/q``)."""
+    outside ``<...>`` brackets, leading ``^`` or ``(``, or a trailing
+    ``+``/``*`` (with something before it). A fully bracket-wrapped IRI
+    is never a path (handled before this is asked), but bracketed steps
+    may appear INSIDE a composite path (``^<http://ex.org/p>/q``)."""
     return (
         len(_split_top(p, "|")) > 1
         or len(_split_top(p, "/")) > 1
         or p.startswith("^")
+        or p.startswith("(")
         or (len(p) > 1 and p[-1] in "+*")
     )
 
@@ -127,8 +155,9 @@ def _path_edges(triples: DataFrame, p: str,
     carries the enclosing pattern's constant endpoints, needed only by
     the ``*`` zero-length identity (see below).
 
-    Grammar (operator precedence low→high, no parentheses — SPARQL's
-    grouping forms are out of this mini-syntax's scope):
+    Grammar (operator precedence low→high; ``(...)`` groups override it,
+    e.g. ``(a|b)/c`` or ``(a/b)+``; parens inside ``<...>`` IRIs are
+    literal):
 
     - ``a|b``  alternation: union of the branch relations (shuffle-free);
     - ``a/b``  sequence: equi-join obj→subj through each step;
@@ -164,6 +193,8 @@ def _path_edges(triples: DataFrame, p: str,
         return _path_edges(triples, p[1:], extra_nodes).select(
             F.col("obj").alias("subj"), F.col("subj").alias("obj")
         )
+    if _paren_wrapped(p):
+        return _path_edges(triples, p[1:-1], extra_nodes)
     if len(p) > 1 and p[-1] in "+*":
         from .ontology import ancestor_closure
 

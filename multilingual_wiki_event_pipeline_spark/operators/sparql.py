@@ -1,0 +1,651 @@
+"""SPARQL 1.1 query-string front-end over the BGP algebra.
+
+The reference authors its Wikidata queries as SPARQL *text* (reference
+`utils.py:33-83` builds SELECT strings with PREFIX headers, OPTIONAL
+clauses, and `wdt:P31*/wdt:P279*` property paths). `operators/bgp.py`
+implements the matching algebra programmatically; this module closes the
+usability loop: parse a query string into that algebra, so the same text
+a user runs against a SPARQL endpoint runs against the K3 triple store.
+
+``sparql_query(triples, text)`` accepts the four query forms:
+
+- ``SELECT [DISTINCT] (?v | (agg AS ?v))+ | * WHERE { body }`` with
+  ``GROUP BY`` / ``HAVING`` / ``ORDER BY [ASC|DESC(?v)]`` / ``LIMIT``;
+- ``CONSTRUCT { template } WHERE { body }``;
+- ``ASK [WHERE] { body }`` (returns a Python bool);
+- ``DESCRIBE <iri>...``.
+
+``body`` supports triple patterns (with ``;`` predicate-object and ``,``
+object lists, ``a`` for rdf:type, prefixed names, property paths),
+``OPTIONAL { ... }`` (FILTERs inside are group-scoped per SPARQL 1.1),
+``FILTER expr``, ``MINUS { ... }``, ``FILTER NOT EXISTS { ... }``,
+``VALUES``, and a top-level ``{ A } UNION { B }``.
+
+Documented deviations (pragmatic subset, each raises or is noted):
+
+- FILTER/HAVING bodies are evaluated as **Spark SQL** after variable
+  translation (``?v`` → ``v``); the SPARQL forms ``&&``, ``||``, ``!``,
+  ``BOUND(?v)``, and ``REGEX(?v, "p")`` are rewritten, other SPARQL
+  builtins must be written as their Spark SQL equivalents.
+- Literal matching is on the plain lexical form: ``@lang`` tags and
+  ``^^datatype`` suffixes on query literals are stripped (the store
+  carries datatype/language in side columns the matcher doesn't consult).
+- Numeric literals compare as strings (the store's ``obj`` is a string
+  column); quote-and-compare or FILTER with an explicit cast.
+- No BASE, no OFFSET, no subqueries, no EXISTS inside FILTER expressions
+  (NOT EXISTS as a standalone FILTER is supported), no property paths in
+  CONSTRUCT templates — all raise with a clear message.
+
+Scale notes (100 TB): parsing is driver-side and O(query length); the
+compiled plan is exactly what ``bgp_match`` builds — per-pattern filtered
+scans with pushed constants + equi-joins, nothing per-row in Python.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from .bgp import (
+    bgp_ask,
+    bgp_construct,
+    bgp_describe,
+    bgp_match,
+    bgp_union,
+)
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+_AGG_RE = re.compile(r"\b(count|sum|min|max|avg)\s*\(", re.IGNORECASE)
+_PNAME_RE = re.compile(r"([A-Za-z_][\w-]*):([A-Za-z_][\w.-]*)")
+
+
+class SparqlSyntaxError(ValueError):
+    pass
+
+
+def _strip_comments(text: str) -> str:
+    """Remove ``#``-to-EOL comments outside quotes and ``<...>`` IRIs."""
+    out, quote, angle = [], "", 0
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if quote:
+            if ch == quote:
+                quote = ""
+            out.append(ch)
+        elif ch in "\"'":
+            quote = ch
+            out.append(ch)
+        elif ch == "<":
+            angle += 1
+            out.append(ch)
+        elif ch == ">":
+            angle = max(0, angle - 1)
+            out.append(ch)
+        elif ch == "#" and angle == 0:
+            while i < n and text[i] != "\n":
+                i += 1
+            continue
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+class _Scan:
+    """Cursor over query text: whitespace/keyword handling, quote- and
+    brace-aware block extraction."""
+
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+
+    def skip_ws(self) -> None:
+        while self.i < len(self.s) and self.s[self.i].isspace():
+            self.i += 1
+
+    def eof(self) -> bool:
+        self.skip_ws()
+        return self.i >= len(self.s)
+
+    def peek_ch(self) -> str:
+        self.skip_ws()
+        return self.s[self.i] if self.i < len(self.s) else ""
+
+    def peek_kw(self, *kws: str) -> str | None:
+        """Case-insensitive keyword lookahead (word-boundary)."""
+        self.skip_ws()
+        for kw in kws:
+            j = self.i + len(kw)
+            if self.s[self.i:j].upper() == kw.upper() and (
+                j >= len(self.s) or not (self.s[j].isalnum()
+                                         or self.s[j] == "_")
+            ):
+                return kw
+        return None
+
+    def take_kw(self, *kws: str) -> str | None:
+        kw = self.peek_kw(*kws)
+        if kw:
+            self.i += len(kw)
+        return kw
+
+    def expect_kw(self, kw: str) -> None:
+        if not self.take_kw(kw):
+            raise SparqlSyntaxError(
+                f"expected {kw!r} at ...{self.s[self.i:self.i + 40]!r}"
+            )
+
+    def read_block(self, open_ch: str = "{", close_ch: str = "}") -> str:
+        """Read a balanced ``{...}``/``(...)`` block, return the inside."""
+        self.skip_ws()
+        if self.peek_ch() != open_ch:
+            raise SparqlSyntaxError(
+                f"expected {open_ch!r} at ...{self.s[self.i:self.i + 40]!r}"
+            )
+        depth, quote = 0, ""
+        start = self.i + 1
+        while self.i < len(self.s):
+            ch = self.s[self.i]
+            if quote:
+                if ch == quote:
+                    quote = ""
+            elif ch in "\"'":
+                quote = ch
+            elif ch == open_ch:
+                depth += 1
+            elif ch == close_ch:
+                depth -= 1
+                if depth == 0:
+                    inner = self.s[start:self.i]
+                    self.i += 1
+                    return inner
+            self.i += 1
+        raise SparqlSyntaxError(f"unbalanced {open_ch!r} block")
+
+    def read_token(self) -> str:
+        """One term token: quoted literal (with optional @lang/^^type
+        suffix), ``<...>`` IRI, or a run of non-separator characters.
+        ``.``, ``;``, ``,`` are single-char tokens at top level."""
+        self.skip_ws()
+        s, i, n = self.s, self.i, len(self.s)
+        if i >= n:
+            raise SparqlSyntaxError("unexpected end of input")
+        ch = s[i]
+        if ch in ".;,":
+            self.i = i + 1
+            return ch
+        if ch in "\"'":
+            j = i + 1
+            while j < n and s[j] != ch:
+                j += 1
+            if j >= n:
+                raise SparqlSyntaxError("unterminated string literal")
+            j += 1
+            # swallow @lang / ^^datatype suffixes (documented deviation)
+            while j < n and not s[j].isspace() and s[j] not in ".;,}":
+                j += 1
+            tok = s[i:j]
+            self.i = j
+            return tok
+        if ch == "<":
+            j = s.find(">", i)
+            if j < 0:
+                raise SparqlSyntaxError("unterminated <...> IRI")
+            # paths may continue after the IRI: <a>/<b>, <a>+, <a>|x
+            while j + 1 < n and not s[j + 1].isspace() \
+                    and s[j + 1] not in ".;,}":
+                if s[j + 1] == "<":
+                    j = s.find(">", j + 1)
+                    if j < 0:
+                        raise SparqlSyntaxError("unterminated <...> IRI")
+                else:
+                    j += 1
+            tok = s[i:j + 1]
+            self.i = j + 1
+            return tok
+        j = i
+        while j < n and not s[j].isspace() and s[j] not in ";,{}":
+            if s[j] == "<":  # path continuing into a bracketed IRI
+                k = s.find(">", j)
+                if k < 0:
+                    raise SparqlSyntaxError("unterminated <...> IRI")
+                j = k + 1
+                continue
+            # '.' ends a clause unless it's inside a prefixed local name
+            # (rare) — treat a '.' followed by whitespace/EOF as the
+            # terminator, anything else as part of the token
+            if s[j] == "." and (j + 1 >= n or s[j + 1].isspace()):
+                break
+            j += 1
+        tok = s[i:j]
+        self.i = j
+        if not tok:
+            raise SparqlSyntaxError(
+                f"cannot read a term at ...{s[i:i + 40]!r}"
+            )
+        return tok
+
+
+def _parse_prologue(scan: _Scan) -> dict[str, str]:
+    prefixes: dict[str, str] = {}
+    while True:
+        if scan.take_kw("PREFIX"):
+            scan.skip_ws()
+            m = re.match(r"([A-Za-z_][\w-]*)?:", scan.s[scan.i:])
+            if not m:
+                raise SparqlSyntaxError("malformed PREFIX declaration")
+            name = m.group(1) or ""
+            scan.i += m.end()
+            scan.skip_ws()
+            if scan.peek_ch() != "<":
+                raise SparqlSyntaxError("PREFIX needs a <...> IRI")
+            j = scan.s.find(">", scan.i)
+            prefixes[name] = scan.s[scan.i + 1:j]
+            scan.i = j + 1
+        elif scan.peek_kw("BASE"):
+            raise SparqlSyntaxError("BASE is not supported")
+        else:
+            return prefixes
+
+
+def _expand_pname(tok: str, prefixes: dict[str, str]) -> str | None:
+    """``pfx:local`` -> full IRI when the prefix is declared."""
+    m = _PNAME_RE.fullmatch(tok)
+    if m and m.group(1) in prefixes:
+        return prefixes[m.group(1)] + m.group(2)
+    return None
+
+
+def _term(tok: str, prefixes: dict[str, str], *, pred: bool = False) -> str:
+    """Normalize one term token to the algebra's form: raw store string
+    for subjects/objects, ``<...>``-wrapped IRIs inside predicates (the
+    path machinery strips them)."""
+    if tok.startswith("$"):
+        tok = "?" + tok[1:]
+    if tok.startswith("?"):
+        return tok
+    if tok.startswith(("\"", "'")):
+        quote = tok[0]
+        end = tok.rfind(quote)
+        return tok[1:end]  # @lang/^^type suffix dropped (documented)
+    if pred:
+        if tok == "a":
+            return f"<{RDF_TYPE}>"
+        # expand prefixed names ANYWHERE in a path expression; IRIs that
+        # are already <>-wrapped are left alone (the regex cannot match
+        # an absolute IRI's '//' as a local part)
+        return _PNAME_RE.sub(
+            lambda m: (f"<{prefixes[m.group(1)]}{m.group(2)}>"
+                       if m.group(1) in prefixes else m.group(0)),
+            tok,
+        )
+    if tok.startswith("<") and tok.endswith(">"):
+        return tok[1:-1]
+    expanded = _expand_pname(tok, prefixes)
+    return expanded if expanded is not None else tok
+
+
+def _translate_expr(expr: str, prefixes: dict[str, str]) -> str:
+    """SPARQL expression -> Spark SQL (documented subset; see module
+    docstring)."""
+    expr = re.sub(r"[?$]([A-Za-z_]\w*)", r"\1", expr)
+    expr = expr.replace("&&", " AND ").replace("||", " OR ")
+    expr = re.sub(
+        r"(?i)\bbound\s*\(\s*(\w+)\s*\)", r"(\1 IS NOT NULL)", expr
+    )
+    expr = re.sub(
+        r"(?i)\bregex\s*\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)",
+        r"(\1 rlike \2)", expr,
+    )
+    expr = re.sub(r"!(?![=<>])", " NOT ", expr)
+    return expr.strip()
+
+
+def _parse_clause(scan: _Scan, prefixes: dict[str, str]
+                  ) -> list[tuple[str, str, str]]:
+    """One triple-pattern clause, with ``;`` predicate-object lists and
+    ``,`` object lists, ending at ``.`` / end-of-body."""
+    patterns = []
+    subj = _term(scan.read_token(), prefixes)
+    while True:
+        pred = _term(scan.read_token(), prefixes, pred=True)
+        while True:
+            obj = _term(scan.read_token(), prefixes)
+            patterns.append((subj, pred, obj))
+            if scan.eof() or scan.peek_ch() != ",":
+                break
+            scan.read_token()  # ','
+        if scan.eof():
+            return patterns
+        ch = scan.peek_ch()
+        if ch == ".":
+            scan.read_token()
+            return patterns
+        if ch == ";":
+            scan.read_token()
+            if scan.eof() or scan.peek_ch() in ".}":  # trailing ';'
+                if scan.peek_ch() == ".":
+                    scan.read_token()
+                return patterns
+            continue
+        return patterns  # next element starts (OPTIONAL/FILTER/...)
+
+
+def _parse_values(scan: _Scan, prefixes: dict[str, str]
+                  ) -> dict[str, list]:
+    scan.skip_ws()
+    if scan.peek_ch() == "(":
+        head = _Scan(scan.read_block("(", ")"))
+        names = []
+        while not head.eof():
+            names.append(head.read_token())
+        rows_scan = _Scan(scan.read_block())
+        rows = []
+        while not rows_scan.eof():
+            row_scan = _Scan(rows_scan.read_block("(", ")"))
+            row = []
+            while not row_scan.eof():
+                tok = row_scan.read_token()
+                if tok.upper() == "UNDEF":
+                    raise SparqlSyntaxError("VALUES UNDEF not supported")
+                row.append(_term(tok, prefixes))
+            rows.append(row)
+        if any(len(r) != len(names) for r in rows):
+            raise SparqlSyntaxError("ragged VALUES rows")
+        return {
+            name: [r[k] for r in rows] for k, name in enumerate(names)
+        }
+    name = scan.read_token()
+    vals_scan = _Scan(scan.read_block())
+    vals = []
+    while not vals_scan.eof():
+        tok = vals_scan.read_token()
+        if tok.upper() == "UNDEF":
+            raise SparqlSyntaxError("VALUES UNDEF not supported")
+        vals.append(_term(tok, prefixes))
+    return {name: vals}
+
+
+def _parse_group(body: str, prefixes: dict[str, str]):
+    """An OPTIONAL/MINUS/NOT-EXISTS group body: patterns + group-scoped
+    FILTERs only (nested groups raise)."""
+    scan = _Scan(body)
+    patterns, filters = [], []
+    while not scan.eof():
+        if scan.take_kw("FILTER"):
+            scan.skip_ws()
+            if scan.peek_ch() == "(":
+                raw = scan.read_block("(", ")")
+            else:  # unparenthesized FILTER expr up to '.' or end
+                j = scan.s.find(".", scan.i)
+                raw = scan.s[scan.i:j if j >= 0 else len(scan.s)]
+                scan.i += len(raw)
+            filters.append(_translate_expr(raw, prefixes))
+            if not scan.eof() and scan.peek_ch() == ".":
+                scan.read_token()
+        elif scan.peek_kw("OPTIONAL", "MINUS", "VALUES", "UNION"):
+            raise SparqlSyntaxError(
+                "nested OPTIONAL/MINUS/VALUES/UNION inside a group is "
+                "not supported"
+            )
+        else:
+            patterns.extend(_parse_clause(scan, prefixes))
+    if not patterns:
+        raise SparqlSyntaxError("empty group pattern")
+    if filters:
+        return {"patterns": patterns, "filters": filters}
+    return patterns
+
+
+def _parse_body(body: str, prefixes: dict[str, str]) -> dict:
+    """A WHERE body -> bgp_match keyword arguments (or a ``{"union":
+    [...]}`` marker when the body is a top-level UNION)."""
+    scan = _Scan(body)
+    kwargs: dict = {"patterns": []}
+    while not scan.eof():
+        if scan.peek_ch() == "{":
+            # { A } UNION { B } [UNION { C }]... as the whole body
+            branches = [scan.read_block()]
+            while scan.take_kw("UNION"):
+                branches.append(scan.read_block())
+            if len(branches) < 2 or kwargs["patterns"] or not scan.eof():
+                raise SparqlSyntaxError(
+                    "group blocks are only supported as a top-level "
+                    "{ A } UNION { B } body"
+                )
+            parsed = []
+            for b in branches:
+                bk = _parse_body(b, prefixes)
+                if "union" in bk:
+                    raise SparqlSyntaxError("nested UNION not supported")
+                parsed.append({k: v for k, v in bk.items() if v})
+            return {"union": parsed}
+        if scan.take_kw("OPTIONAL"):
+            kwargs.setdefault("optional", []).append(
+                _parse_group(scan.read_block(), prefixes)
+            )
+        elif scan.take_kw("MINUS"):
+            kwargs.setdefault("minus", []).append(
+                _parse_group(scan.read_block(), prefixes)
+            )
+        elif scan.take_kw("FILTER"):
+            scan.skip_ws()
+            if scan.take_kw("NOT"):
+                scan.expect_kw("EXISTS")
+                kwargs.setdefault("not_exists", []).append(
+                    _parse_group(scan.read_block(), prefixes)
+                )
+            elif scan.peek_kw("EXISTS"):
+                raise SparqlSyntaxError(
+                    "FILTER EXISTS is not supported (use a join pattern)"
+                )
+            else:
+                if scan.peek_ch() != "(":
+                    raise SparqlSyntaxError(
+                        "top-level FILTER needs a parenthesized expression"
+                    )
+                raw = scan.read_block("(", ")")
+                kwargs.setdefault("filters", []).append(
+                    _translate_expr(raw, prefixes)
+                )
+                if not scan.eof() and scan.peek_ch() == ".":
+                    scan.read_token()
+        elif scan.take_kw("VALUES"):
+            if "values" in kwargs:
+                raise SparqlSyntaxError("multiple VALUES blocks")
+            kwargs["values"] = _parse_values(scan, prefixes)
+        else:
+            kwargs["patterns"].extend(_parse_clause(scan, prefixes))
+    return kwargs
+
+
+def _parse_projection(scan: _Scan, prefixes: dict[str, str]):
+    """SELECT projection list -> (select, aggregates). Stops at WHERE or
+    '{'."""
+    select: list[str] = []
+    aggregates: dict[str, str] = {}
+    star = False
+    while True:
+        if scan.peek_kw("WHERE") or scan.peek_ch() == "{":
+            break
+        if scan.peek_ch() == "*":
+            scan.i += 1
+            star = True
+            continue
+        if scan.peek_ch() == "(":
+            raw = scan.read_block("(", ")")
+            m = re.match(r"(?is)^(.*?)\s+AS\s+[?$](\w+)\s*$", raw)
+            if not m:
+                raise SparqlSyntaxError(
+                    f"projection expression needs (expr AS ?name): {raw!r}"
+                )
+            expr, name = m.group(1), m.group(2)
+            if not _AGG_RE.search(expr):
+                raise SparqlSyntaxError(
+                    "only aggregate projection expressions are supported "
+                    f"in (expr AS ?name): {expr!r}"
+                )
+            aggregates[name] = _translate_expr(expr, prefixes)
+            select.append(name)
+            continue
+        tok = scan.read_token()
+        if not tok.startswith(("?", "$")):
+            raise SparqlSyntaxError(f"bad projection term {tok!r}")
+        select.append(tok.lstrip("?$"))
+    if star:
+        if select or aggregates:
+            raise SparqlSyntaxError("SELECT * cannot mix with named terms")
+        return None, {}
+    if not select:
+        raise SparqlSyntaxError("empty SELECT projection")
+    return select, aggregates
+
+
+def _parse_modifiers(scan: _Scan, prefixes: dict[str, str]) -> dict:
+    mods: dict = {}
+    while not scan.eof():
+        if scan.take_kw("GROUP"):
+            scan.expect_kw("BY")
+            gvars = []
+            while scan.peek_ch() in "?$":
+                gvars.append(scan.read_token().lstrip("?$"))
+            if not gvars:
+                raise SparqlSyntaxError("empty GROUP BY")
+            mods["group_by"] = gvars
+        elif scan.take_kw("HAVING"):
+            raw = scan.read_block("(", ")")
+            mods.setdefault("having", []).append(
+                _translate_expr(raw, prefixes)
+            )
+        elif scan.take_kw("ORDER"):
+            scan.expect_kw("BY")
+            terms = []
+            while True:
+                d = scan.take_kw("DESC", "ASC")
+                if d:
+                    inner = _Scan(scan.read_block("(", ")"))
+                    v = inner.read_token().lstrip("?$")
+                    terms.append(f"{v} desc" if d.upper() == "DESC" else v)
+                elif scan.peek_ch() in "?$":
+                    terms.append(scan.read_token().lstrip("?$"))
+                else:
+                    break
+            if not terms:
+                raise SparqlSyntaxError("empty ORDER BY")
+            mods["order_by"] = terms
+        elif scan.take_kw("LIMIT"):
+            scan.skip_ws()
+            m = re.match(r"\d+", scan.s[scan.i:])
+            if not m:
+                raise SparqlSyntaxError("LIMIT needs an integer")
+            mods["limit"] = int(m.group(0))
+            scan.i += m.end()
+        elif scan.peek_kw("OFFSET"):
+            raise SparqlSyntaxError("OFFSET is not supported")
+        else:
+            raise SparqlSyntaxError(
+                f"unexpected trailing text: {scan.s[scan.i:scan.i + 40]!r}"
+            )
+    return mods
+
+
+def sparql_query(triples: DataFrame, text: str):
+    """Parse and run a SPARQL query string against ``triples(subj, pred,
+    obj, ...)``. Returns a DataFrame (SELECT/CONSTRUCT/DESCRIBE) or a
+    bool (ASK). See the module docstring for the supported surface and
+    documented deviations."""
+    scan = _Scan(_strip_comments(text))
+    prefixes = _parse_prologue(scan)
+
+    if scan.take_kw("SELECT"):
+        distinct = bool(scan.take_kw("DISTINCT"))
+        if scan.take_kw("REDUCED"):
+            distinct = True  # REDUCED permits dedup; DISTINCT delivers it
+        select, aggregates = _parse_projection(scan, prefixes)
+        scan.take_kw("WHERE")
+        where = _parse_body(scan.read_block(), prefixes)
+        mods = _parse_modifiers(scan, prefixes)
+        if "union" in where:
+            if aggregates or mods.get("group_by") or mods.get("having"):
+                raise SparqlSyntaxError(
+                    "aggregation over UNION is not supported"
+                )
+            out = bgp_union(triples, where["union"])
+            if select is not None:
+                out = out.select(*select)
+            if distinct:
+                out = out.distinct()
+            return _apply_order_limit(out, mods)
+        kwargs = {k: v for k, v in where.items() if v}
+        if aggregates:
+            kwargs["aggregates"] = aggregates
+        kwargs.update(mods)
+        return bgp_match(
+            triples, select=select, distinct=distinct, **kwargs
+        )
+
+    if scan.take_kw("ASK"):
+        scan.take_kw("WHERE")
+        where = _parse_body(scan.read_block(), prefixes)
+        if "union" in where:
+            return bool(
+                bgp_union(triples, where["union"]).limit(1).take(1)
+            )
+        kwargs = {k: v for k, v in where.items() if v}
+        return bgp_ask(triples, **kwargs)
+
+    if scan.take_kw("CONSTRUCT"):
+        template_scan = _Scan(scan.read_block())
+        template = []
+        while not template_scan.eof():
+            template.extend(_parse_clause(template_scan, prefixes))
+        scan.expect_kw("WHERE")
+        where = _parse_body(scan.read_block(), prefixes)
+        mods = _parse_modifiers(scan, prefixes)
+        if "union" in where:
+            raise SparqlSyntaxError("CONSTRUCT over UNION is not supported")
+        kwargs = {k: v for k, v in where.items() if v}
+        kwargs.update(mods)
+        # template predicates were <>-wrapped for path handling; emitted
+        # triples carry the raw IRI like the store does
+        template = [
+            (s, p[1:-1] if p.startswith("<") and p.endswith(">") else p, o)
+            for s, p, o in template
+        ]
+        return bgp_construct(triples, template=template, **kwargs)
+
+    if scan.take_kw("DESCRIBE"):
+        resources = []
+        while not scan.eof() and scan.peek_ch() != "{" \
+                and not scan.peek_kw("WHERE"):
+            resources.append(_term(scan.read_token(), prefixes))
+        if not scan.eof():
+            raise SparqlSyntaxError("DESCRIBE ... WHERE is not supported")
+        return bgp_describe(triples, resources)
+
+    raise SparqlSyntaxError(
+        "query must be SELECT, ASK, CONSTRUCT, or DESCRIBE"
+    )
+
+
+def _apply_order_limit(df: DataFrame, mods: dict) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    for key in ("group_by", "having"):
+        if mods.get(key):
+            raise SparqlSyntaxError(
+                "aggregation modifiers need a plain (non-UNION) body"
+            )
+    if mods.get("order_by"):
+        keys = []
+        for term in mods["order_by"]:
+            parts = term.split()
+            col = F.col(parts[0])
+            keys.append(col.desc() if len(parts) > 1 else col.asc())
+        df = df.orderBy(*keys)
+    if mods.get("limit") is not None:
+        df = df.limit(mods["limit"])
+    return df

@@ -1052,6 +1052,11 @@ EXTRA_ORACLES: dict[str, str] = {
     """,
 }
 
+# the text front-end (catalog.sparql_text) parses the query STRING form
+# of sparql_bgp and must compile to the identical solution set — its
+# oracle is sparql_bgp's verbatim
+EXTRA_ORACLES["sparql_text"] = ORACLES["sparql_bgp"]
+
 
 
 # --- flagship oracle: the full KG pipeline's full_triples ------------------

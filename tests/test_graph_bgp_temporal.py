@@ -387,6 +387,31 @@ def test_bgp_sequence_of_two_bracketed_iris(path_triples):
     assert [(r.s, r.o) for r in out] == [("x", "m")]
 
 
+def test_bgp_path_paren_grouping(path_triples):
+    # (sub|other)/alt: from a, {b, z} then -alt-> only z reaches w
+    out = bgp.bgp_match(
+        path_triples, [("a", "(sub|other)/alt", "?o")]
+    ).collect()
+    assert [r.o for r in out] == ["w"]
+    # (sub/sub)+: two-hop closure — a->c (a-sub->b-sub->c), c->? none
+    # beyond one more pair b->d; from a only c is reachable
+    out2 = bgp.bgp_match(path_triples, [("a", "(sub/sub)+", "?x")]).collect()
+    assert sorted(r.x for r in out2) == ["c"]
+    # grouping with inverse: ^(other/alt) from w lands back on a
+    out3 = bgp.bgp_match(path_triples, [("w", "^(other/alt)", "?s")]).collect()
+    assert [r.s for r in out3] == ["a"]
+
+
+def test_bgp_parens_inside_iri_are_literal(spark):
+    # Wikipedia-style IRIs contain parens; <>-wrapping keeps them opaque
+    t = spark.createDataFrame(
+        [("s", "http://ex.org/p_(x|y)", "o")],
+        "subj string, pred string, obj string",
+    )
+    out = bgp.bgp_match(t, [("?a", "<http://ex.org/p_(x|y)>", "?b")]).collect()
+    assert [(r.a, r.b) for r in out] == [("s", "o")]
+
+
 def test_bgp_path_star_constant_endpoint_absent_from_graph(path_triples):
     # SPARQL 1.1 ZeroLengthPath: a bound term matches itself even when it
     # appears nowhere in the graph

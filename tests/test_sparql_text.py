@@ -1,0 +1,224 @@
+"""The SPARQL query-string front-end (operators/sparql.py): parse the
+textual form the reference authors (reference `utils.py:33-83` builds
+SELECT strings with PREFIX headers, OPTIONALs, and property paths) and
+run it through the BGP algebra. Hand-built store, hand-computed
+expectations; several cases differentially checked against the
+programmatic bgp_match call they must compile to."""
+
+from __future__ import annotations
+
+import pytest
+
+from multilingual_wiki_event_pipeline_spark.operators import bgp
+from multilingual_wiki_event_pipeline_spark.operators.sparql import (
+    RDF_TYPE,
+    SparqlSyntaxError,
+    sparql_query,
+)
+
+EX = "http://ex.org/"
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    rows = [
+        ("e1", RDF_TYPE, EX + "Event"),
+        ("e2", RDF_TYPE, EX + "Event"),
+        ("e1", EX + "actor", "alice"),
+        ("e1", EX + "actor", "carol"),
+        ("e2", EX + "actor", "bob"),
+        ("e1", EX + "label", "big boom"),
+        ("e2", EX + "label", "quiet"),
+        ("alice", EX + "knows", "bob"),
+        ("t1", EX + "sub", "t2"),
+        ("t2", EX + "sub", "t3"),
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_select_basic_with_prefix_and_a_keyword(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e ?who WHERE {
+            ?e a ex:Event .
+            ?e ex:actor ?who .
+        }
+    """).collect()
+    assert sorted((r.e, r.who) for r in out) == [
+        ("e1", "alice"), ("e1", "carol"), ("e2", "bob"),
+    ]
+
+
+def test_select_matches_programmatic_call(store):
+    text = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT * WHERE { ?e ex:actor ?who }
+    """)
+    prog = bgp.bgp_match(store, [("?e", f"<{EX}actor>", "?who")])
+    assert sorted(map(tuple, text.collect())) == \
+        sorted(map(tuple, prog.collect()))
+
+
+def test_select_property_path(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?x WHERE { t1 ex:sub+ ?x }
+    """).collect()
+    assert sorted({r.x for r in out}) == ["t2", "t3"]
+
+
+def test_select_literal_with_spaces(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?y WHERE { ?y ex:label "big boom" }
+    """).collect()
+    assert [r.y for r in out] == ["e1"]
+
+
+def test_select_distinct_order_limit(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT DISTINCT ?who WHERE { ?e ex:actor ?who }
+        ORDER BY DESC(?who) LIMIT 2
+    """).collect()
+    assert [r.who for r in out] == ["carol", "bob"]
+
+
+def test_optional_with_group_scoped_filter(store):
+    # the SPARQL filter-scope trap: the FILTER inside OPTIONAL restricts
+    # the group before the left join, so e2 survives with a null
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e ?b WHERE {
+            ?e a ex:Event .
+            OPTIONAL { ?e ex:actor ?a . ?a ex:knows ?b .
+                       FILTER(?b != "nobody") }
+        }
+    """).collect()
+    got = sorted((r.e, r.b) for r in out)
+    assert got == [("e1", "bob"), ("e2", None)]
+
+
+def test_filter_translation_sparql_forms(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e ?l WHERE {
+            ?e ex:label ?l .
+            FILTER(REGEX(?l, "boom") || ?l = "quiet")
+            FILTER(!(?e = "e9") && BOUND(?l))
+        }
+    """).collect()
+    assert sorted((r.e, r.l) for r in out) == [
+        ("e1", "big boom"), ("e2", "quiet"),
+    ]
+
+
+def test_values_single_and_multi(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e ?who WHERE {
+            ?e ex:actor ?who .
+            VALUES ?who { "alice" "bob" }
+        }
+    """).collect()
+    assert sorted((r.e, r.who) for r in out) == [
+        ("e1", "alice"), ("e2", "bob"),
+    ]
+    out2 = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e ?who ?tag WHERE {
+            ?e ex:actor ?who .
+            VALUES (?who ?tag) { ("alice" "A") ("bob" "B") }
+        }
+    """).collect()
+    assert sorted((r.e, r.who, r.tag) for r in out2) == [
+        ("e1", "alice", "A"), ("e2", "bob", "B"),
+    ]
+
+
+def test_minus_and_not_exists(store):
+    q = """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?who WHERE {{
+            ?e ex:actor ?who .
+            {kw} {{ ?who ex:knows ?z }}
+        }}
+    """
+    for kw in ("MINUS", "FILTER NOT EXISTS"):
+        out = sparql_query(store, q.format(kw=kw)).collect()
+        assert sorted(r.who for r in out) == ["bob", "carol"], kw
+
+
+def test_group_by_count_having(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e (COUNT(?who) AS ?n) WHERE { ?e ex:actor ?who }
+        GROUP BY ?e HAVING(?n >= 2)
+    """).collect()
+    assert [(r.e, r.n) for r in out] == [("e1", 2)]
+
+
+def test_union_top_level(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e WHERE {
+            { ?e ex:label "quiet" } UNION { ?e ex:actor "alice" }
+        }
+    """).collect()
+    assert sorted(r.e for r in out) == ["e1", "e2"]
+
+
+def test_ask(store):
+    base = "PREFIX ex: <http://ex.org/> ASK { ?e ex:actor %s }"
+    assert sparql_query(store, base % '"alice"') is True
+    assert sparql_query(store, base % '"nobody"') is False
+
+
+def test_construct(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        CONSTRUCT { ?who ex:actedIn ?e }
+        WHERE { ?e ex:actor ?who . ?e ex:label "big boom" }
+    """).collect()
+    assert sorted((r.subj, r.pred, r.obj) for r in out) == [
+        ("alice", EX + "actedIn", "e1"), ("carol", EX + "actedIn", "e1"),
+    ]
+
+
+def test_describe(store):
+    out = sparql_query(store, "DESCRIBE <alice>").collect()
+    assert sorted((r.subj, r.obj) for r in out) == [
+        ("alice", "bob"), ("e1", "alice"),
+    ]
+
+
+def test_predicate_object_lists_and_comments(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>   # declares the store namespace
+        SELECT ?e WHERE {
+            ?e a ex:Event ;          # type via 'a'
+               ex:actor "alice" , "carol" .   # object list: both required
+        }
+    """).collect()
+    assert [r.e for r in out] == ["e1"]
+
+
+def test_lang_tag_stripped(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e WHERE { ?e ex:label "quiet"@en }
+    """).collect()
+    assert [r.e for r in out] == ["e2"]
+
+
+@pytest.mark.parametrize("text, msg", [
+    ("SELECT ?x WHERE { ?x ?p ?o } OFFSET 5", "OFFSET"),
+    ("BASE <http://b/> SELECT ?x WHERE { ?x ?p ?o }", "BASE"),
+    ("SELECT ?x WHERE { ?x ?p ?o . FILTER EXISTS { ?x ?q ?r } }",
+     "FILTER EXISTS"),
+    ("SELECT ?x WHERE { OPTIONAL { OPTIONAL { ?x ?p ?o } } }", "nested"),
+    ("DELETE WHERE { ?x ?p ?o }", "SELECT, ASK"),
+])
+def test_unsupported_forms_raise(store, text, msg):
+    with pytest.raises(SparqlSyntaxError, match=msg):
+        sparql_query(store, text)
