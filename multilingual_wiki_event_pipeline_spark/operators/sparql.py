@@ -457,6 +457,16 @@ def _parse_body(body: str, prefixes: dict[str, str]) -> dict:
             if "values" in kwargs:
                 raise SparqlSyntaxError("multiple VALUES blocks")
             kwargs["values"] = _parse_values(scan, prefixes)
+        elif scan.peek_kw("SERVICE"):
+            raise SparqlSyntaxError(
+                "SERVICE is endpoint-specific and not supported — e.g. "
+                "the wikibase:label service; this store carries labels "
+                "as plain label triples, query them with a pattern"
+            )
+        elif scan.peek_kw("BIND", "GRAPH"):
+            raise SparqlSyntaxError(
+                f"{scan.peek_kw('BIND', 'GRAPH')} is not supported"
+            )
         else:
             kwargs["patterns"].extend(_parse_clause(scan, prefixes))
     return kwargs

@@ -211,6 +211,49 @@ def test_lang_tag_stripped(store):
     assert [r.e for r in out] == ["e2"]
 
 
+WD = "http://www.wikidata.org/entity/"
+WDT = "http://www.wikidata.org/prop/direct/"
+
+
+def test_reference_shaped_query(spark):
+    # the query the reference constructs for subsumed_by event matching
+    # (reference utils.py:115-143): property-path type clause + one
+    # OPTIONAL per language + OPTIONAL role clauses + DISTINCT + limit,
+    # authored as text. (The reference's SERVICE wikibase:label line is
+    # endpoint-specific and raises — labels here are plain triples.)
+    rows = [
+        (WD + "Q858439", WDT + "P279", WD + "Q40231"),  # pres. election
+        ("i1", WDT + "P31", WD + "Q858439"),
+        ("i1", "label_en", "i1 english"),
+        ("i1", WDT + "P276", "loc1"),
+        ("i2", WDT + "P31", WD + "Q40231"),
+        ("i2", "label_en", "i2 english"),
+        ("i2", "label_nl", "i2 dutch"),
+        ("i3", WDT + "P31", WD + "Q99"),               # unrelated type
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = sparql_query(t, """
+        PREFIX wd: <http://www.wikidata.org/entity/>
+        PREFIX wdt: <http://www.wikidata.org/prop/direct/>
+        SELECT DISTINCT ?direct_type ?incident ?label_en ?label_nl ?P276
+        WHERE {
+          ?incident wdt:P31*/wdt:P279* wd:Q40231 ;
+                    wdt:P31 ?direct_type .
+          OPTIONAL { ?incident label_en ?label_en }
+          OPTIONAL { ?incident label_nl ?label_nl }
+          OPTIONAL { ?incident wdt:P276 ?P276 }
+        } limit 10
+    """).collect()
+    got = sorted(
+        (r.incident, r.direct_type, r.label_en, r.label_nl, r.P276)
+        for r in out
+    )
+    assert got == [
+        ("i1", WD + "Q858439", "i1 english", None, "loc1"),
+        ("i2", WD + "Q40231", "i2 english", "i2 dutch", None),
+    ]
+
+
 @pytest.mark.parametrize("text, msg", [
     ("SELECT ?x WHERE { ?x ?p ?o } OFFSET 5", "OFFSET"),
     ("BASE <http://b/> SELECT ?x WHERE { ?x ?p ?o }", "BASE"),
@@ -218,6 +261,8 @@ def test_lang_tag_stripped(store):
      "FILTER EXISTS"),
     ("SELECT ?x WHERE { OPTIONAL { OPTIONAL { ?x ?p ?o } } }", "nested"),
     ("DELETE WHERE { ?x ?p ?o }", "SELECT, ASK"),
+    ("SELECT ?x WHERE { SERVICE <http://svc> { ?x ?p ?o } }", "SERVICE"),
+    ('SELECT ?x WHERE { ?x ?p ?o . BIND("c" AS ?y) }', "BIND"),
 ])
 def test_unsupported_forms_raise(store, text, msg):
     with pytest.raises(SparqlSyntaxError, match=msg):
