@@ -342,6 +342,7 @@ def bgp_match(triples: DataFrame,
               having: list[str] | None = None,
               distinct: bool = False,
               order_by: list[str] | None = None,
+              offset: int | None = None,
               limit: int | None = None) -> DataFrame:
     """Match a SPARQL-SELECT-shaped query against
     ``triples(subj, pred, obj, ...)``.
@@ -399,7 +400,10 @@ def bgp_match(triples: DataFrame,
       plans TakeOrdered (per-partition top-k + single merge — no global
       sort); without it this is a full global sort, which is the query's
       own request.
-    - ``limit``: LIMIT n.
+    - ``offset`` / ``limit``: OFFSET k / LIMIT n, in SPARQL's modifier
+      order (skip k solutions, then return up to n) — Spark plans a
+      single GlobalLimit-with-offset over the (ordered) solution
+      sequence.
     """
     if isinstance(patterns, str):
         patterns = parse_bgp(patterns)
@@ -486,6 +490,8 @@ def bgp_match(triples: DataFrame,
                 else col.asc()
             )
         result = result.orderBy(*keys)
+    if offset is not None:
+        result = result.offset(offset)
     if limit is not None:
         result = result.limit(limit)
     return result

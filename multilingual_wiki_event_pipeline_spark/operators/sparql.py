@@ -10,7 +10,8 @@ a user runs against a SPARQL endpoint runs against the K3 triple store.
 ``sparql_query(triples, text)`` accepts the four query forms:
 
 - ``SELECT [DISTINCT] (?v | (agg AS ?v))+ | * WHERE { body }`` with
-  ``GROUP BY`` / ``HAVING`` / ``ORDER BY [ASC|DESC(?v)]`` / ``LIMIT``;
+  ``GROUP BY`` / ``HAVING`` / ``ORDER BY [ASC|DESC(?v)]`` / ``OFFSET`` /
+  ``LIMIT``;
 - ``CONSTRUCT { template } WHERE { body }``;
 - ``ASK [WHERE] { body }`` (returns a Python bool);
 - ``DESCRIBE <iri>...``.
@@ -32,9 +33,10 @@ Documented deviations (pragmatic subset, each raises or is noted):
   carries datatype/language in side columns the matcher doesn't consult).
 - Numeric literals compare as strings (the store's ``obj`` is a string
   column); quote-and-compare or FILTER with an explicit cast.
-- No BASE, no OFFSET, no subqueries, no EXISTS inside FILTER expressions
-  (NOT EXISTS as a standalone FILTER is supported), no property paths in
-  CONSTRUCT templates — all raise with a clear message.
+- No BASE, no subqueries, no SERVICE/BIND/GRAPH, no EXISTS inside FILTER
+  expressions (NOT EXISTS as a standalone FILTER is supported), no
+  property paths in CONSTRUCT templates — all raise with a clear
+  message.
 
 Scale notes (100 TB): parsing is driver-side and O(query length); the
 compiled plan is exactly what ``bgp_match`` builds — per-pattern filtered
@@ -553,8 +555,13 @@ def _parse_modifiers(scan: _Scan, prefixes: dict[str, str]) -> dict:
                 raise SparqlSyntaxError("LIMIT needs an integer")
             mods["limit"] = int(m.group(0))
             scan.i += m.end()
-        elif scan.peek_kw("OFFSET"):
-            raise SparqlSyntaxError("OFFSET is not supported")
+        elif scan.take_kw("OFFSET"):
+            scan.skip_ws()
+            m = re.match(r"\d+", scan.s[scan.i:])
+            if not m:
+                raise SparqlSyntaxError("OFFSET needs an integer")
+            mods["offset"] = int(m.group(0))
+            scan.i += m.end()
         else:
             raise SparqlSyntaxError(
                 f"unexpected trailing text: {scan.s[scan.i:scan.i + 40]!r}"
@@ -656,6 +663,8 @@ def _apply_order_limit(df: DataFrame, mods: dict) -> DataFrame:
             col = F.col(parts[0])
             keys.append(col.desc() if len(parts) > 1 else col.asc())
         df = df.orderBy(*keys)
+    if mods.get("offset") is not None:
+        df = df.offset(mods["offset"])
     if mods.get("limit") is not None:
         df = df.limit(mods["limit"])
     return df
