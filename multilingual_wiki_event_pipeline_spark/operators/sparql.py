@@ -68,12 +68,22 @@ class SparqlSyntaxError(ValueError):
 
 
 def _strip_comments(text: str) -> str:
-    """Remove ``#``-to-EOL comments outside quotes and ``<...>`` IRIs."""
-    out, quote, angle = [], "", 0
+    """Remove ``#``-to-EOL comments outside quotes and ``<...>`` IRIs.
+
+    A ``<`` opens an IRI only when a ``>`` follows with no whitespace in
+    between (so ``FILTER(?y < "5")``'s comparison operator doesn't
+    swallow the rest of the query); IRIs are copied verbatim, so
+    apostrophes or ``#`` fragments inside them can't poison the quote
+    state. Inside string literals ``\\``-escapes are honored."""
+    out, quote = [], ""
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
         if quote:
+            if ch == "\\" and i + 1 < n:
+                out.append(text[i:i + 2])
+                i += 2
+                continue
             if ch == quote:
                 quote = ""
             out.append(ch)
@@ -81,12 +91,15 @@ def _strip_comments(text: str) -> str:
             quote = ch
             out.append(ch)
         elif ch == "<":
-            angle += 1
-            out.append(ch)
-        elif ch == ">":
-            angle = max(0, angle - 1)
-            out.append(ch)
-        elif ch == "#" and angle == 0:
+            j = i + 1
+            while j < n and not text[j].isspace() and text[j] != ">":
+                j += 1
+            if j < n and text[j] == ">":  # a real IRI: copy verbatim
+                out.append(text[i:j + 1])
+                i = j + 1
+                continue
+            out.append(ch)  # comparison operator
+        elif ch == "#":
             while i < n and text[i] != "\n":
                 i += 1
             continue
@@ -152,6 +165,9 @@ class _Scan:
         while self.i < len(self.s):
             ch = self.s[self.i]
             if quote:
+                if ch == "\\":
+                    self.i += 2
+                    continue
                 if ch == quote:
                     quote = ""
             elif ch in "\"'":
@@ -182,7 +198,7 @@ class _Scan:
         if ch in "\"'":
             j = i + 1
             while j < n and s[j] != ch:
-                j += 1
+                j += 2 if s[j] == "\\" else 1  # honor \" escapes
             if j >= n:
                 raise SparqlSyntaxError("unterminated string literal")
             j += 1
@@ -245,6 +261,8 @@ def _parse_prologue(scan: _Scan) -> dict[str, str]:
             if scan.peek_ch() != "<":
                 raise SparqlSyntaxError("PREFIX needs a <...> IRI")
             j = scan.s.find(">", scan.i)
+            if j < 0:
+                raise SparqlSyntaxError("unterminated PREFIX <...> IRI")
             prefixes[name] = scan.s[scan.i + 1:j]
             scan.i = j + 1
         elif scan.peek_kw("BASE"):
@@ -272,7 +290,14 @@ def _term(tok: str, prefixes: dict[str, str], *, pred: bool = False) -> str:
     if tok.startswith(("\"", "'")):
         quote = tok[0]
         end = tok.rfind(quote)
-        return tok[1:end]  # @lang/^^type suffix dropped (documented)
+        body = tok[1:end]  # @lang/^^type suffix dropped (documented)
+        return re.sub(
+            r"\\(.)",
+            lambda m: {"n": "\n", "t": "\t", "r": "\r"}.get(
+                m.group(1), m.group(1)
+            ),
+            body,
+        )
     if pred:
         if tok == "a":
             return f"<{RDF_TYPE}>"
@@ -290,9 +315,21 @@ def _term(tok: str, prefixes: dict[str, str], *, pred: bool = False) -> str:
     return expanded if expanded is not None else tok
 
 
+_LITERAL_RE = re.compile(r""""(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*'""")
+
+
 def _translate_expr(expr: str, prefixes: dict[str, str]) -> str:
     """SPARQL expression -> Spark SQL (documented subset; see module
-    docstring)."""
+    docstring). String literals are masked out first so the rewrites
+    never touch their contents (``"wow!"``, ``"a&&b"``, regex patterns
+    with ``?``/``{2,3}``/parens all pass through verbatim)."""
+    lits: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    expr = _LITERAL_RE.sub(_mask, expr)
     expr = re.sub(r"[?$]([A-Za-z_]\w*)", r"\1", expr)
     expr = expr.replace("&&", " AND ").replace("||", " OR ")
     expr = re.sub(
@@ -302,8 +339,32 @@ def _translate_expr(expr: str, prefixes: dict[str, str]) -> str:
         r"(?i)\bregex\s*\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)",
         r"(\1 rlike \2)", expr,
     )
+    if re.search(r"(?i)\bregex\s*\(", expr):
+        raise SparqlSyntaxError(
+            "unsupported REGEX call form — only REGEX(term, pattern) is "
+            "rewritten; for flags, inline them in the pattern (e.g. (?i))"
+        )
     expr = re.sub(r"!(?![=<>])", " NOT ", expr)
+    expr = re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], expr)
     return expr.strip()
+
+
+def _read_filter_expr(scan: _Scan) -> str:
+    """A FILTER constraint per SPARQL's Constraint production: a
+    parenthesized expression or a built-in call ``NAME(args)`` (bare
+    infix expressions require the parens). Balanced-paren extraction, so
+    ``.``/``,`` inside string or regex literals never truncate it."""
+    scan.skip_ws()
+    if scan.peek_ch() == "(":
+        return scan.read_block("(", ")")
+    m = re.match(r"[A-Za-z_]\w*", scan.s[scan.i:])
+    if m:
+        name = m.group(0)
+        scan.i += m.end()
+        return f"{name}({scan.read_block('(', ')')})"
+    raise SparqlSyntaxError(
+        "FILTER needs a parenthesized expression or a built-in call"
+    )
 
 
 def _parse_clause(scan: _Scan, prefixes: dict[str, str]
@@ -336,6 +397,14 @@ def _parse_clause(scan: _Scan, prefixes: dict[str, str]
         return patterns  # next element starts (OPTIONAL/FILTER/...)
 
 
+def _norm_var(tok: str) -> str:
+    if tok.startswith("$"):
+        tok = "?" + tok[1:]
+    if not tok.startswith("?"):
+        raise SparqlSyntaxError(f"VALUES needs variables, got {tok!r}")
+    return tok
+
+
 def _parse_values(scan: _Scan, prefixes: dict[str, str]
                   ) -> dict[str, list]:
     scan.skip_ws()
@@ -343,7 +412,7 @@ def _parse_values(scan: _Scan, prefixes: dict[str, str]
         head = _Scan(scan.read_block("(", ")"))
         names = []
         while not head.eof():
-            names.append(head.read_token())
+            names.append(_norm_var(head.read_token()))
         rows_scan = _Scan(scan.read_block())
         rows = []
         while not rows_scan.eof():
@@ -360,7 +429,7 @@ def _parse_values(scan: _Scan, prefixes: dict[str, str]
         return {
             name: [r[k] for r in rows] for k, name in enumerate(names)
         }
-    name = scan.read_token()
+    name = _norm_var(scan.read_token())
     vals_scan = _Scan(scan.read_block())
     vals = []
     while not vals_scan.eof():
@@ -378,14 +447,13 @@ def _parse_group(body: str, prefixes: dict[str, str]):
     patterns, filters = [], []
     while not scan.eof():
         if scan.take_kw("FILTER"):
-            scan.skip_ws()
-            if scan.peek_ch() == "(":
-                raw = scan.read_block("(", ")")
-            else:  # unparenthesized FILTER expr up to '.' or end
-                j = scan.s.find(".", scan.i)
-                raw = scan.s[scan.i:j if j >= 0 else len(scan.s)]
-                scan.i += len(raw)
-            filters.append(_translate_expr(raw, prefixes))
+            if scan.peek_kw("NOT", "EXISTS"):
+                raise SparqlSyntaxError(
+                    "FILTER [NOT] EXISTS inside a group is not supported"
+                )
+            filters.append(
+                _translate_expr(_read_filter_expr(scan), prefixes)
+            )
             if not scan.eof() and scan.peek_ch() == ".":
                 scan.read_token()
         elif scan.peek_kw("OPTIONAL", "MINUS", "VALUES", "UNION"):
@@ -445,13 +513,8 @@ def _parse_body(body: str, prefixes: dict[str, str]) -> dict:
                     "FILTER EXISTS is not supported (use a join pattern)"
                 )
             else:
-                if scan.peek_ch() != "(":
-                    raise SparqlSyntaxError(
-                        "top-level FILTER needs a parenthesized expression"
-                    )
-                raw = scan.read_block("(", ")")
                 kwargs.setdefault("filters", []).append(
-                    _translate_expr(raw, prefixes)
+                    _translate_expr(_read_filter_expr(scan), prefixes)
                 )
                 if not scan.eof() and scan.peek_ch() == ".":
                     scan.read_token()
@@ -569,6 +632,14 @@ def _parse_modifiers(scan: _Scan, prefixes: dict[str, str]) -> dict:
     return mods
 
 
+def _require_patterns(where: dict) -> None:
+    if "union" not in where and not where.get("patterns"):
+        raise SparqlSyntaxError(
+            "WHERE needs at least one required triple pattern "
+            "(VALUES-only or OPTIONAL-only bodies are not supported)"
+        )
+
+
 def sparql_query(triples: DataFrame, text: str):
     """Parse and run a SPARQL query string against ``triples(subj, pred,
     obj, ...)``. Returns a DataFrame (SELECT/CONSTRUCT/DESCRIBE) or a
@@ -584,6 +655,7 @@ def sparql_query(triples: DataFrame, text: str):
         select, aggregates = _parse_projection(scan, prefixes)
         scan.take_kw("WHERE")
         where = _parse_body(scan.read_block(), prefixes)
+        _require_patterns(where)
         mods = _parse_modifiers(scan, prefixes)
         if "union" in where:
             if aggregates or mods.get("group_by") or mods.get("having"):
@@ -607,6 +679,12 @@ def sparql_query(triples: DataFrame, text: str):
     if scan.take_kw("ASK"):
         scan.take_kw("WHERE")
         where = _parse_body(scan.read_block(), prefixes)
+        _require_patterns(where)
+        if not scan.eof():
+            raise SparqlSyntaxError(
+                f"unexpected text after ASK body: "
+                f"{scan.s[scan.i:scan.i + 40]!r}"
+            )
         if "union" in where:
             return bool(
                 bgp_union(triples, where["union"]).limit(1).take(1)
@@ -621,6 +699,7 @@ def sparql_query(triples: DataFrame, text: str):
             template.extend(_parse_clause(template_scan, prefixes))
         scan.expect_kw("WHERE")
         where = _parse_body(scan.read_block(), prefixes)
+        _require_patterns(where)
         mods = _parse_modifiers(scan, prefixes)
         if "union" in where:
             raise SparqlSyntaxError("CONSTRUCT over UNION is not supported")
@@ -638,6 +717,10 @@ def sparql_query(triples: DataFrame, text: str):
         resources = []
         while not scan.eof() and scan.peek_ch() != "{" \
                 and not scan.peek_kw("WHERE"):
+            if scan.peek_kw("LIMIT", "OFFSET", "ORDER", "GROUP", "HAVING"):
+                raise SparqlSyntaxError(
+                    "DESCRIBE takes no solution modifiers"
+                )
             resources.append(_term(scan.read_token(), prefixes))
         if not scan.eof():
             raise SparqlSyntaxError("DESCRIBE ... WHERE is not supported")

@@ -224,6 +224,80 @@ def test_lang_tag_stripped(store):
     assert [r.e for r in out] == ["e2"]
 
 
+def test_filter_literals_pass_through_untouched(store):
+    # '!'/'&&'/'?'/'{n,m}' INSIDE string literals must not be rewritten
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e ?l WHERE {
+            ?e ex:label ?l .
+            FILTER(?l != "wow!" && ?l != "a&&b")
+            FILTER(REGEX(?l, "b.g [b]{1,2}o+m|quiet?"))
+        }
+    """).collect()
+    assert sorted((r.e, r.l) for r in out) == [
+        ("e1", "big boom"), ("e2", "quiet"),
+    ]
+
+
+def test_comment_after_less_than_comparison(store):
+    # '<' as a comparison operator must not open an "IRI" and swallow
+    # the '#' comment stripping
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?l WHERE {
+            ?e ex:label ?l .
+            FILTER(?l < "quiet")   # lexicographic: only "big boom"
+        }
+    """).collect()
+    assert [r.l for r in out] == ["big boom"]
+
+
+def test_unparenthesized_builtin_filter(store):
+    # SPARQL's Constraint production allows a bare BuiltInCall — and the
+    # regex literal's '.' must not truncate it
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e WHERE {
+            ?e ex:label ?l .
+            FILTER REGEX(?l, "b.g.boom")
+        }
+    """).collect()
+    assert [r.e for r in out] == ["e1"]
+
+
+def test_escaped_quote_in_literal(spark):
+    t = spark.createDataFrame(
+        [("s", "p", 'say "hi"')], "subj string, pred string, obj string"
+    )
+    out = sparql_query(t, r'SELECT ?x WHERE { ?x p "say \"hi\"" }')
+    assert [r.x for r in out.collect()] == ["s"]
+
+
+def test_values_dollar_variable(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e ?who WHERE {
+            ?e ex:actor $who .
+            VALUES $who { "bob" }
+        }
+    """).collect()
+    assert [(r.e, r.who) for r in out] == [("e2", "bob")]
+
+
+@pytest.mark.parametrize("text, msg", [
+    ("PREFIX ex: <http://ex SELECT ?x WHERE { ?x ?p ?o }",
+     "unterminated PREFIX"),
+    ('SELECT ?x WHERE { VALUES ?x { "a" } }', "required triple pattern"),
+    ('ASK { ?e ?p ?o } LIMIT 5', "after ASK body"),
+    ('SELECT ?x WHERE { ?x ?p ?l . FILTER(REGEX(?l, "a", "i")) }',
+     "REGEX call form"),
+    ("DESCRIBE <a> LIMIT 5", "no solution modifiers"),
+])
+def test_malformed_queries_raise_cleanly(store, text, msg):
+    with pytest.raises(SparqlSyntaxError, match=msg):
+        sparql_query(store, text)
+
+
 WD = "http://www.wikidata.org/entity/"
 WDT = "http://www.wikidata.org/prop/direct/"
 
