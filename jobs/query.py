@@ -1,0 +1,73 @@
+"""Query a produced triple store with a SPARQL query string.
+
+The pipeline's complement: `jobs/run_pipeline.py` constructs the KG and
+writes it bucket-partitioned (`sinks.write_triples`); this job reads that
+store and runs the textual SPARQL the reference's users already write
+(reference `utils.py:33-83` authors this exact form against Wikidata —
+here it runs against the KG the pipeline itself produced).
+
+Launch:
+
+    spark-submit --master <master> --py-files mwep_spark.zip \
+      jobs/query.py --store /path/triples \
+      --query 'PREFIX sem: <...> SELECT ?e WHERE { ... } LIMIT 100' \
+      [--query-file q.rq] [--output /path/result] [--show 20]
+
+SELECT/CONSTRUCT/DESCRIBE results are written as parquet when --output
+is given, otherwise printed (first --show rows). ASK prints true/false
+and exits 0/1 — shell-scriptable.
+
+Scale notes: the query compiles to per-pattern filtered scans over the
+partitioned store + equi-joins (operators/bgp.py); constant predicates
+and subjects reach the parquet reader as pushed filters, and the
+bucket partitioning prunes subject-constant scans.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--store", required=True,
+                    help="triple-store root (parquet, write_triples layout)")
+    q = ap.add_mutually_exclusive_group(required=True)
+    q.add_argument("--query", help="SPARQL query text")
+    q.add_argument("--query-file", help="file containing the query")
+    ap.add_argument("--output", default=None,
+                    help="write the result as parquet here (default: print)")
+    ap.add_argument("--show", type=int, default=20,
+                    help="rows to print when no --output is given")
+    args = ap.parse_args(argv)
+
+    # imports AFTER spark-submit has the --py-files zip on sys.path
+    from pyspark.sql import SparkSession
+
+    from multilingual_wiki_event_pipeline_spark.operators.sparql import (
+        sparql_query,
+    )
+
+    text = args.query
+    if text is None:
+        with open(args.query_file, encoding="utf-8") as fh:
+            text = fh.read()
+
+    spark = SparkSession.builder.appName("mwep-sparql-query").getOrCreate()
+    triples = spark.read.parquet(args.store)
+
+    result = sparql_query(triples, text)
+    if isinstance(result, bool):  # ASK
+        print("true" if result else "false")
+        return 0 if result else 1
+    if args.output:
+        result.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}")
+    else:
+        result.show(args.show, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

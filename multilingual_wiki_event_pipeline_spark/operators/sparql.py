@@ -389,7 +389,7 @@ def _parse_clause(scan: _Scan, prefixes: dict[str, str]
             return patterns
         if ch == ";":
             scan.read_token()
-            if scan.eof() or scan.peek_ch() in ".}":  # trailing ';'
+            if scan.eof() or scan.peek_ch() in (".", "}"):  # trailing ';'
                 if scan.peek_ch() == ".":
                     scan.read_token()
                 return patterns
@@ -585,7 +585,7 @@ def _parse_modifiers(scan: _Scan, prefixes: dict[str, str]) -> dict:
         if scan.take_kw("GROUP"):
             scan.expect_kw("BY")
             gvars = []
-            while scan.peek_ch() in "?$":
+            while scan.peek_ch() in ("?", "$"):
                 gvars.append(scan.read_token().lstrip("?$"))
             if not gvars:
                 raise SparqlSyntaxError("empty GROUP BY")
@@ -604,7 +604,7 @@ def _parse_modifiers(scan: _Scan, prefixes: dict[str, str]) -> dict:
                     inner = _Scan(scan.read_block("(", ")"))
                     v = inner.read_token().lstrip("?$")
                     terms.append(f"{v} desc" if d.upper() == "DESC" else v)
-                elif scan.peek_ch() in "?$":
+                elif scan.peek_ch() in ("?", "$"):
                     terms.append(scan.read_token().lstrip("?$"))
                 else:
                     break

@@ -1,0 +1,90 @@
+"""jobs/query.py — the SPARQL-over-the-produced-store entry point: write
+a small store with the real triple sink, then drive the job's main() in
+process (SparkSession.getOrCreate reuses the test session; the
+spark-submit launch contract itself is covered by test_spark_submit_e2e
+for the pipeline job, which shares the import/arg conventions)."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import duckdb
+import pytest
+
+from multilingual_wiki_event_pipeline_spark.sinks import write_triples
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def query_main():
+    spec = importlib.util.spec_from_file_location(
+        "mwep_query_job", os.path.join(REPO, "jobs", "query.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.main
+
+
+@pytest.fixture(scope="module")
+def store_dir(spark, tmp_path_factory):
+    rows = [
+        ("e1", "rdfs:label", "error"),
+        ("e1", "sem:hasActor", "alice"),
+        ("e2", "rdfs:label", "signup"),
+        ("e2", "sem:hasActor", "bob"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string"
+    )
+    path = str(tmp_path_factory.mktemp("triples") / "store")
+    write_triples(df, path, n_buckets=2, n_write_tasks=2)
+    return path
+
+
+def test_select_to_parquet_output(query_main, store_dir, tmp_path):
+    out = str(tmp_path / "result")
+    rc = query_main([
+        "--store", store_dir,
+        "--query",
+        'SELECT ?e ?who WHERE { ?e rdfs:label "error" ; '
+        'sem:hasActor ?who }',
+        "--output", out,
+    ])
+    assert rc == 0
+    got = duckdb.sql(f"SELECT e, who FROM '{out}/*.parquet'").fetchall()
+    assert got == [("e1", "alice")]
+
+
+def test_select_show_path(query_main, store_dir, capsys):
+    rc = query_main([
+        "--store", store_dir,
+        "--query", "SELECT ?who WHERE { ?e sem:hasActor ?who } "
+                   "ORDER BY ?who",
+    ])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "alice" in printed and "bob" in printed
+
+
+def test_ask_exit_codes(query_main, store_dir):
+    assert query_main([
+        "--store", store_dir,
+        "--query", 'ASK { ?e sem:hasActor "alice" }',
+    ]) == 0
+    assert query_main([
+        "--store", store_dir,
+        "--query", 'ASK { ?e sem:hasActor "nobody" }',
+    ]) == 1
+
+
+def test_query_file(query_main, store_dir, tmp_path, capsys):
+    qf = tmp_path / "q.rq"
+    qf.write_text(
+        "# which events have actors?\n"
+        "SELECT DISTINCT ?e WHERE { ?e sem:hasActor ?who }\n"
+    )
+    assert query_main(["--store", store_dir, "--query-file", str(qf)]) == 0
+    printed = capsys.readouterr().out
+    assert "e1" in printed and "e2" in printed
