@@ -479,3 +479,43 @@ def test_finalize_conversations_event_time_timeout(spark, tmp_path):
         row_a, row_b, row_c,
         ("D", 1, 0, at(10), at(10)),
     ], got
+
+
+def test_sparql_over_streamed_store(spark, corpus_dir, tmp_path):
+    """The layers compose: stream-ingest the corpus, compact the streamed
+    view, then run a textual SPARQL query over the compacted store —
+    answers must agree with the same relation computed directly from the
+    streamed-triples DataFrame."""
+    from multilingual_wiki_event_pipeline_spark.operators.sparql import (
+        sparql_query,
+    )
+
+    t = CorpusTables(spark, corpus_dir)
+    stream_in = str(tmp_path / "in")
+    os.makedirs(stream_in)
+    shutil.copy(f"{corpus_dir}/transcripts.parquet", stream_in)
+    out = str(tmp_path / "out")
+    q = ingest.incremental_triples(
+        ingest.stream_transcripts(spark, stream_in), t, out,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    ingest.compact_streamed_triples(spark, out)
+
+    store = ingest.read_streamed_triples(spark, out)
+    pred = (
+        store.groupBy("pred").count()
+        .orderBy(F.desc("count"), "pred").first()["pred"]
+    )
+    want = sorted(
+        (r.subj, r.obj)
+        for r in store.filter(F.col("pred") == pred)
+                      .select("subj", "obj").collect()
+    )
+    got = sparql_query(
+        store, f"SELECT ?s ?o WHERE {{ ?s <{pred}> ?o }}"
+    ).collect()
+    assert sorted((r.s, r.o) for r in got) == want and want
+    assert sparql_query(store, f"ASK {{ ?s <{pred}> ?o }}") is True
+    assert sparql_query(store, "ASK { ?s <urn:no-such> ?o }") is False
