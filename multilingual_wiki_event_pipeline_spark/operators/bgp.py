@@ -32,9 +32,10 @@ Semantics (SPARQL 1.1 BGP, bag semantics):
 - a constant predicate may be a SPARQL 1.1 property path: ``p+`` /
   ``p*`` closures (iterative equi-join via the ontology closure
   operator, checkpointed; ``*`` adds the identity over all graph nodes
-  per spec), ``^p`` inverse, ``a/b`` sequence, ``a|b`` alternation,
-  ``(...)`` grouping — composable, e.g. ``^a/b+`` or ``(a|b)/c``; wrap
-  a predicate in ``<...>`` to force literal-IRI matching (real IRIs
+  per spec), ``p?`` zero-or-one, ``^p`` inverse, ``a/b`` sequence,
+  ``a|b`` alternation, ``!(a|^b)`` negated property sets, ``(...)``
+  grouping — composable, e.g. ``^a/b+`` or ``(a|b)/c``; wrap a
+  predicate in ``<...>`` to force literal-IRI matching (real IRIs
   contain ``/``);
 - the rest of the SELECT surface: VALUES (broadcast inline-binding join),
   DISTINCT (set semantics), ORDER BY / LIMIT (TakeOrdered top-k when both
@@ -135,16 +136,15 @@ def _paren_wrapped(p: str) -> bool:
 
 def _is_path(p: str) -> bool:
     """Is a constant predicate a property-path expression? ``|``/``/``
-    outside ``<...>`` brackets, leading ``^`` or ``(``, or a trailing
-    ``+``/``*`` (with something before it). A fully bracket-wrapped IRI
-    is never a path (handled before this is asked), but bracketed steps
-    may appear INSIDE a composite path (``^<http://ex.org/p>/q``)."""
+    outside ``<...>`` brackets, leading ``^``/``(``/``!``, or a trailing
+    ``+``/``*``/``?`` (with something before it). A fully bracket-wrapped
+    IRI is never a path (handled before this is asked), but bracketed
+    steps may appear INSIDE a composite path (``^<http://ex.org/p>/q``)."""
     return (
         len(_split_top(p, "|")) > 1
         or len(_split_top(p, "/")) > 1
-        or p.startswith("^")
-        or p.startswith("(")
-        or (len(p) > 1 and p[-1] in "+*")
+        or p.startswith(("^", "(", "!"))
+        or (len(p) > 1 and p[-1] in "+*?")
     )
 
 
@@ -162,11 +162,15 @@ def _path_edges(triples: DataFrame, p: str,
     - ``a|b``  alternation: union of the branch relations (shuffle-free);
     - ``a/b``  sequence: equi-join obj→subj through each step;
     - ``^p``   inverse: the swapped scan;
+    - ``!(a|^b)`` negated property set: one scan with a NOT-IN predicate
+      on pred (forward members), unioned with the swapped NOT-IN scan
+      for ``^``-inversed members — members must be plain IRIs per spec;
     - ``p+``   one-or-more: transitive closure via the ontology
       operator's iterative equi-join (broadcast edges, checkpointed);
     - ``p*``   zero-or-more: the ``+`` closure UNION the identity over
       ALL graph nodes (per spec a zero-length path relates every node in
       the graph to itself, not just nodes touching ``p``);
+    - ``p?``   zero-or-one: the step's edges UNION the same identity;
     - anything else: one filtered scan of the triple table (constant
       pred → PushedFilters).
     """
@@ -193,9 +197,47 @@ def _path_edges(triples: DataFrame, p: str,
         return _path_edges(triples, p[1:], extra_nodes).select(
             F.col("obj").alias("subj"), F.col("subj").alias("obj")
         )
+    if p.startswith("!"):
+        inner = p[1:]
+        if _paren_wrapped(inner):
+            inner = inner[1:-1]
+        fwd, rev = [], []
+        for m in _split_top(inner, "|"):
+            m = m.strip()
+            inv = m.startswith("^")
+            if inv:
+                m = m[1:]
+            if m.startswith("<") and m.endswith(">") and not _is_path(m):
+                m = m[1:-1]
+            elif not m or _is_path(m):
+                raise ValueError(
+                    "negated property sets take only IRIs (optionally "
+                    f"^-inversed), got {m!r} in {p!r}"
+                )
+            (rev if inv else fwd).append(m)
+        parts = []
+        if fwd or not rev:  # !(^a) alone has no forward component
+            parts.append(
+                triples.filter(~F.col("pred").isin(fwd))
+                .select("subj", "obj")
+            )
+        if rev:
+            parts.append(
+                triples.filter(~F.col("pred").isin(rev)).select(
+                    F.col("obj").alias("subj"), F.col("subj").alias("obj")
+                )
+            )
+        out = parts[0]
+        for q in parts[1:]:
+            out = out.unionByName(q)
+        return out
     if _paren_wrapped(p):
         return _path_edges(triples, p[1:-1], extra_nodes)
-    if len(p) > 1 and p[-1] in "+*":
+    if len(p) > 1 and p[-1] in "+*?":
+        if p[-1] == "?":
+            return _path_edges(triples, p[:-1], extra_nodes).unionByName(
+                _zero_length(triples, extra_nodes)
+            ).distinct()
         from .ontology import ancestor_closure
 
         edges = _path_edges(triples, p[:-1], extra_nodes).select(
@@ -207,27 +249,31 @@ def _path_edges(triples: DataFrame, p: str,
             F.col("node").alias("subj"), F.col("ancestor").alias("obj")
         )
         if p[-1] == "*":
-            # zero-length path: every node relates to itself. Graph nodes
-            # plus any constant endpoints of the enclosing pattern — per
-            # SPARQL 1.1 ZeroLengthPath a bound term matches itself even
-            # when it appears nowhere in the graph.
-            nodes = (
-                triples.select("subj")
-                .unionByName(triples.select(F.col("obj").alias("subj")))
-            )
-            if extra_nodes:
-                spark = triples.sparkSession
-                nodes = nodes.unionByName(
-                    spark.createDataFrame(
-                        [(n,) for n in extra_nodes], "subj string"
-                    )
-                )
             closure = closure.unionByName(
-                nodes.distinct().select("subj", F.col("subj").alias("obj"))
+                _zero_length(triples, extra_nodes)
             ).distinct()  # a cyclic p+ already contains (c,c) pairs
         return closure
     base = p[1:-1] if p.startswith("<") and p.endswith(">") else p
     return triples.filter(F.col("pred") == base).select("subj", "obj")
+
+
+def _zero_length(triples: DataFrame,
+                 extra_nodes: tuple[str, ...]) -> DataFrame:
+    """The SPARQL 1.1 ZeroLengthPath identity: every node relates to
+    itself — ALL graph nodes plus the enclosing pattern's constant
+    endpoints (a bound term matches itself even when it appears nowhere
+    in the graph)."""
+    nodes = (
+        triples.select("subj")
+        .unionByName(triples.select(F.col("obj").alias("subj")))
+    )
+    if extra_nodes:
+        spark = triples.sparkSession
+        nodes = nodes.unionByName(
+            spark.createDataFrame([(n,) for n in extra_nodes],
+                                  "subj string")
+        )
+    return nodes.distinct().select("subj", F.col("subj").alias("obj"))
 
 
 def _compile_pattern(triples: DataFrame,

@@ -402,6 +402,35 @@ def test_bgp_path_paren_grouping(path_triples):
     assert [r.s for r in out3] == ["a"]
 
 
+def test_bgp_path_zero_or_one(path_triples):
+    # sub?: one step at most — from a: itself (zero) and b (one), not c
+    out = bgp.bgp_match(path_triples, [("a", "sub?", "?x")]).collect()
+    assert sorted(r.x for r in out) == ["a", "b"]
+    # composed: other/alt? — a-other->z, then z (zero) or w (one)
+    out2 = bgp.bgp_match(path_triples, [("a", "other/alt?", "?x")]).collect()
+    assert sorted(r.x for r in out2) == ["w", "z"]
+
+
+def test_bgp_path_negated_property_set(path_triples):
+    # !sub from a: every non-sub out-edge
+    out = bgp.bgp_match(path_triples, [("a", "!sub", "?x")]).collect()
+    assert sorted(r.x for r in out) == ["z"]
+    # !(sub|alt) keeps other and the IRIs
+    out2 = bgp.bgp_match(
+        path_triples, [("?s", "!(sub|alt|<http://ex.org/p>)", "?o")]
+    ).collect()
+    assert sorted((r.s, r.o) for r in out2) == [("a", "z"), ("y", "m")]
+    # inverse member: !(^sub) alone = swapped non-sub edges only
+    out3 = bgp.bgp_match(path_triples, [("w", "!(^alt)", "?x")]).collect()
+    assert out3 == []  # w's only in-edge IS alt; no forward component
+    out4 = bgp.bgp_match(path_triples, [("z", "!(^other)", "?x")]).collect()
+    assert [r.x for r in out4] == []  # z's only in-edge IS other
+    out5 = bgp.bgp_match(path_triples, [("z", "!(^sub)", "?x")]).collect()
+    assert sorted(r.x for r in out5) == ["a"]  # a-other->z survives
+    with pytest.raises(ValueError, match="negated property set"):
+        bgp.bgp_match(path_triples, [("?s", "!(sub/alt)", "?o")]).collect()
+
+
 def test_bgp_parens_inside_iri_are_literal(spark):
     # Wikipedia-style IRIs contain parens; <>-wrapping keeps them opaque
     t = spark.createDataFrame(
