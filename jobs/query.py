@@ -59,6 +59,9 @@ def main(argv: list[str]) -> int:
 
     result = sparql_query(triples, text)
     if isinstance(result, bool):  # ASK
+        if args.output:
+            ap.error("--output is not supported with ASK — the answer "
+                     "is printed and returned as the exit code (0/1)")
         print("true" if result else "false")
         return 0 if result else 1
     if args.output:

@@ -176,11 +176,9 @@ def _path_edges(triples: DataFrame, p: str,
     """
     alts = _split_top(p, "|")
     if len(alts) > 1:
-        parts = [_path_edges(triples, q, extra_nodes) for q in alts]
-        out = parts[0]
-        for q in parts[1:]:
-            out = out.unionByName(q)
-        return out
+        return _union_all(
+            [_path_edges(triples, q, extra_nodes) for q in alts]
+        )
     steps = _split_top(p, "/")
     if len(steps) > 1:
         out = _path_edges(triples, steps[0], extra_nodes)
@@ -193,6 +191,30 @@ def _path_edges(triples: DataFrame, p: str,
                 .select("subj", F.col("_obj").alias("obj"))
             )
         return out
+    # trailing modifier binds to the PathPrimary per the SPARQL grammar
+    # (so !p? is (!p)? — this must run before the ^/! prefixes; for ^
+    # the two orders are semantically equal: closure/identity of the
+    # inverse == inverse of the closure/identity)
+    if len(p) > 1 and p[-1] in "+*?":
+        if p[-1] == "?":
+            return _path_edges(triples, p[:-1], extra_nodes).unionByName(
+                _zero_length(triples, extra_nodes)
+            ).distinct()
+        from .ontology import ancestor_closure
+
+        edges = _path_edges(triples, p[:-1], extra_nodes).select(
+            F.col("subj").alias("child"), F.col("obj").alias("parent")
+        )
+        closure = ancestor_closure(
+            edges, max_depth=PATH_MAX_DEPTH, reflexive=False
+        ).select(
+            F.col("node").alias("subj"), F.col("ancestor").alias("obj")
+        )
+        if p[-1] == "*":
+            closure = closure.unionByName(
+                _zero_length(triples, extra_nodes)
+            ).distinct()  # a cyclic p+ already contains (c,c) pairs
+        return closure
     if p.startswith("^"):
         return _path_edges(triples, p[1:], extra_nodes).select(
             F.col("obj").alias("subj"), F.col("subj").alias("obj")
@@ -227,34 +249,18 @@ def _path_edges(triples: DataFrame, p: str,
                     F.col("obj").alias("subj"), F.col("subj").alias("obj")
                 )
             )
-        out = parts[0]
-        for q in parts[1:]:
-            out = out.unionByName(q)
-        return out
+        return _union_all(parts)
     if _paren_wrapped(p):
         return _path_edges(triples, p[1:-1], extra_nodes)
-    if len(p) > 1 and p[-1] in "+*?":
-        if p[-1] == "?":
-            return _path_edges(triples, p[:-1], extra_nodes).unionByName(
-                _zero_length(triples, extra_nodes)
-            ).distinct()
-        from .ontology import ancestor_closure
-
-        edges = _path_edges(triples, p[:-1], extra_nodes).select(
-            F.col("subj").alias("child"), F.col("obj").alias("parent")
-        )
-        closure = ancestor_closure(
-            edges, max_depth=PATH_MAX_DEPTH, reflexive=False
-        ).select(
-            F.col("node").alias("subj"), F.col("ancestor").alias("obj")
-        )
-        if p[-1] == "*":
-            closure = closure.unionByName(
-                _zero_length(triples, extra_nodes)
-            ).distinct()  # a cyclic p+ already contains (c,c) pairs
-        return closure
     base = p[1:-1] if p.startswith("<") and p.endswith(">") else p
     return triples.filter(F.col("pred") == base).select("subj", "obj")
+
+
+def _union_all(parts: list[DataFrame]) -> DataFrame:
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
 
 
 def _zero_length(triples: DataFrame,
@@ -591,10 +597,7 @@ def bgp_construct(triples: DataFrame,
                 c for term, c in zip(t, TRIPLE_COLS) if is_var(term)
             ])
         parts.append(part)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+    return _union_all(parts).distinct()
 
 
 def bgp_ask(triples: DataFrame,

@@ -50,6 +50,8 @@ import re
 from pyspark.sql import DataFrame
 
 from .bgp import (
+    _paren_wrapped,
+    _split_top,
     bgp_ask,
     bgp_construct,
     bgp_describe,
@@ -92,9 +94,16 @@ def _strip_comments(text: str) -> str:
             out.append(ch)
         elif ch == "<":
             j = i + 1
-            while j < n and not text[j].isspace() and text[j] != ">":
+            while j < n and not text[j].isspace() \
+                    and text[j] not in ">\"'":
                 j += 1
-            if j < n and text[j] == ">":  # a real IRI: copy verbatim
+            span = text[i + 1:j]
+            # a real IRI: closed by '>' with no whitespace or quotes
+            # inside, has a scheme ':' (BASE-relative IRIs are rejected
+            # at parse), and doesn't start like a variable — anything
+            # else is the '<' comparison operator
+            if (j < n and text[j] == ">" and ":" in span
+                    and not span.startswith(("?", "$"))):
                 out.append(text[i:j + 1])
                 i = j + 1
                 continue
@@ -279,6 +288,51 @@ def _expand_pname(tok: str, prefixes: dict[str, str]) -> str | None:
     return None
 
 
+def _expand_path(tok: str, prefixes: dict[str, str]) -> str:
+    """Expand a predicate/path expression STRUCTURALLY: recurse through
+    the path operators (same bracket-aware splits the compiler uses) and
+    expand each atomic step — ``a`` -> rdf:type, ``pfx:local`` ->
+    ``<iri>`` — so the keyword and prefixed names work inside composite
+    paths and negated property sets (``!a``, ``a/pfx:p``), while IRIs'
+    own ``/``/``|``/parens stay untouched."""
+    for sep in ("|", "/"):
+        parts = _split_top(tok, sep)
+        if len(parts) > 1:
+            return sep.join(_expand_path(q, prefixes) for q in parts)
+    if tok.startswith(("^", "!")):
+        return tok[0] + _expand_path(tok[1:], prefixes)
+    if len(tok) > 1 and tok[-1] in "+*?":
+        return _expand_path(tok[:-1], prefixes) + tok[-1]
+    if _paren_wrapped(tok):
+        return "(" + _expand_path(tok[1:-1], prefixes) + ")"
+    if tok == "a":
+        return f"<{RDF_TYPE}>"
+    if tok.startswith("<"):
+        return tok
+    expanded = _expand_pname(tok, prefixes)
+    return f"<{expanded}>" if expanded is not None else tok
+
+
+_STR_ESCAPES = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+                '"': '"', "'": "'", "\\": "\\"}
+
+
+def _unescape(body: str) -> str:
+    """SPARQL string-literal escapes: the named set plus \\uXXXX /
+    \\UXXXXXXXX; anything else raises (silently mangling an escape would
+    make a valid literal match nothing)."""
+    def repl(m: re.Match) -> str:
+        g = m.group(1)
+        if g[0] in "uU" and len(g) > 1:
+            return chr(int(g[1:], 16))
+        if g in _STR_ESCAPES:
+            return _STR_ESCAPES[g]
+        raise SparqlSyntaxError(f"unknown string escape \\{g}")
+    return re.sub(
+        r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|.)", repl, body
+    )
+
+
 def _term(tok: str, prefixes: dict[str, str], *, pred: bool = False) -> str:
     """Normalize one term token to the algebra's form: raw store string
     for subjects/objects, ``<...>``-wrapped IRIs inside predicates (the
@@ -291,24 +345,9 @@ def _term(tok: str, prefixes: dict[str, str], *, pred: bool = False) -> str:
         quote = tok[0]
         end = tok.rfind(quote)
         body = tok[1:end]  # @lang/^^type suffix dropped (documented)
-        return re.sub(
-            r"\\(.)",
-            lambda m: {"n": "\n", "t": "\t", "r": "\r"}.get(
-                m.group(1), m.group(1)
-            ),
-            body,
-        )
+        return _unescape(body)
     if pred:
-        if tok == "a":
-            return f"<{RDF_TYPE}>"
-        # expand prefixed names ANYWHERE in a path expression; IRIs that
-        # are already <>-wrapped are left alone (the regex cannot match
-        # an absolute IRI's '//' as a local part)
-        return _PNAME_RE.sub(
-            lambda m: (f"<{prefixes[m.group(1)]}{m.group(2)}>"
-                       if m.group(1) in prefixes else m.group(0)),
-            tok,
-        )
+        return _expand_path(tok, prefixes)
     if tok.startswith("<") and tok.endswith(">"):
         return tok[1:-1]
     expanded = _expand_pname(tok, prefixes)
@@ -491,6 +530,11 @@ def _parse_body(body: str, prefixes: dict[str, str]) -> dict:
                 bk = _parse_body(b, prefixes)
                 if "union" in bk:
                     raise SparqlSyntaxError("nested UNION not supported")
+                if not bk.get("patterns"):
+                    raise SparqlSyntaxError(
+                        "each UNION branch needs at least one triple "
+                        "pattern"
+                    )
                 parsed.append({k: v for k, v in bk.items() if v})
             return {"union": parsed}
         if scan.take_kw("OPTIONAL"):

@@ -431,6 +431,13 @@ def test_bgp_path_negated_property_set(path_triples):
         bgp.bgp_match(path_triples, [("?s", "!(sub/alt)", "?o")]).collect()
 
 
+def test_bgp_path_modifier_on_negated_set(path_triples):
+    # grammar: PathMod binds to the PathPrimary, so !sub? is (!sub)? —
+    # from a: identity (zero) plus a's non-sub edges (one)
+    out = bgp.bgp_match(path_triples, [("a", "!sub?", "?x")]).collect()
+    assert sorted(r.x for r in out) == ["a", "z"]
+
+
 def test_bgp_parens_inside_iri_are_literal(spark):
     # Wikipedia-style IRIs contain parens; <>-wrapping keeps them opaque
     t = spark.createDataFrame(

@@ -216,6 +216,52 @@ def test_predicate_object_lists_and_comments(store):
     assert [r.e for r in out] == ["e1"]
 
 
+def test_negated_set_and_a_keyword_in_path(store):
+    # !a must negate rdf:type (the keyword expands inside paths and
+    # negated sets), not the literal predicate string "a"
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?s ?o WHERE { ?s !a ?o . ?s ex:knows ?o }
+    """).collect()
+    assert [(r.s, r.o) for r in out] == [("alice", "bob")]
+    out2 = sparql_query(
+        store, "SELECT ?e ?t WHERE { ?e a ?t }"
+    ).count()
+    assert out2 == 2  # the rdf:type edges !a excluded above
+
+
+def test_unicode_escape_in_literal(spark):
+    t = spark.createDataFrame(
+        [("s", "p", "café")], "subj string, pred string, obj string"
+    )
+    out = sparql_query(t, 'SELECT ?x WHERE { ?x p "caf\\u00e9" }')
+    assert [r.x for r in out.collect()] == ["s"]
+    with pytest.raises(SparqlSyntaxError, match="unknown string escape"):
+        sparql_query(t, r'SELECT ?x WHERE { ?x p "bad\q" }')
+
+
+def test_less_than_quoted_literal_with_gt_inside(store):
+    # '<' followed by a quoted literal containing '>' must stay a
+    # comparison operator, and the trailing comment must still strip
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?l WHERE {
+            ?e ex:label ?l .
+            FILTER(?l<"c>c")  # comment after the tricky filter
+        }
+    """).collect()
+    assert [r.l for r in out] == ["big boom"]
+
+
+def test_union_branch_without_pattern_raises(store):
+    with pytest.raises(SparqlSyntaxError, match="UNION branch"):
+        sparql_query(store, """
+            SELECT ?x WHERE {
+                { VALUES ?x { "a" } } UNION { ?s ?p ?x }
+            }
+        """)
+
+
 def test_lang_tag_stripped(store):
     out = sparql_query(store, """
         PREFIX ex: <http://ex.org/>
