@@ -1096,6 +1096,40 @@ def sparql_text(spark, sf_dir):
     """)
 
 
+def sparql_expressive(spark, sf_dir):
+    """SPARQL 1.1 expressive surface in one text query
+    (operators/sparql.py): a ``{ SELECT ... }`` subquery (per-actor
+    signup counts, GROUP BY + COUNT) natural-joined to the outer
+    error-event patterns, BIND with builtin rewrites (UCASE/CONCAT →
+    upper/concat), FILTER over the bound variable plus a STRSTARTS →
+    startswith rewrite, then GROUP_CONCAT with explicit separator
+    (rewritten to a sorted collect_list join — the deterministic,
+    oracle-checkable instantiation of SPARQL's unspecified concat order)
+    and SAMPLE → min. Spark shape: the subquery is one partial-agg
+    groupBy joined on ?actor; BIND is a pure projection; the outer
+    aggregate is one more shuffle — no per-row Python anywhere. Oracle =
+    the same subquery-join-bind-aggregate pipeline in SQL (string_agg
+    ORDER BY ≡ the sorted join)."""
+    from .operators.sparql import sparql_query
+
+    return sparql_query(triples_events(spark, sf_dir), """
+        SELECT ?actor ?nsign ?label
+               (GROUP_CONCAT(?etime; SEPARATOR=",") AS ?times)
+               (SAMPLE(?ev) AS ?anyev)
+        WHERE {
+            ?ev rdfs:label "error" ;
+                sem:hasActor ?actor ;
+                sem:hasTimeStamp ?etime .
+            { SELECT ?actor (COUNT(?s) AS ?nsign)
+              WHERE { ?s rdfs:label "signup" ; sem:hasActor ?actor }
+              GROUP BY ?actor }
+            BIND(CONCAT(UCASE(?actor), "!") AS ?label)
+            FILTER(?nsign >= 1 && STRSTARTS(?actor, "usr:"))
+        }
+        GROUP BY ?actor ?nsign ?label
+    """)
+
+
 def graph_lpa(spark, sf_dir):
     """Synchronous label-propagation communities (operators/graph.py;
     3 fixed iterations, most-frequent-neighbor label, smallest-label
@@ -1294,5 +1328,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         dedup_minhash_sig, multimodal_resize, dedup_simhash, token_count,
         ann_lsh_bucketed, graph_lpa, sparql_union, sparql_construct,
         sparql_agg, sparql_minus, graph_bfs, sparql_text,
+        sparql_expressive,
     ]
 }

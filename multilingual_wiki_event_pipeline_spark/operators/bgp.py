@@ -382,11 +382,13 @@ def _compile_group(triples: DataFrame, group) -> tuple[DataFrame, set]:
 
 
 def bgp_match(triples: DataFrame,
-              patterns: list[tuple[str, str, str]] | str,
+              patterns: list[tuple[str, str, str]] | str | None = None,
               optional: list[list[tuple[str, str, str]] | str] | None = None,
               filters: list[str] | None = None,
               select: list[str] | None = None,
               values: dict[str, list] | None = None,
+              binds: list[tuple[str, str]] | None = None,
+              sub_selects: list[DataFrame] | None = None,
               minus: list | None = None,
               not_exists: list | None = None,
               group_by: list[str] | None = None,
@@ -420,6 +422,22 @@ def bgp_match(triples: DataFrame,
       the named variables (multi-variable dicts bind positionally: the
       lists are parallel rows). Must share at least one variable with the
       pattern solutions (a disjoint VALUES would be a cartesian product).
+    - ``binds``: SPARQL BIND — an ordered list of ``(name, expr)`` pairs,
+      each a Spark SQL expression over the variables bound so far (earlier
+      binds included), evaluated per solution with ``withColumn`` — a pure
+      projection, no shuffle. Applied after the group's joins and VALUES
+      and before negation/filters/aggregation, so FILTER / MINUS /
+      NOT EXISTS correlation / GROUP BY / SELECT / ORDER BY all see the
+      bound variable. Documented deviation from strict SPARQL sequencing:
+      triple patterns cannot join ON a BIND-introduced variable (binding
+      an already-in-scope name raises, per spec).
+    - ``sub_selects``: SPARQL subqueries — already-compiled solution
+      DataFrames (one column per projected variable, e.g. another
+      ``bgp_match`` result, typically aggregated), each natural-joined to
+      the enclosing group on the shared variables, greedy-connected like
+      the patterns themselves (a subquery sharing no variable with what's
+      bound so far would be a cartesian product and raises). A body may
+      be subqueries-only: the first subquery seeds the solution set.
     - ``minus`` / ``not_exists``: SPARQL negation, both compiled to a
       LEFT ANTI join on the variables shared with the solution set — the
       shuffle-free-when-broadcastable plan Spark was built for. The two
@@ -459,9 +477,29 @@ def bgp_match(triples: DataFrame,
     """
     if isinstance(patterns, str):
         patterns = parse_bgp(patterns)
-    if not patterns:
+    subs = list(sub_selects or [])
+    if patterns:
+        result, bound = _join_group(triples, patterns)
+    elif subs:
+        result = subs.pop(0)
+        bound = set(result.columns)
+    else:
         raise ValueError("empty basic graph pattern")
-    result, bound = _join_group(triples, patterns)
+    while subs:
+        pick = next(
+            (i for i, s in enumerate(subs) if bound & set(s.columns)), None
+        )
+        if pick is None:
+            left = [sorted(s.columns) for s in subs]
+            raise ValueError(
+                f"subqueries projecting {left!r} share no variable with "
+                f"{sorted(bound)} — a disconnected subquery would be a "
+                "cartesian product"
+            )
+        s = subs.pop(pick)
+        result = result.join(s, on=sorted(bound & set(s.columns)),
+                             how="inner")
+        bound |= set(s.columns)
     for group in optional or []:
         gdf, gvars = _compile_group(triples, group)
         shared = bound & gvars
@@ -492,6 +530,16 @@ def bgp_match(triples: DataFrame,
         vdf = result.sparkSession.createDataFrame(rows, vvars)
         result = result.join(F.broadcast(vdf), on=sorted(shared))
         bound |= set(vvars)
+    for name, expr in binds or []:
+        name = name.lstrip("?$")
+        if name in bound:
+            raise ValueError(
+                f"BIND would rebind in-scope variable ?{name} (SPARQL "
+                "requires a fresh variable; patterns cannot join on a "
+                "BIND-introduced variable here)"
+            )
+        result = result.withColumn(name, F.expr(expr))
+        bound.add(name)
     for kind, groups in (("minus", minus), ("not_exists", not_exists)):
         for group in groups or []:
             gdf, gvars = _compile_group(triples, group)
@@ -551,7 +599,7 @@ def bgp_match(triples: DataFrame,
 
 def bgp_construct(triples: DataFrame,
                   template: list[tuple[str, str, str]],
-                  patterns: list[tuple[str, str, str]] | str,
+                  patterns: list[tuple[str, str, str]] | str | None = None,
                   **match_kwargs) -> DataFrame:
     """SPARQL CONSTRUCT: instantiate ``template`` triples once per WHERE
     solution, returning a new ``(subj, pred, obj)`` graph.
@@ -601,7 +649,7 @@ def bgp_construct(triples: DataFrame,
 
 
 def bgp_ask(triples: DataFrame,
-            patterns: list[tuple[str, str, str]] | str,
+            patterns: list[tuple[str, str, str]] | str | None = None,
             **match_kwargs) -> bool:
     """SPARQL ASK: does at least one solution exist? Compiles the same
     plan as ``bgp_match`` and probes it with ``limit(1)`` — Spark stops

@@ -19,24 +19,42 @@ a user runs against a SPARQL endpoint runs against the K3 triple store.
 ``body`` supports triple patterns (with ``;`` predicate-object and ``,``
 object lists, ``a`` for rdf:type, prefixed names, property paths),
 ``OPTIONAL { ... }`` (FILTERs inside are group-scoped per SPARQL 1.1),
-``FILTER expr``, ``MINUS { ... }``, ``FILTER NOT EXISTS { ... }``,
-``VALUES``, and a top-level ``{ A } UNION { B }``.
+``FILTER expr``, ``BIND(expr AS ?v)``, ``{ SELECT ... }`` subqueries,
+``MINUS { ... }``, ``FILTER NOT EXISTS { ... }``, ``VALUES``, and a
+top-level ``{ A } UNION { B }``.
 
 Documented deviations (pragmatic subset, each raises or is noted):
 
-- FILTER/HAVING bodies are evaluated as **Spark SQL** after variable
-  translation (``?v`` → ``v``); the SPARQL forms ``&&``, ``||``, ``!``,
-  ``BOUND(?v)``, and ``REGEX(?v, "p")`` are rewritten, other SPARQL
-  builtins must be written as their Spark SQL equivalents.
+- FILTER/HAVING/BIND bodies are evaluated as **Spark SQL** after
+  variable translation (``?v`` → ``v``); the SPARQL forms ``&&``,
+  ``||``, ``!``, ``BOUND``, ``REGEX(term, pattern)``, ``STR`` (identity
+  — store terms are strings), ``STRSTARTS``/``STRENDS``/``STRLEN``/
+  ``UCASE``/``LCASE``/``SUBSTR``/``REPLACE`` are rewritten to their
+  Spark twins; ``CONTAINS``/``CONCAT``/``ABS``/``CEIL``/``FLOOR``/
+  ``ROUND``/``COALESCE``/``IF``/``IN`` share Spark's spelling already.
+  ``<...>`` IRIs and declared-prefix names in expressions become string
+  literals (the store's lexical form). RDF-term builtins the plain-
+  string store can't answer (LANG, DATATYPE, IRI(), isBlank, ...) raise
+  at parse time.
+- Aggregates: COUNT/SUM/MIN/MAX/AVG (incl. DISTINCT, ``*``) plus
+  ``GROUP_CONCAT(...; SEPARATOR="s")`` (rewritten to a sorted
+  ``collect_list`` join — deterministic order, a legal instantiation of
+  the spec's unspecified order) and ``SAMPLE`` (rewritten to ``min``,
+  a deterministic legal choice).
+- BIND is applied after the group's joins: FILTER / negation / GROUP
+  BY / SELECT / ORDER BY see the variable, but triple patterns cannot
+  join on it (rebinding an in-scope variable raises, per spec).
+- ``{ SELECT ... }`` subqueries join the enclosing group on their
+  shared variables (the enclosing PREFIXes apply); subqueries inside
+  UNION branches or OPTIONAL/MINUS groups raise.
 - Literal matching is on the plain lexical form: ``@lang`` tags and
   ``^^datatype`` suffixes on query literals are stripped (the store
   carries datatype/language in side columns the matcher doesn't consult).
 - Numeric literals compare as strings (the store's ``obj`` is a string
   column); quote-and-compare or FILTER with an explicit cast.
-- No BASE, no subqueries, no SERVICE/BIND/GRAPH, no EXISTS inside FILTER
-  expressions (NOT EXISTS as a standalone FILTER is supported), no
-  property paths in CONSTRUCT templates — all raise with a clear
-  message.
+- No BASE, no SERVICE/GRAPH, no EXISTS inside FILTER expressions
+  (NOT EXISTS as a standalone FILTER is supported), no property paths
+  in CONSTRUCT templates — all raise with a clear message.
 
 Scale notes (100 TB): parsing is driver-side and O(query length); the
 compiled plan is exactly what ``bgp_match`` builds — per-pattern filtered
@@ -61,7 +79,9 @@ from .bgp import (
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
-_AGG_RE = re.compile(r"\b(count|sum|min|max|avg)\s*\(", re.IGNORECASE)
+_AGG_RE = re.compile(
+    r"\b(count|sum|min|max|avg|group_concat|sample)\s*\(", re.IGNORECASE
+)
 _PNAME_RE = re.compile(r"([A-Za-z_][\w-]*):([A-Za-z_][\w.-]*)")
 
 
@@ -355,20 +375,68 @@ def _term(tok: str, prefixes: dict[str, str], *, pred: bool = False) -> str:
 
 
 _LITERAL_RE = re.compile(r""""(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*'""")
+# an expression-position <...> IRI needs a scheme colon, so comparison
+# chains like ?a<?b never false-positive (same heuristic as the comment
+# stripper's '<'-vs-IRI call)
+_EXPR_IRI_RE = re.compile(r"<([A-Za-z][\w+.-]*:[^<>\s]*)>")
+_EXPR_PNAME_RE = re.compile(r"(?<![\w?$<])([A-Za-z_][\w-]*)?:([A-Za-z_][\w.-]*)")
+# SPARQL builtins whose Spark SQL twin has a different name
+_FN_RENAME = {
+    "strstarts": "startswith", "strends": "endswith", "strlen": "length",
+    "ucase": "upper", "lcase": "lower", "substr": "substring",
+    "replace": "regexp_replace",
+}
+# RDF-term builtins the plain-string store can't answer — a clear
+# parse-time raise beats Spark's unresolved-function error
+_FN_UNSUPPORTED = (
+    "lang", "langmatches", "datatype", "isiri", "isuri", "isblank",
+    "isliteral", "isnumeric", "iri", "uri", "bnode", "strdt", "strlang",
+    "uuid", "struuid", "now", "rand", "sameterm", "encode_for_uri",
+    "exists",
+)
+
+
+def _sql_quote(s: str) -> str:
+    """A Spark-SQL single-quoted string literal (backslash escaping —
+    Spark's default parser honors ``\\``-escapes in literals)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
 def _translate_expr(expr: str, prefixes: dict[str, str]) -> str:
     """SPARQL expression -> Spark SQL (documented subset; see module
     docstring). String literals are masked out first so the rewrites
     never touch their contents (``"wow!"``, ``"a&&b"``, regex patterns
-    with ``?``/``{2,3}``/parens all pass through verbatim)."""
+    with ``?``/``{2,3}``/parens all pass through verbatim). ``<...>``
+    IRIs and declared-prefix names become quoted string literals (the
+    store compares on the plain lexical form), masked the same way."""
     lits: list[str] = []
 
-    def _mask(m: re.Match) -> str:
-        lits.append(m.group(0))
+    def _mask_raw(text: str) -> str:
+        lits.append(text)
         return f"\x00{len(lits) - 1}\x00"
 
+    def _mask(m: re.Match) -> str:
+        return _mask_raw(m.group(0))
+
+    def _mask_iri(m: re.Match) -> str:
+        return _mask_raw(_sql_quote(m.group(1)))
+
+    def _expand_expr_pname(m: re.Match) -> str:
+        pfx, local = m.group(1) or "", m.group(2)
+        if pfx not in prefixes:
+            raise SparqlSyntaxError(
+                f"unknown prefix in expression: {pfx}:{local}"
+            )
+        return _mask_raw(_sql_quote(prefixes[pfx] + local))
+
     expr = _LITERAL_RE.sub(_mask, expr)
+    expr = _EXPR_IRI_RE.sub(_mask_iri, expr)
+    expr = _EXPR_PNAME_RE.sub(_expand_expr_pname, expr)
+    if re.search(r"\x00\d+\x00\s*\(", expr):
+        raise SparqlSyntaxError(
+            "SPARQL constructor-cast form pfx:name(...) is not supported "
+            "— use CAST(expr AS type)"
+        )
     expr = re.sub(r"[?$]([A-Za-z_]\w*)", r"\1", expr)
     expr = expr.replace("&&", " AND ").replace("||", " OR ")
     expr = re.sub(
@@ -383,9 +451,53 @@ def _translate_expr(expr: str, prefixes: dict[str, str]) -> str:
             "unsupported REGEX call form — only REGEX(term, pattern) is "
             "rewritten; for flags, inline them in the pattern (e.g. (?i))"
         )
+    for name in _FN_UNSUPPORTED:
+        if re.search(rf"(?i)\b{name}\s*\(", expr):
+            raise SparqlSyntaxError(
+                f"SPARQL builtin {name.upper()}() is not supported — the "
+                "store matches on the plain lexical form (no RDF-term "
+                "metadata in expressions)"
+            )
+    for sparql_name, spark_name in _FN_RENAME.items():
+        expr = re.sub(rf"(?i)\b{sparql_name}\s*\(", f"{spark_name}(", expr)
+    expr = re.sub(r"(?i)\bstr\s*\(", "(", expr)  # store terms ARE strings
     expr = re.sub(r"!(?![=<>])", " NOT ", expr)
     expr = re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], expr)
     return expr.strip()
+
+
+_GROUP_CONCAT_RE = re.compile(
+    r"""(?is)^\s*group_concat\s*\(\s*(distinct\s+)?(.*?)
+        (?:\s*;\s*separator\s*=\s*("(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*'))?
+        \s*\)\s*$""",
+    re.VERBOSE,
+)
+_SAMPLE_RE = re.compile(r"(?is)^\s*sample\s*\(\s*(.*?)\s*\)\s*$")
+
+
+def _translate_agg(expr: str, prefixes: dict[str, str]) -> str:
+    """A SPARQL aggregate expression -> Spark SQL. COUNT/SUM/MIN/MAX/AVG
+    (incl. DISTINCT and ``*``) pass through ``_translate_expr``; the two
+    SPARQL-only forms are rewritten:
+
+    - ``GROUP_CONCAT(expr [; SEPARATOR="s"])`` -> ``array_join(
+      sort_array(collect_list(expr)), 's')`` (DISTINCT -> collect_set).
+      Documented deviation: SPARQL leaves concatenation order undefined;
+      this sorts, which makes the result deterministic (and therefore
+      oracle-checkable) — a legal instantiation of the spec.
+    - ``SAMPLE(expr)`` -> ``min(expr)`` (SAMPLE is any-value by spec;
+      min is a deterministic legal choice).
+    """
+    m = _GROUP_CONCAT_RE.match(expr)
+    if m:
+        collect = "collect_set" if m.group(1) else "collect_list"
+        inner = _translate_expr(m.group(2), prefixes)
+        sep = _sql_quote(_unescape(m.group(3)[1:-1])) if m.group(3) else "' '"
+        return f"array_join(sort_array({collect}({inner})), {sep})"
+    m = _SAMPLE_RE.match(expr)
+    if m:
+        return f"min({_translate_expr(m.group(1), prefixes)})"
+    return _translate_expr(expr, prefixes)
 
 
 def _read_filter_expr(scan: _Scan) -> str:
@@ -495,10 +607,15 @@ def _parse_group(body: str, prefixes: dict[str, str]):
             )
             if not scan.eof() and scan.peek_ch() == ".":
                 scan.read_token()
-        elif scan.peek_kw("OPTIONAL", "MINUS", "VALUES", "UNION"):
+        elif scan.peek_kw("OPTIONAL", "MINUS", "VALUES", "UNION", "BIND"):
             raise SparqlSyntaxError(
-                "nested OPTIONAL/MINUS/VALUES/UNION inside a group is "
-                "not supported"
+                "nested OPTIONAL/MINUS/VALUES/UNION/BIND inside a group "
+                "is not supported"
+            )
+        elif scan.peek_ch() == "{":
+            raise SparqlSyntaxError(
+                "group blocks / subqueries inside OPTIONAL/MINUS/NOT "
+                "EXISTS are not supported"
             )
         else:
             patterns.extend(_parse_clause(scan, prefixes))
@@ -516,20 +633,31 @@ def _parse_body(body: str, prefixes: dict[str, str]) -> dict:
     kwargs: dict = {"patterns": []}
     while not scan.eof():
         if scan.peek_ch() == "{":
+            block = scan.read_block()
+            if re.match(r"(?is)\s*SELECT\b", block):
+                # { SELECT ... } subquery: compiled to a solution
+                # DataFrame later (needs the store), joined on shared vars
+                kwargs.setdefault("subselect_texts", []).append(block)
+                continue
             # { A } UNION { B } [UNION { C }]... as the whole body
-            branches = [scan.read_block()]
+            branches = [block]
             while scan.take_kw("UNION"):
                 branches.append(scan.read_block())
             if len(branches) < 2 or kwargs["patterns"] or not scan.eof():
                 raise SparqlSyntaxError(
                     "group blocks are only supported as a top-level "
-                    "{ A } UNION { B } body"
+                    "{ A } UNION { B } body or a { SELECT ... } subquery"
                 )
             parsed = []
             for b in branches:
                 bk = _parse_body(b, prefixes)
                 if "union" in bk:
                     raise SparqlSyntaxError("nested UNION not supported")
+                if bk.get("subselect_texts"):
+                    raise SparqlSyntaxError(
+                        "subqueries inside UNION branches are not "
+                        "supported"
+                    )
                 if not bk.get("patterns"):
                     raise SparqlSyntaxError(
                         "each UNION branch needs at least one triple "
@@ -572,9 +700,21 @@ def _parse_body(body: str, prefixes: dict[str, str]) -> dict:
                 "the wikibase:label service; this store carries labels "
                 "as plain label triples, query them with a pattern"
             )
-        elif scan.peek_kw("BIND", "GRAPH"):
+        elif scan.take_kw("BIND"):
+            raw = scan.read_block("(", ")")
+            m = re.match(r"(?is)^(.*?)\s+AS\s+[?$](\w+)\s*$", raw)
+            if not m:
+                raise SparqlSyntaxError(
+                    f"BIND needs (expr AS ?name): {raw!r}"
+                )
+            kwargs.setdefault("binds", []).append(
+                (m.group(2), _translate_expr(m.group(1), prefixes))
+            )
+            if not scan.eof() and scan.peek_ch() == ".":
+                scan.read_token()
+        elif scan.peek_kw("GRAPH"):
             raise SparqlSyntaxError(
-                f"{scan.peek_kw('BIND', 'GRAPH')} is not supported"
+                "GRAPH is not supported (the store is a single graph)"
             )
         else:
             kwargs["patterns"].extend(_parse_clause(scan, prefixes))
@@ -582,10 +722,13 @@ def _parse_body(body: str, prefixes: dict[str, str]) -> dict:
 
 
 def _parse_projection(scan: _Scan, prefixes: dict[str, str]):
-    """SELECT projection list -> (select, aggregates). Stops at WHERE or
-    '{'."""
+    """SELECT projection list -> (select, aggregates, binds). Stops at
+    WHERE or '{'. ``(agg-expr AS ?name)`` terms become aggregates;
+    ``(plain-expr AS ?name)`` terms become per-solution binds (SPARQL
+    projection expressions), applied after the WHERE body's own BINDs."""
     select: list[str] = []
     aggregates: dict[str, str] = {}
+    binds: list[tuple[str, str]] = []
     star = False
     while True:
         if scan.peek_kw("WHERE") or scan.peek_ch() == "{":
@@ -602,12 +745,10 @@ def _parse_projection(scan: _Scan, prefixes: dict[str, str]):
                     f"projection expression needs (expr AS ?name): {raw!r}"
                 )
             expr, name = m.group(1), m.group(2)
-            if not _AGG_RE.search(expr):
-                raise SparqlSyntaxError(
-                    "only aggregate projection expressions are supported "
-                    f"in (expr AS ?name): {expr!r}"
-                )
-            aggregates[name] = _translate_expr(expr, prefixes)
+            if _AGG_RE.search(expr):
+                aggregates[name] = _translate_agg(expr, prefixes)
+            else:
+                binds.append((name, _translate_expr(expr, prefixes)))
             select.append(name)
             continue
         tok = scan.read_token()
@@ -615,12 +756,12 @@ def _parse_projection(scan: _Scan, prefixes: dict[str, str]):
             raise SparqlSyntaxError(f"bad projection term {tok!r}")
         select.append(tok.lstrip("?$"))
     if star:
-        if select or aggregates:
+        if select or aggregates or binds:
             raise SparqlSyntaxError("SELECT * cannot mix with named terms")
-        return None, {}
+        return None, {}, []
     if not select:
         raise SparqlSyntaxError("empty SELECT projection")
-    return select, aggregates
+    return select, aggregates, binds
 
 
 def _parse_modifiers(scan: _Scan, prefixes: dict[str, str]) -> dict:
@@ -677,11 +818,81 @@ def _parse_modifiers(scan: _Scan, prefixes: dict[str, str]) -> dict:
 
 
 def _require_patterns(where: dict) -> None:
-    if "union" not in where and not where.get("patterns"):
+    if "union" not in where and not where.get("patterns") \
+            and not where.get("subselect_texts"):
         raise SparqlSyntaxError(
-            "WHERE needs at least one required triple pattern "
-            "(VALUES-only or OPTIONAL-only bodies are not supported)"
+            "WHERE needs at least one required triple pattern or "
+            "subquery (VALUES-only or OPTIONAL-only bodies are not "
+            "supported)"
         )
+
+
+def _compile_where_kwargs(triples: DataFrame, where: dict,
+                          prefixes: dict[str, str]) -> dict:
+    """Drop empty keys and compile any ``{ SELECT ... }`` subquery texts
+    into solution DataFrames (``bgp_match``'s ``sub_selects``)."""
+    kwargs = {k: v for k, v in where.items() if v}
+    texts = kwargs.pop("subselect_texts", None)
+    if texts:
+        kwargs["sub_selects"] = [
+            _compile_subselect(triples, t, prefixes) for t in texts
+        ]
+    return kwargs
+
+
+def _compile_subselect(triples: DataFrame, text: str,
+                       prefixes: dict[str, str]) -> DataFrame:
+    """A ``{ SELECT ... }`` subquery body -> its solution DataFrame.
+    SPARQL's prologue is query-global, so the enclosing PREFIXes apply;
+    the subquery carries its own projection/aggregation/modifiers."""
+    scan = _Scan(text)
+    if not scan.take_kw("SELECT"):
+        raise SparqlSyntaxError("a subquery must be a SELECT")
+    return _run_select(triples, scan, prefixes)
+
+
+def _run_select(triples: DataFrame, scan: _Scan,
+                prefixes: dict[str, str]) -> DataFrame:
+    """The SELECT form, shared by top-level queries and subqueries (the
+    scan is positioned just past the SELECT keyword)."""
+    from pyspark.sql import functions as F
+
+    distinct = bool(scan.take_kw("DISTINCT"))
+    if scan.take_kw("REDUCED"):
+        distinct = True  # REDUCED permits dedup; DISTINCT delivers it
+    select, aggregates, proj_binds = _parse_projection(scan, prefixes)
+    scan.take_kw("WHERE")
+    where = _parse_body(scan.read_block(), prefixes)
+    _require_patterns(where)
+    mods = _parse_modifiers(scan, prefixes)
+    if "union" in where:
+        if aggregates or mods.get("group_by") or mods.get("having"):
+            raise SparqlSyntaxError(
+                "aggregation over UNION is not supported"
+            )
+        out = bgp_union(triples, where["union"])
+        for name, expr in proj_binds:
+            out = out.withColumn(name, F.expr(expr))
+        if select is not None:
+            out = out.select(*select)
+        if distinct:
+            out = out.distinct()
+        return _apply_order_limit(out, mods)
+    kwargs = _compile_where_kwargs(triples, where, prefixes)
+    if proj_binds:
+        if aggregates or mods.get("group_by"):
+            raise SparqlSyntaxError(
+                "non-aggregate projection expressions cannot mix with "
+                "aggregation — compute the aggregate in a { SELECT ... } "
+                "subquery and project over it in the outer query"
+            )
+        kwargs["binds"] = list(kwargs.get("binds", [])) + proj_binds
+    if aggregates:
+        kwargs["aggregates"] = aggregates
+    kwargs.update(mods)
+    return bgp_match(
+        triples, select=select, distinct=distinct, **kwargs
+    )
 
 
 def sparql_query(triples: DataFrame, text: str):
@@ -693,32 +904,7 @@ def sparql_query(triples: DataFrame, text: str):
     prefixes = _parse_prologue(scan)
 
     if scan.take_kw("SELECT"):
-        distinct = bool(scan.take_kw("DISTINCT"))
-        if scan.take_kw("REDUCED"):
-            distinct = True  # REDUCED permits dedup; DISTINCT delivers it
-        select, aggregates = _parse_projection(scan, prefixes)
-        scan.take_kw("WHERE")
-        where = _parse_body(scan.read_block(), prefixes)
-        _require_patterns(where)
-        mods = _parse_modifiers(scan, prefixes)
-        if "union" in where:
-            if aggregates or mods.get("group_by") or mods.get("having"):
-                raise SparqlSyntaxError(
-                    "aggregation over UNION is not supported"
-                )
-            out = bgp_union(triples, where["union"])
-            if select is not None:
-                out = out.select(*select)
-            if distinct:
-                out = out.distinct()
-            return _apply_order_limit(out, mods)
-        kwargs = {k: v for k, v in where.items() if v}
-        if aggregates:
-            kwargs["aggregates"] = aggregates
-        kwargs.update(mods)
-        return bgp_match(
-            triples, select=select, distinct=distinct, **kwargs
-        )
+        return _run_select(triples, scan, prefixes)
 
     if scan.take_kw("ASK"):
         scan.take_kw("WHERE")
@@ -733,7 +919,7 @@ def sparql_query(triples: DataFrame, text: str):
             return bool(
                 bgp_union(triples, where["union"]).limit(1).take(1)
             )
-        kwargs = {k: v for k, v in where.items() if v}
+        kwargs = _compile_where_kwargs(triples, where, prefixes)
         return bgp_ask(triples, **kwargs)
 
     if scan.take_kw("CONSTRUCT"):
@@ -747,7 +933,7 @@ def sparql_query(triples: DataFrame, text: str):
         mods = _parse_modifiers(scan, prefixes)
         if "union" in where:
             raise SparqlSyntaxError("CONSTRUCT over UNION is not supported")
-        kwargs = {k: v for k, v in where.items() if v}
+        kwargs = _compile_where_kwargs(triples, where, prefixes)
         kwargs.update(mods)
         # template predicates were <>-wrapped for path handling; emitted
         # triples carry the raw IRI like the store does

@@ -992,6 +992,33 @@ EXTRA_ORACLES: dict[str, str] = {
         JOIN tr p2 ON p2.pred = 'sem:hasActor' AND p2.subj = p1.subj
         WHERE p1.pred = 'rdfs:label' AND p1.obj = 'signup'
     """,
+    # expressive-SPARQL twin: the { SELECT ... } subquery is the sgn CTE,
+    # BIND is a projected expression, GROUP_CONCAT's sorted collect_list
+    # join is string_agg ORDER BY, SAMPLE's deterministic min is MIN
+    "sparql_expressive": f"""
+        WITH tr AS ({_TRIPLES_EVENTS_SQL}),
+        err AS (
+          SELECT p1.subj AS ev, p2.obj AS actor, p3.obj AS etime
+          FROM tr p1
+          JOIN tr p2 ON p2.pred = 'sem:hasActor' AND p2.subj = p1.subj
+          JOIN tr p3 ON p3.pred = 'sem:hasTimeStamp' AND p3.subj = p1.subj
+          WHERE p1.pred = 'rdfs:label' AND p1.obj = 'error'),
+        sgn AS (
+          SELECT p5.obj AS actor, CAST(COUNT(p4.subj) AS BIGINT) AS nsign
+          FROM tr p4
+          JOIN tr p5 ON p5.pred = 'sem:hasActor' AND p5.subj = p4.subj
+          WHERE p4.pred = 'rdfs:label' AND p4.obj = 'signup'
+          GROUP BY p5.obj),
+        sol AS (
+          SELECT e.actor, s.nsign, upper(e.actor) || '!' AS label,
+                 e.etime, e.ev
+          FROM err e JOIN sgn s USING (actor)
+          WHERE s.nsign >= 1 AND starts_with(e.actor, 'usr:'))
+        SELECT actor, nsign, label,
+               string_agg(etime, ',' ORDER BY etime) AS times,
+               MIN(ev) AS anyev
+        FROM sol GROUP BY actor, nsign, label
+    """,
     "dedup_minhash_sig": f"""
         WITH {_MINHASH_BANDS}
         SELECT doc_id, band, band_sig FROM bands

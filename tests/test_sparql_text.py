@@ -394,8 +394,113 @@ def test_reference_shaped_query(spark):
     ("SELECT ?x WHERE { OPTIONAL { OPTIONAL { ?x ?p ?o } } }", "nested"),
     ("DELETE WHERE { ?x ?p ?o }", "SELECT, ASK"),
     ("SELECT ?x WHERE { SERVICE <http://svc> { ?x ?p ?o } }", "SERVICE"),
-    ('SELECT ?x WHERE { ?x ?p ?o . BIND("c" AS ?y) }', "BIND"),
+    ("SELECT ?x WHERE { ?x ?p ?o . GRAPH <http://g> { ?x ?q ?r } }",
+     "GRAPH"),
+    ("SELECT ?x WHERE { ?x ?p ?o . FILTER(LANG(?o) = 'en') }", "LANG"),
+    ("SELECT ?x WHERE { ?x ?p ?o . FILTER(xsd:integer(?o) > 3) }",
+     "unknown prefix"),
+    ("SELECT ?x WHERE { { ?a ?p ?o } UNION { { SELECT ?a WHERE "
+     "{ ?a ?q ?r } } } }", "UNION branch"),
+    ('SELECT (?x AS ?y) (COUNT(*) AS ?n) WHERE { ?x ?p ?o }',
+     "cannot mix with aggregation"),
 ])
 def test_unsupported_forms_raise(store, text, msg):
     with pytest.raises(SparqlSyntaxError, match=msg):
         sparql_query(store, text)
+
+
+def test_bind_chained_with_builtins(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e ?shout WHERE {
+            ?e ex:label ?l .
+            BIND(UCASE(?l) AS ?u)
+            FILTER(STRSTARTS(?u, "BIG"))
+            BIND(CONCAT(?u, "!") AS ?shout)
+        }
+    """).collect()
+    assert [(r.e, r.shout) for r in out] == [("e1", "BIG BOOM!")]
+
+
+def test_projection_expression_non_aggregate(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?who (STRLEN(?who) AS ?n) WHERE { ?e ex:actor ?who }
+    """).collect()
+    assert sorted((r.who, r.n) for r in out) == [
+        ("alice", 5), ("bob", 3), ("carol", 5),
+    ]
+
+
+def test_filter_iri_and_pname_become_lexical(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e ?who WHERE {
+            ?e ?p ?who .
+            FILTER(?p = ex:actor && ?who != "bob")
+        }
+    """).collect()
+    assert sorted((r.e, r.who) for r in out) == [
+        ("e1", "alice"), ("e1", "carol"),
+    ]
+    # full <...> IRI form, same solutions
+    out2 = sparql_query(store, """
+        SELECT ?e ?who WHERE {
+            ?e ?p ?who .
+            FILTER(?p = <http://ex.org/actor> && ?who != "bob")
+        }
+    """).collect()
+    assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
+
+
+def test_group_concat_and_sample(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e (GROUP_CONCAT(?who; SEPARATOR=", ") AS ?names)
+                  (SAMPLE(?who) AS ?one)
+        WHERE { ?e ex:actor ?who } GROUP BY ?e ORDER BY ?e
+    """).collect()
+    assert [(r.e, r.names, r.one) for r in out] == [
+        ("e1", "alice, carol", "alice"), ("e2", "bob", "bob"),
+    ]
+
+
+def test_group_concat_default_separator_space(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT (GROUP_CONCAT(?who) AS ?names)
+        WHERE { <e1> ex:actor ?who }
+    """).collect()
+    assert [r.names for r in out] == ["alice carol"]
+
+
+def test_subquery_aggregate_joined_to_outer(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e ?lab ?n WHERE {
+            ?e ex:label ?lab .
+            { SELECT ?e (COUNT(?who) AS ?n)
+              WHERE { ?e ex:actor ?who } GROUP BY ?e }
+            FILTER(?n > 1)
+        }
+    """).collect()
+    assert [(r.e, r.lab, r.n) for r in out] == [("e1", "big boom", 2)]
+
+
+def test_subquery_only_body(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?n WHERE {
+            { SELECT ?e (COUNT(?who) AS ?n)
+              WHERE { ?e ex:actor ?who } GROUP BY ?e }
+        } ORDER BY ?n
+    """).collect()
+    assert [r.n for r in out] == [1, 2]
+
+
+def test_bind_rebind_in_scope_raises(store):
+    with pytest.raises(ValueError, match="rebind"):
+        sparql_query(store, """
+            PREFIX ex: <http://ex.org/>
+            SELECT ?l WHERE { ?e ex:label ?l . BIND("x" AS ?l) }
+        """)
