@@ -391,6 +391,7 @@ def bgp_match(triples: DataFrame,
               sub_selects: list[DataFrame] | None = None,
               minus: list | None = None,
               not_exists: list | None = None,
+              exists: list | None = None,
               group_by: list[str] | None = None,
               aggregates: dict[str, str] | None = None,
               having: list[str] | None = None,
@@ -453,6 +454,14 @@ def bgp_match(triples: DataFrame,
       correlated on optional-introduced variables keeps such rows here
       where SPARQL's NOT EXISTS may drop them. Correlate negation on
       required-pattern variables to stay clear of the corner.
+    - ``exists``: positive ``FILTER EXISTS`` groups — each compiled to a
+      LEFT SEMI join on the shared variables (the dual of
+      ``not_exists``): solutions survive iff the group matches, and are
+      never multiplied however many matches exist (the semantic
+      difference from simply joining the pattern in). An uncorrelated
+      group is an existence test: every solution survives iff the group
+      matches anything. Same NULL caveat as negation: a shared variable
+      NULL in a solution never matches in the semi join.
     - ``group_by`` / ``aggregates`` / ``having``: SPARQL aggregation —
       ``group_by`` lists grouping variables, ``aggregates`` maps output
       names to Spark SQL aggregate expressions over the variable columns
@@ -540,20 +549,24 @@ def bgp_match(triples: DataFrame,
             )
         result = result.withColumn(name, F.expr(expr))
         bound.add(name)
-    for kind, groups in (("minus", minus), ("not_exists", not_exists)):
+    for kind, groups in (("minus", minus), ("not_exists", not_exists),
+                         ("exists", exists)):
         for group in groups or []:
             gdf, gvars = _compile_group(triples, group)
             shared = bound & gvars
             if shared:
-                result = result.join(gdf, on=sorted(shared), how="left_anti")
-            elif kind == "not_exists":
-                # uncorrelated NOT EXISTS: keep all solutions iff the
-                # group is empty — a broadcast 1-row count, no collect
+                how = "left_semi" if kind == "exists" else "left_anti"
+                result = result.join(gdf, on=sorted(shared), how=how)
+            elif kind != "minus":
+                # uncorrelated [NOT] EXISTS: keep all solutions iff the
+                # group is [non]empty — a broadcast 1-row count, no
+                # collect
                 empty = F.broadcast(
                     gdf.limit(1).agg(F.count("*").alias("_n"))
                 )
+                want = 1 if kind == "exists" else 0
                 result = result.crossJoin(empty).filter(
-                    F.col("_n") == 0
+                    F.col("_n") == want
                 ).drop("_n")
             # MINUS with no shared variable removes nothing (spec):
             # disjoint-domain solutions are never compatible

@@ -20,7 +20,7 @@ a user runs against a SPARQL endpoint runs against the K3 triple store.
 object lists, ``a`` for rdf:type, prefixed names, property paths),
 ``OPTIONAL { ... }`` (FILTERs inside are group-scoped per SPARQL 1.1),
 ``FILTER expr``, ``BIND(expr AS ?v)``, ``{ SELECT ... }`` subqueries,
-``MINUS { ... }``, ``FILTER NOT EXISTS { ... }``, ``VALUES``, and a
+``MINUS { ... }``, ``FILTER [NOT] EXISTS { ... }``, ``VALUES``, and a
 top-level ``{ A } UNION { B }``.
 
 Documented deviations (pragmatic subset, each raises or is noted):
@@ -52,9 +52,11 @@ Documented deviations (pragmatic subset, each raises or is noted):
   carries datatype/language in side columns the matcher doesn't consult).
 - Numeric literals compare as strings (the store's ``obj`` is a string
   column); quote-and-compare or FILTER with an explicit cast.
-- No BASE, no SERVICE/GRAPH, no EXISTS inside FILTER expressions
-  (NOT EXISTS as a standalone FILTER is supported), no property paths
-  in CONSTRUCT templates — all raise with a clear message.
+- No BASE, no SERVICE/GRAPH, no EXISTS *inside* a larger FILTER
+  expression (both ``FILTER EXISTS { ... }`` and ``FILTER NOT EXISTS
+  { ... }`` as standalone constraints are supported — semi/anti joins),
+  no property paths in CONSTRUCT templates — all raise with a clear
+  message.
 
 Scale notes (100 TB): parsing is driver-side and O(query length); the
 compiled plan is exactly what ``bgp_match`` builds — per-pattern filtered
@@ -451,6 +453,12 @@ def _translate_expr(expr: str, prefixes: dict[str, str]) -> str:
             "unsupported REGEX call form — only REGEX(term, pattern) is "
             "rewritten; for flags, inline them in the pattern (e.g. (?i))"
         )
+    if re.search(r"(?i)\b(not\s+)?exists\s*\{", expr):
+        raise SparqlSyntaxError(
+            "EXISTS inside a larger FILTER expression is not supported — "
+            "write it as its own standalone FILTER [NOT] EXISTS { ... } "
+            "constraint (FILTERs in a group conjoin)"
+        )
     for name in _FN_UNSUPPORTED:
         if re.search(rf"(?i)\b{name}\s*\(", expr):
             raise SparqlSyntaxError(
@@ -680,9 +688,9 @@ def _parse_body(body: str, prefixes: dict[str, str]) -> dict:
                 kwargs.setdefault("not_exists", []).append(
                     _parse_group(scan.read_block(), prefixes)
                 )
-            elif scan.peek_kw("EXISTS"):
-                raise SparqlSyntaxError(
-                    "FILTER EXISTS is not supported (use a join pattern)"
+            elif scan.take_kw("EXISTS"):
+                kwargs.setdefault("exists", []).append(
+                    _parse_group(scan.read_block(), prefixes)
                 )
             else:
                 kwargs.setdefault("filters", []).append(

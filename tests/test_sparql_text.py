@@ -389,8 +389,6 @@ def test_reference_shaped_query(spark):
 
 @pytest.mark.parametrize("text, msg", [
     ("BASE <http://b/> SELECT ?x WHERE { ?x ?p ?o }", "BASE"),
-    ("SELECT ?x WHERE { ?x ?p ?o . FILTER EXISTS { ?x ?q ?r } }",
-     "FILTER EXISTS"),
     ("SELECT ?x WHERE { OPTIONAL { OPTIONAL { ?x ?p ?o } } }", "nested"),
     ("DELETE WHERE { ?x ?p ?o }", "SELECT, ASK"),
     ("SELECT ?x WHERE { SERVICE <http://svc> { ?x ?p ?o } }", "SERVICE"),
@@ -503,4 +501,68 @@ def test_bind_rebind_in_scope_raises(store):
         sparql_query(store, """
             PREFIX ex: <http://ex.org/>
             SELECT ?l WHERE { ?e ex:label ?l . BIND("x" AS ?l) }
+        """)
+
+
+def test_filter_exists_correlated(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?who WHERE {
+            ?e ex:actor ?who .
+            FILTER EXISTS { ?who ex:knows ?z }
+        }
+    """).collect()
+    assert sorted(r.who for r in out) == ["alice"]
+
+
+def test_filter_exists_never_multiplies(spark):
+    # the semantic difference from joining the pattern in: two knows
+    # edges still yield ONE solution for alice
+    rows = [
+        ("e1", EX + "actor", "alice"),
+        ("alice", EX + "knows", "bob"),
+        ("alice", EX + "knows", "carol"),
+    ]
+    st = spark.createDataFrame(
+        rows, "subj string, pred string, obj string"
+    )
+    out = sparql_query(st, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?who WHERE {
+            ?e ex:actor ?who .
+            FILTER EXISTS { ?who ex:knows ?z }
+        }
+    """).collect()
+    assert [r.who for r in out] == ["alice"]
+
+
+def test_filter_exists_uncorrelated(store):
+    # nonempty uncorrelated group keeps every solution
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?who WHERE {
+            ?e ex:actor ?who .
+            FILTER EXISTS { ?s ex:sub ?t }
+        }
+    """).collect()
+    assert sorted(r.who for r in out) == ["alice", "bob", "carol"]
+    # empty uncorrelated group drops every solution
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?who WHERE {
+            ?e ex:actor ?who .
+            FILTER EXISTS { ?s ex:nosuch ?t }
+        }
+    """).collect()
+    assert out == []
+
+
+def test_exists_inside_expression_raises(store):
+    with pytest.raises(SparqlSyntaxError, match="standalone"):
+        sparql_query(store, """
+            PREFIX ex: <http://ex.org/>
+            SELECT ?who WHERE {
+                ?e ex:actor ?who .
+                FILTER(?who != "bob" && EXISTS { ?who ex:knows ?z })
+            }
         """)
