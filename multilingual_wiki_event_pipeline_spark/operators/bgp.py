@@ -436,9 +436,16 @@ def bgp_match(triples: DataFrame,
       DataFrames (one column per projected variable, e.g. another
       ``bgp_match`` result, typically aggregated), each natural-joined to
       the enclosing group on the shared variables, greedy-connected like
-      the patterns themselves (a subquery sharing no variable with what's
-      bound so far would be a cartesian product and raises). A body may
-      be subqueries-only: the first subquery seeds the solution set.
+      the patterns themselves (a subquery sharing no variable with
+      anything bound — including OPTIONAL-introduced variables — would
+      be a cartesian product and raises). A body may be subqueries-only:
+      the first subquery seeds the solution set. Documented deviation
+      from SPARQL's in-text-order evaluation: subqueries that connect to
+      required-pattern variables join BEFORE the OPTIONAL groups
+      (equivalent to writing them first); a subquery correlated only on
+      OPTIONAL-introduced variables joins after them (inner join, so
+      optional-miss NULL rows drop — SPARQL's own result when the
+      subquery follows the OPTIONAL in text).
     - ``minus`` / ``not_exists``: SPARQL negation, both compiled to a
       LEFT ANTI join on the variables shared with the solution set — the
       shuffle-free-when-broadcastable plan Spark was built for. The two
@@ -494,21 +501,24 @@ def bgp_match(triples: DataFrame,
         bound = set(result.columns)
     else:
         raise ValueError("empty basic graph pattern")
-    while subs:
-        pick = next(
-            (i for i, s in enumerate(subs) if bound & set(s.columns)), None
-        )
-        if pick is None:
-            left = [sorted(s.columns) for s in subs]
-            raise ValueError(
-                f"subqueries projecting {left!r} share no variable with "
-                f"{sorted(bound)} — a disconnected subquery would be a "
-                "cartesian product"
+    def _connect_subs(result, bound):
+        # greedy-connect every subquery that shares a variable with the
+        # solution set; leave the rest for a later pass (they may only
+        # connect through OPTIONAL-introduced variables)
+        while subs:
+            pick = next(
+                (i for i, s in enumerate(subs) if bound & set(s.columns)),
+                None,
             )
-        s = subs.pop(pick)
-        result = result.join(s, on=sorted(bound & set(s.columns)),
-                             how="inner")
-        bound |= set(s.columns)
+            if pick is None:
+                return result, bound
+            s = subs.pop(pick)
+            result = result.join(s, on=sorted(bound & set(s.columns)),
+                                 how="inner")
+            bound |= set(s.columns)
+        return result, bound
+
+    result, bound = _connect_subs(result, bound)
     for group in optional or []:
         gdf, gvars = _compile_group(triples, group)
         shared = bound & gvars
@@ -520,6 +530,17 @@ def bgp_match(triples: DataFrame,
             )
         result = result.join(gdf, on=sorted(shared), how="left")
         bound |= gvars
+    # second pass: subqueries that connect only through
+    # OPTIONAL-introduced variables join here (inner join — an
+    # optional-miss NULL never matches, so such rows drop)
+    result, bound = _connect_subs(result, bound)
+    if subs:
+        left = [sorted(s.columns) for s in subs]
+        raise ValueError(
+            f"subqueries projecting {left!r} share no variable with "
+            f"{sorted(bound)} — a disconnected subquery would be a "
+            "cartesian product"
+        )
     if values:
         vvars = [v.lstrip("?") for v in values]
         shared = bound & set(vvars)

@@ -646,15 +646,25 @@ def _parse_body(body: str, prefixes: dict[str, str]) -> dict:
                 # { SELECT ... } subquery: compiled to a solution
                 # DataFrame later (needs the store), joined on shared vars
                 kwargs.setdefault("subselect_texts", []).append(block)
+                # optional trailing '.' per the grammar
+                # (GraphPatternNotTriples '.'?)
+                if not scan.eof() and scan.peek_ch() == ".":
+                    scan.read_token()
                 continue
-            # { A } UNION { B } [UNION { C }]... as the whole body
+            # { A } UNION { B } [UNION { C }]... as the whole body:
+            # anything already accumulated (patterns, FILTER, BIND,
+            # VALUES, subqueries, negation) would be silently dropped by
+            # the {"union": ...} marker — reject it all, not just
+            # patterns
             branches = [block]
             while scan.take_kw("UNION"):
                 branches.append(scan.read_block())
-            if len(branches) < 2 or kwargs["patterns"] or not scan.eof():
+            accumulated = any(v for v in kwargs.values())
+            if len(branches) < 2 or accumulated or not scan.eof():
                 raise SparqlSyntaxError(
                     "group blocks are only supported as a top-level "
-                    "{ A } UNION { B } body or a { SELECT ... } subquery"
+                    "{ A } UNION { B } body (nothing before or after "
+                    "the UNION) or a { SELECT ... } subquery"
                 )
             parsed = []
             for b in branches:
@@ -753,7 +763,11 @@ def _parse_projection(scan: _Scan, prefixes: dict[str, str]):
                     f"projection expression needs (expr AS ?name): {raw!r}"
                 )
             expr, name = m.group(1), m.group(2)
-            if _AGG_RE.search(expr):
+            # mask string literals before the aggregate test so
+            # aggregate-looking text inside a quoted literal (e.g.
+            # CONCAT(?x, " min(y)")) doesn't misroute a plain
+            # projection expression into the aggregate path
+            if _AGG_RE.search(_LITERAL_RE.sub('""', expr)):
                 aggregates[name] = _translate_agg(expr, prefixes)
             else:
                 binds.append((name, _translate_expr(expr, prefixes)))
@@ -880,6 +894,11 @@ def _run_select(triples: DataFrame, scan: _Scan,
             )
         out = bgp_union(triples, where["union"])
         for name, expr in proj_binds:
+            if name in out.columns:
+                raise ValueError(
+                    f"projection expression would rebind in-scope "
+                    f"variable ?{name} (SPARQL requires a fresh variable)"
+                )
             out = out.withColumn(name, F.expr(expr))
         if select is not None:
             out = out.select(*select)

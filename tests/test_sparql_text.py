@@ -566,3 +566,72 @@ def test_exists_inside_expression_raises(store):
                 FILTER(?who != "bob" && EXISTS { ?who ex:knows ?z })
             }
         """)
+
+
+def test_filter_before_union_raises(store):
+    # anything accumulated before a top-level UNION would be silently
+    # dropped by the union marker — must raise instead
+    with pytest.raises(SparqlSyntaxError, match="nothing before"):
+        sparql_query(store, """
+            PREFIX ex: <http://ex.org/>
+            SELECT ?who WHERE {
+                FILTER(?who != "bob")
+                { ?e ex:actor ?who } UNION { ?a ex:knows ?who }
+            }
+        """)
+    with pytest.raises(SparqlSyntaxError, match="nothing before"):
+        sparql_query(store, """
+            PREFIX ex: <http://ex.org/>
+            SELECT ?who WHERE {
+                { SELECT ?who WHERE { ?x ex:knows ?who } }
+                { ?e ex:actor ?who } UNION { ?a ex:knows ?who }
+            }
+        """)
+
+
+def test_subquery_correlated_on_optional_variable(store):
+    # connects only through the OPTIONAL-introduced ?who: joins after
+    # the OPTIONAL (inner join — optional-miss NULL rows drop)
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e ?lab ?who WHERE {
+            ?e ex:label ?lab .
+            OPTIONAL { ?e ex:actor ?who }
+            { SELECT ?who WHERE { ?x ex:knows ?who } }
+        }
+    """).collect()
+    assert [(r.e, r.lab, r.who) for r in out] == [("e2", "quiet", "bob")]
+
+
+def test_projection_expr_with_aggregate_looking_literal(store):
+    # "min(x)" inside a string literal must not route the expression
+    # into the aggregate path
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT (CONCAT(?who, " min(x)") AS ?y)
+        WHERE { ?e ex:actor ?who }
+    """).collect()
+    assert sorted(r.y for r in out) == [
+        "alice min(x)", "bob min(x)", "carol min(x)",
+    ]
+
+
+def test_union_projection_rebind_raises(store):
+    with pytest.raises(ValueError, match="rebind"):
+        sparql_query(store, """
+            PREFIX ex: <http://ex.org/>
+            SELECT ?who (UCASE(?who) AS ?who) WHERE {
+                { ?e ex:actor ?who } UNION { ?a ex:knows ?who }
+            }
+        """)
+
+
+def test_trailing_dot_after_subquery_block(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e ?who WHERE {
+            { SELECT ?who WHERE { ?x ex:knows ?who } } .
+            ?e ex:actor ?who
+        }
+    """).collect()
+    assert [(r.e, r.who) for r in out] == [("e2", "bob")]
