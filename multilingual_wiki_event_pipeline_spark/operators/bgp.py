@@ -364,13 +364,19 @@ def _join_group(triples: DataFrame,
     return result, bound
 
 
-def _compile_group(triples: DataFrame, group) -> tuple[DataFrame, set]:
-    """Normalize one OPTIONAL/MINUS/NOT-EXISTS group spec — a pattern
-    list, a BGP string, or ``{"patterns": ..., "filters": [...]}`` with
-    group-scoped filters applied before the enclosing join — to its
-    compiled (DataFrame, variable set)."""
+def _compile_group(triples: DataFrame, group) -> tuple[DataFrame, set, set]:
+    """Normalize one OPTIONAL/MINUS/[NOT-]EXISTS group spec — a pattern
+    list, a BGP string, ``{"patterns": ..., "filters": [...]}`` with
+    group-scoped filters applied before the enclosing join, or a full
+    ``bgp_match`` kwargs dict (nested groups/UNION/BIND/VALUES/negation
+    compile recursively) — to its compiled (DataFrame, variable set,
+    certainly-bound variable set)."""
     gfilters: list[str] = []
     if isinstance(group, dict):
+        if set(group) - {"patterns", "filters"}:
+            kwargs = dict(group)
+            gdf = bgp_match(triples, **kwargs)
+            return gdf, set(gdf.columns), _certain_vars(kwargs, gdf.columns)
         gfilters = list(group.get("filters", []))
         group = group["patterns"]
     if isinstance(group, str):
@@ -378,7 +384,81 @@ def _compile_group(triples: DataFrame, group) -> tuple[DataFrame, set]:
     gdf, gvars = _join_group(triples, group)
     for pred in gfilters:
         gdf = gdf.filter(F.expr(pred))
-    return gdf, gvars
+    return gdf, gvars, gvars
+
+
+def _certain_vars(kwargs: dict, cols) -> set:
+    """The variables a ``bgp_match`` branch binds in EVERY solution —
+    i.e. everything except variables that can come back null/unbound
+    (OPTIONAL-introduced vars, BIND results, non-grouping aggregate
+    outputs). Conservative by construction: used to decide whether an
+    equi-join on a shared variable is faithful to SPARQL's
+    compatible-join (an unbound variable is compatible with anything;
+    a SQL NULL join key matches nothing)."""
+    req: set = set()
+    pats = kwargs.get("patterns") or []
+    if isinstance(pats, str):
+        pats = parse_bgp(pats)
+    for t in pats:
+        req |= {x.lstrip("?") for x in t if is_var(x)}
+    for v in kwargs.get("values") or {}:
+        req.add(v.lstrip("?$"))
+    for ug in kwargs.get("union_groups") or []:
+        ug_certain = None
+        for b in ug:
+            bk = dict(b) if isinstance(b, dict) else {"patterns": b}
+            bc = _certain_vars(bk, None)
+            ug_certain = bc if ug_certain is None else (ug_certain & bc)
+        req |= ug_certain or set()
+    for s in kwargs.get("sub_selects") or []:
+        # a subquery's projection is treated as fully bound (documented:
+        # one projecting an OPTIONAL-introduced var may still carry nulls)
+        req |= set(s.columns)
+    if kwargs.get("aggregates") or kwargs.get("group_by"):
+        gvars = {g.lstrip("?") for g in kwargs.get("group_by") or []}
+        req &= gvars  # aggregate outputs can be null (e.g. max of nulls)
+    if cols is not None:
+        req &= set(cols)
+    return req
+
+
+def _check_certain_join(shared: set, certain: set) -> None:
+    """Refuse an equi-join on variables the group side can leave
+    unbound (null): SPARQL's compatible-join treats unbound as matching
+    anything, SQL NULL keys match nothing — silently wrong rows."""
+    uncertain = shared - certain
+    if uncertain:
+        raise ValueError(
+            f"join variables {sorted(uncertain)} are shared with the "
+            "enclosing group but not bound in every UNION branch / "
+            "group solution — an equi-join would drop solutions "
+            "SPARQL's compatible-join keeps (unbound is compatible "
+            "with anything); distribute the joining pattern into each "
+            "branch instead"
+        )
+
+
+def _compile_union_group(triples: DataFrame,
+                         branches: list) -> tuple[DataFrame, set]:
+    """Compile an inline ``{ A } UNION { B }`` group (or a bare
+    ``{ ... }`` group — a 1-element list) to its solution DataFrame plus
+    the set of variables bound in EVERY branch solution. Spark shape:
+    each branch is its own ``bgp_match`` plan, concatenated by
+    ``unionByName`` with null for variables a branch doesn't bind — no
+    shuffle of its own."""
+    if not branches:
+        raise ValueError("empty UNION group")
+    dfs, certain = [], None
+    for g in branches:
+        kwargs = dict(g) if isinstance(g, dict) else {"patterns": g}
+        d = bgp_match(triples, **kwargs)
+        dfs.append(d)
+        c = _certain_vars(kwargs, d.columns)
+        certain = c if certain is None else (certain & c)
+    out = dfs[0]
+    for b in dfs[1:]:
+        out = out.unionByName(b, allowMissingColumns=True)
+    return out.select(*sorted(out.columns)), certain
 
 
 def bgp_match(triples: DataFrame,
@@ -389,6 +469,7 @@ def bgp_match(triples: DataFrame,
               values: dict[str, list] | None = None,
               binds: list[tuple[str, str]] | None = None,
               sub_selects: list[DataFrame] | None = None,
+              union_groups: list[list] | None = None,
               minus: list | None = None,
               not_exists: list | None = None,
               exists: list | None = None,
@@ -446,6 +527,21 @@ def bgp_match(triples: DataFrame,
       OPTIONAL-introduced variables joins after them (inner join, so
       optional-miss NULL rows drop — SPARQL's own result when the
       subquery follows the OPTIONAL in text).
+    - ``union_groups``: inline SPARQL group patterns — each element is a
+      LIST of branch specs (each a BGP or a ``bgp_match`` kwargs dict,
+      recursively), compiled to one solution frame per
+      ``_compile_union_group`` and joined to the enclosing solutions on
+      the shared variables exactly like a subquery (same greedy
+      two-pass connect, same disconnected-group rejection). A 1-element
+      list is a bare ``{ ... }`` group (its FILTERs scoped inside, per
+      SPARQL); 2+ elements are ``{ A } UNION { B }`` branches. A body
+      may be union-groups-only: the first one seeds the solution set.
+      Soundness guard instead of a silent deviation: if a shared join
+      variable is not bound in EVERY branch (or is OPTIONAL-introduced /
+      an aggregate output inside a branch), the equi-join would drop
+      solutions SPARQL's compatible-join keeps (unbound matches
+      anything, SQL NULL matches nothing) — that case raises with a
+      rewrite hint rather than returning wrong rows.
     - ``minus`` / ``not_exists``: SPARQL negation, both compiled to a
       LEFT ANTI join on the variables shared with the solution set — the
       shuffle-free-when-broadcastable plan Spark was built for. The two
@@ -493,34 +589,41 @@ def bgp_match(triples: DataFrame,
     """
     if isinstance(patterns, str):
         patterns = parse_bgp(patterns)
-    subs = list(sub_selects or [])
+    # solution frames to greedy-connect: subqueries (every projected
+    # column treated as certainly bound) and inline union/group blocks
+    # (certain = vars bound in every branch)
+    subs = [(s, set(s.columns)) for s in (sub_selects or [])]
+    subs += [_compile_union_group(triples, g) for g in (union_groups or [])]
     if patterns:
         result, bound = _join_group(triples, patterns)
     elif subs:
-        result = subs.pop(0)
+        result, _ = subs.pop(0)
         bound = set(result.columns)
     else:
         raise ValueError("empty basic graph pattern")
     def _connect_subs(result, bound):
-        # greedy-connect every subquery that shares a variable with the
-        # solution set; leave the rest for a later pass (they may only
-        # connect through OPTIONAL-introduced variables)
+        # greedy-connect every subquery/group frame that shares a
+        # variable with the solution set; leave the rest for a later
+        # pass (they may only connect through OPTIONAL-introduced
+        # variables)
         while subs:
             pick = next(
-                (i for i, s in enumerate(subs) if bound & set(s.columns)),
+                (i for i, (s, _) in enumerate(subs)
+                 if bound & set(s.columns)),
                 None,
             )
             if pick is None:
                 return result, bound
-            s = subs.pop(pick)
-            result = result.join(s, on=sorted(bound & set(s.columns)),
-                                 how="inner")
+            s, certain = subs.pop(pick)
+            shared = bound & set(s.columns)
+            _check_certain_join(shared, certain)
+            result = result.join(s, on=sorted(shared), how="inner")
             bound |= set(s.columns)
         return result, bound
 
     result, bound = _connect_subs(result, bound)
     for group in optional or []:
-        gdf, gvars = _compile_group(triples, group)
+        gdf, gvars, certain = _compile_group(triples, group)
         shared = bound & gvars
         if not shared:
             raise ValueError(
@@ -528,6 +631,7 @@ def bgp_match(triples: DataFrame,
                 f"{sorted(bound)} — a disconnected OPTIONAL would be a "
                 "cartesian product"
             )
+        _check_certain_join(shared, certain)
         result = result.join(gdf, on=sorted(shared), how="left")
         bound |= gvars
     # second pass: subqueries that connect only through
@@ -535,11 +639,11 @@ def bgp_match(triples: DataFrame,
     # optional-miss NULL never matches, so such rows drop)
     result, bound = _connect_subs(result, bound)
     if subs:
-        left = [sorted(s.columns) for s in subs]
+        left = [sorted(s.columns) for s, _ in subs]
         raise ValueError(
-            f"subqueries projecting {left!r} share no variable with "
-            f"{sorted(bound)} — a disconnected subquery would be a "
-            "cartesian product"
+            f"subqueries/UNION groups projecting {left!r} share no "
+            f"variable with {sorted(bound)} — a disconnected group "
+            "would be a cartesian product"
         )
     if values:
         vvars = [v.lstrip("?") for v in values]
@@ -573,9 +677,10 @@ def bgp_match(triples: DataFrame,
     for kind, groups in (("minus", minus), ("not_exists", not_exists),
                          ("exists", exists)):
         for group in groups or []:
-            gdf, gvars = _compile_group(triples, group)
+            gdf, gvars, certain = _compile_group(triples, group)
             shared = bound & gvars
             if shared:
+                _check_certain_join(shared, certain)
                 how = "left_semi" if kind == "exists" else "left_anti"
                 result = result.join(gdf, on=sorted(shared), how=how)
             elif kind != "minus":

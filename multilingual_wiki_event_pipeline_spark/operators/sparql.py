@@ -20,8 +20,15 @@ a user runs against a SPARQL endpoint runs against the K3 triple store.
 object lists, ``a`` for rdf:type, prefixed names, property paths),
 ``OPTIONAL { ... }`` (FILTERs inside are group-scoped per SPARQL 1.1),
 ``FILTER expr``, ``BIND(expr AS ?v)``, ``{ SELECT ... }`` subqueries,
-``MINUS { ... }``, ``FILTER [NOT] EXISTS { ... }``, ``VALUES``, and a
-top-level ``{ A } UNION { B }``.
+``MINUS { ... }``, ``FILTER [NOT] EXISTS { ... }``, ``VALUES``, and
+group graph patterns ``{ ... }`` / ``{ A } UNION { B } [UNION ...]``
+anywhere in the body — a group compiles to its own solution frame
+(FILTERs inside are group-scoped) and joins the enclosing solutions on
+the shared variables, so unions compose with other patterns, with
+aggregation, and inside CONSTRUCT/ASK. Soundness guard: a join variable
+not bound in EVERY union branch raises (an equi-join would drop
+solutions SPARQL's compatible-join keeps) instead of silently returning
+wrong rows.
 
 Documented deviations (pragmatic subset, each raises or is noted):
 
@@ -76,7 +83,6 @@ from .bgp import (
     bgp_construct,
     bgp_describe,
     bgp_match,
-    bgp_union,
 )
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -600,43 +606,64 @@ def _parse_values(scan: _Scan, prefixes: dict[str, str]
 
 
 def _parse_group(body: str, prefixes: dict[str, str]):
-    """An OPTIONAL/MINUS/NOT-EXISTS group body: patterns + group-scoped
-    FILTERs only (nested groups raise)."""
-    scan = _Scan(body)
-    patterns, filters = [], []
-    while not scan.eof():
-        if scan.take_kw("FILTER"):
-            if scan.peek_kw("NOT", "EXISTS"):
-                raise SparqlSyntaxError(
-                    "FILTER [NOT] EXISTS inside a group is not supported"
-                )
-            filters.append(
-                _translate_expr(_read_filter_expr(scan), prefixes)
-            )
-            if not scan.eof() and scan.peek_ch() == ".":
-                scan.read_token()
-        elif scan.peek_kw("OPTIONAL", "MINUS", "VALUES", "UNION", "BIND"):
+    """An OPTIONAL/MINUS/[NOT] EXISTS group body: a full group graph
+    pattern — triple patterns, group-scoped FILTERs, nested groups and
+    UNION, BIND, VALUES, nested OPTIONAL/MINUS/EXISTS — compiled
+    recursively through ``bgp_match``. Subqueries inside raise. The
+    group needs a required part: a body of only nested OPTIONALs /
+    FILTERs has an empty required solution set, which this engine
+    rejects."""
+    bk = _parse_body(body, prefixes)
+    if bk.get("subselect_texts"):
+        raise SparqlSyntaxError(
+            "subqueries inside OPTIONAL/MINUS/EXISTS groups are not "
+            "supported — hoist the { SELECT ... } to the enclosing group"
+        )
+    bk = {k: v for k, v in bk.items() if v}
+    if not bk.get("patterns") and not bk.get("union_groups"):
+        raise SparqlSyntaxError(
+            "group needs a required triple pattern (a group of only "
+            "nested OPTIONAL/FILTER has an empty required part)"
+        )
+    if set(bk) == {"patterns"}:
+        return bk["patterns"]
+    return bk
+
+
+def _parse_union_branches(branches: list[str],
+                          prefixes: dict[str, str]) -> list[dict]:
+    """Parse ``{ ... }`` branch texts into ``bgp_match`` branch kwarg
+    dicts. A branch that is itself exactly ``{ A } UNION { B }`` is
+    flattened (UNION is associative); a branch containing a union
+    alongside other clauses keeps it nested as its own
+    ``union_groups`` entry (``bgp_match`` recurses)."""
+    parsed: list[dict] = []
+    for b in branches:
+        bk = _parse_body(b, prefixes)
+        if bk.get("subselect_texts"):
             raise SparqlSyntaxError(
-                "nested OPTIONAL/MINUS/VALUES/UNION/BIND inside a group "
-                "is not supported"
+                "subqueries are not supported inside a UNION branch / "
+                "group block — hoist the { SELECT ... } to the "
+                "enclosing group"
             )
-        elif scan.peek_ch() == "{":
+        bk = {k: v for k, v in bk.items() if v}
+        if set(bk) == {"union_groups"} and len(bk["union_groups"]) == 1:
+            parsed.extend(bk["union_groups"][0])  # pure nested union
+            continue
+        if not bk.get("patterns") and not bk.get("union_groups"):
             raise SparqlSyntaxError(
-                "group blocks / subqueries inside OPTIONAL/MINUS/NOT "
-                "EXISTS are not supported"
+                "each UNION branch / group block needs at least one "
+                "triple pattern"
             )
-        else:
-            patterns.extend(_parse_clause(scan, prefixes))
-    if not patterns:
-        raise SparqlSyntaxError("empty group pattern")
-    if filters:
-        return {"patterns": patterns, "filters": filters}
-    return patterns
+        parsed.append(bk)
+    return parsed
 
 
 def _parse_body(body: str, prefixes: dict[str, str]) -> dict:
-    """A WHERE body -> bgp_match keyword arguments (or a ``{"union":
-    [...]}`` marker when the body is a top-level UNION)."""
+    """A WHERE body -> bgp_match keyword arguments. ``{ ... }`` blocks
+    become subquery texts ({ SELECT ... }) or inline union/group
+    entries (``union_groups``), composable with everything else in the
+    body — they join the enclosing solutions on shared variables."""
     scan = _Scan(body)
     kwargs: dict = {"patterns": []}
     while not scan.eof():
@@ -646,43 +673,20 @@ def _parse_body(body: str, prefixes: dict[str, str]) -> dict:
                 # { SELECT ... } subquery: compiled to a solution
                 # DataFrame later (needs the store), joined on shared vars
                 kwargs.setdefault("subselect_texts", []).append(block)
-                # optional trailing '.' per the grammar
-                # (GraphPatternNotTriples '.'?)
-                if not scan.eof() and scan.peek_ch() == ".":
-                    scan.read_token()
-                continue
-            # { A } UNION { B } [UNION { C }]... as the whole body:
-            # anything already accumulated (patterns, FILTER, BIND,
-            # VALUES, subqueries, negation) would be silently dropped by
-            # the {"union": ...} marker — reject it all, not just
-            # patterns
-            branches = [block]
-            while scan.take_kw("UNION"):
-                branches.append(scan.read_block())
-            accumulated = any(v for v in kwargs.values())
-            if len(branches) < 2 or accumulated or not scan.eof():
-                raise SparqlSyntaxError(
-                    "group blocks are only supported as a top-level "
-                    "{ A } UNION { B } body (nothing before or after "
-                    "the UNION) or a { SELECT ... } subquery"
+            else:
+                # { A } [UNION { B }]... anywhere in the body: compiled
+                # to one solution frame, joined on shared variables
+                branches = [block]
+                while scan.take_kw("UNION"):
+                    branches.append(scan.read_block())
+                kwargs.setdefault("union_groups", []).append(
+                    _parse_union_branches(branches, prefixes)
                 )
-            parsed = []
-            for b in branches:
-                bk = _parse_body(b, prefixes)
-                if "union" in bk:
-                    raise SparqlSyntaxError("nested UNION not supported")
-                if bk.get("subselect_texts"):
-                    raise SparqlSyntaxError(
-                        "subqueries inside UNION branches are not "
-                        "supported"
-                    )
-                if not bk.get("patterns"):
-                    raise SparqlSyntaxError(
-                        "each UNION branch needs at least one triple "
-                        "pattern"
-                    )
-                parsed.append({k: v for k, v in bk.items() if v})
-            return {"union": parsed}
+            # optional trailing '.' per the grammar
+            # (GraphPatternNotTriples '.'?)
+            if not scan.eof() and scan.peek_ch() == ".":
+                scan.read_token()
+            continue
         if scan.take_kw("OPTIONAL"):
             kwargs.setdefault("optional", []).append(
                 _parse_group(scan.read_block(), prefixes)
@@ -840,11 +844,11 @@ def _parse_modifiers(scan: _Scan, prefixes: dict[str, str]) -> dict:
 
 
 def _require_patterns(where: dict) -> None:
-    if "union" not in where and not where.get("patterns") \
-            and not where.get("subselect_texts"):
+    if not where.get("patterns") and not where.get("subselect_texts") \
+            and not where.get("union_groups"):
         raise SparqlSyntaxError(
-            "WHERE needs at least one required triple pattern or "
-            "subquery (VALUES-only or OPTIONAL-only bodies are not "
+            "WHERE needs at least one required triple pattern, group, "
+            "or subquery (VALUES-only or OPTIONAL-only bodies are not "
             "supported)"
         )
 
@@ -887,24 +891,6 @@ def _run_select(triples: DataFrame, scan: _Scan,
     where = _parse_body(scan.read_block(), prefixes)
     _require_patterns(where)
     mods = _parse_modifiers(scan, prefixes)
-    if "union" in where:
-        if aggregates or mods.get("group_by") or mods.get("having"):
-            raise SparqlSyntaxError(
-                "aggregation over UNION is not supported"
-            )
-        out = bgp_union(triples, where["union"])
-        for name, expr in proj_binds:
-            if name in out.columns:
-                raise ValueError(
-                    f"projection expression would rebind in-scope "
-                    f"variable ?{name} (SPARQL requires a fresh variable)"
-                )
-            out = out.withColumn(name, F.expr(expr))
-        if select is not None:
-            out = out.select(*select)
-        if distinct:
-            out = out.distinct()
-        return _apply_order_limit(out, mods)
     kwargs = _compile_where_kwargs(triples, where, prefixes)
     if proj_binds:
         if aggregates or mods.get("group_by"):
@@ -942,10 +928,6 @@ def sparql_query(triples: DataFrame, text: str):
                 f"unexpected text after ASK body: "
                 f"{scan.s[scan.i:scan.i + 40]!r}"
             )
-        if "union" in where:
-            return bool(
-                bgp_union(triples, where["union"]).limit(1).take(1)
-            )
         kwargs = _compile_where_kwargs(triples, where, prefixes)
         return bgp_ask(triples, **kwargs)
 
@@ -958,8 +940,6 @@ def sparql_query(triples: DataFrame, text: str):
         where = _parse_body(scan.read_block(), prefixes)
         _require_patterns(where)
         mods = _parse_modifiers(scan, prefixes)
-        if "union" in where:
-            raise SparqlSyntaxError("CONSTRUCT over UNION is not supported")
         kwargs = _compile_where_kwargs(triples, where, prefixes)
         kwargs.update(mods)
         # template predicates were <>-wrapped for path handling; emitted
@@ -986,25 +966,3 @@ def sparql_query(triples: DataFrame, text: str):
     raise SparqlSyntaxError(
         "query must be SELECT, ASK, CONSTRUCT, or DESCRIBE"
     )
-
-
-def _apply_order_limit(df: DataFrame, mods: dict) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    for key in ("group_by", "having"):
-        if mods.get(key):
-            raise SparqlSyntaxError(
-                "aggregation modifiers need a plain (non-UNION) body"
-            )
-    if mods.get("order_by"):
-        keys = []
-        for term in mods["order_by"]:
-            parts = term.split()
-            col = F.col(parts[0])
-            keys.append(col.desc() if len(parts) > 1 else col.asc())
-        df = df.orderBy(*keys)
-    if mods.get("offset") is not None:
-        df = df.offset(mods["offset"])
-    if mods.get("limit") is not None:
-        df = df.limit(mods["limit"])
-    return df

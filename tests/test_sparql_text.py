@@ -389,7 +389,8 @@ def test_reference_shaped_query(spark):
 
 @pytest.mark.parametrize("text, msg", [
     ("BASE <http://b/> SELECT ?x WHERE { ?x ?p ?o }", "BASE"),
-    ("SELECT ?x WHERE { OPTIONAL { OPTIONAL { ?x ?p ?o } } }", "nested"),
+    ("SELECT ?x WHERE { OPTIONAL { OPTIONAL { ?x ?p ?o } } }",
+     "required"),
     ("DELETE WHERE { ?x ?p ?o }", "SELECT, ASK"),
     ("SELECT ?x WHERE { SERVICE <http://svc> { ?x ?p ?o } }", "SERVICE"),
     ("SELECT ?x WHERE { ?x ?p ?o . GRAPH <http://g> { ?x ?q ?r } }",
@@ -568,25 +569,174 @@ def test_exists_inside_expression_raises(store):
         """)
 
 
-def test_filter_before_union_raises(store):
-    # anything accumulated before a top-level UNION would be silently
-    # dropped by the union marker — must raise instead
-    with pytest.raises(SparqlSyntaxError, match="nothing before"):
+def test_filter_composes_with_union(store):
+    # a FILTER elsewhere in the body applies to the union's solutions
+    # (group-level filter scope)
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?who WHERE {
+            FILTER(?who != "bob")
+            { ?e ex:actor ?who } UNION { ?a ex:knows ?who }
+        }
+    """).collect()
+    assert sorted(r.who for r in out) == ["alice", "carol"]
+
+
+def test_subquery_composes_with_union(store):
+    # the subquery's solutions (?who = bob) join the union frame on the
+    # all-branch-bound ?who
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?who WHERE {
+            { SELECT ?who WHERE { ?x ex:knows ?who } }
+            { ?e ex:actor ?who } UNION { ?a ex:knows ?who }
+        }
+    """).collect()
+    assert sorted(r.who for r in out) == ["bob", "bob"]
+
+
+def test_inline_union_joins_required_pattern(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e ?t ?lab WHERE {
+            { ?e a ?t } UNION { ?e ex:sub ?t } .
+            ?e ex:label ?lab
+        }
+    """).collect()
+    assert sorted((r.e, r.t, r.lab) for r in out) == [
+        ("e1", EX + "Event", "big boom"),
+        ("e2", EX + "Event", "quiet"),
+    ]
+
+
+def test_union_join_var_not_bound_in_every_branch_raises(store):
+    # joining the enclosing ?e against a union where only one branch
+    # binds ?e would silently drop SPARQL-compatible solutions
+    with pytest.raises(ValueError, match="not bound in every UNION"):
         sparql_query(store, """
             PREFIX ex: <http://ex.org/>
-            SELECT ?who WHERE {
-                FILTER(?who != "bob")
+            SELECT * WHERE {
+                ?e ex:label ?lab .
                 { ?e ex:actor ?who } UNION { ?a ex:knows ?who }
             }
-        """)
-    with pytest.raises(SparqlSyntaxError, match="nothing before"):
+        """).collect()
+
+
+def test_aggregation_over_union(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?who (COUNT(*) AS ?n) WHERE {
+            { ?e ex:actor ?who } UNION { ?who ex:knows ?b }
+        } GROUP BY ?who
+    """).collect()
+    assert sorted((r.who, r.n) for r in out) == [
+        ("alice", 2), ("bob", 1), ("carol", 1),
+    ]
+
+
+def test_bare_group_with_scoped_filter(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e ?lab WHERE {
+            ?e ex:label ?lab .
+            { ?e ex:actor ?who . FILTER(?who = "alice") }
+        }
+    """).collect()
+    assert [(r.e, r.lab) for r in out] == [("e1", "big boom")]
+
+
+def test_construct_over_union(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        CONSTRUCT { ?who ex:involvedIn ?e } WHERE {
+            { ?e ex:actor ?who } UNION { ?e ex:label ?who }
+        }
+    """).collect()
+    assert sorted((r.subj, r.obj) for r in out) == [
+        ("alice", "e1"), ("big boom", "e1"), ("bob", "e2"),
+        ("carol", "e1"), ("quiet", "e2"),
+    ]
+    assert {r.pred for r in out} == {EX + "involvedIn"}
+
+
+def test_ask_over_union(store):
+    assert sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        ASK { { ?x ex:knows ?y } UNION { ?x ex:sub ?y } }
+    """) is True
+    assert sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        ASK { { ?x ex:knows "nobody" } UNION { ?x ex:sub "t9" } }
+    """) is False
+
+
+def test_union_inside_optional(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e ?lab ?x WHERE {
+            ?e ex:label ?lab .
+            OPTIONAL {
+                { ?e ex:actor ?x . FILTER(?x != "bob") }
+                UNION { ?e ex:sub ?x }
+            }
+        }
+    """).collect()
+    assert sorted(((r.e, r.lab, r.x) for r in out),
+                  key=lambda t: (t[0], t[2] or "")) == [
+        ("e1", "big boom", "alice"),
+        ("e1", "big boom", "carol"),
+        ("e2", "quiet", None),
+    ]
+
+
+def test_nested_optional_inside_optional(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e ?who ?k WHERE {
+            ?e a ex:Event .
+            OPTIONAL { ?e ex:actor ?who OPTIONAL { ?who ex:knows ?k } }
+        }
+    """).collect()
+    assert sorted(((r.e, r.who, r.k) for r in out),
+                  key=lambda t: (t[0], t[1])) == [
+        ("e1", "alice", "bob"),
+        ("e1", "carol", None),
+        ("e2", "bob", None),
+    ]
+
+
+def test_union_inside_minus(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e WHERE {
+            ?e a ex:Event .
+            MINUS { { ?e ex:actor "alice" } UNION { ?e ex:actor "bob" } }
+        }
+    """).collect()
+    assert out == []
+
+
+def test_optional_union_partial_binding_raises(store):
+    with pytest.raises(ValueError, match="not bound in every UNION"):
         sparql_query(store, """
             PREFIX ex: <http://ex.org/>
-            SELECT ?who WHERE {
-                { SELECT ?who WHERE { ?x ex:knows ?who } }
-                { ?e ex:actor ?who } UNION { ?a ex:knows ?who }
+            SELECT * WHERE {
+                ?e ex:label ?lab .
+                OPTIONAL {
+                    { ?e ex:actor ?x } UNION { ?a ex:knows ?x }
+                }
             }
-        """)
+        """).collect()
+
+
+def test_nested_union_flattens(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e ?t WHERE {
+            { { ?e a ?t } UNION { ?e ex:sub ?t } } UNION { ?e ex:actor ?t }
+        }
+    """).collect()
+    assert len(out) == 7  # 2 type + 2 sub + 3 actor solutions
 
 
 def test_subquery_correlated_on_optional_variable(store):
