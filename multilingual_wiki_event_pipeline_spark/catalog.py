@@ -827,6 +827,24 @@ def token_count(spark, sf_dir):
     return text_analysis.token_counts(_t(spark, sf_dir, "documents"))
 
 
+# Fixed probe query for the bm25_rank entry — the oracle SQL is generated
+# from the SAME list, so term order (float-sum order) matches by
+# construction. Terms chosen for spread: 'spark' is mid-frequency,
+# 'window' high, 'merge' low in the synthetic vocabulary.
+BM25_QUERY = ["spark", "window", "merge"]
+
+
+def bm25_rank(spark, sf_dir):
+    """Okapi BM25 top-k retrieval over documents (LLM-curation ranked
+    keyword probe). Map-only tf via array expressions, one broadcast
+    stats row, TakeOrdered top-k — no explode, no per-term shuffle."""
+    from .operators import retrieval
+
+    return retrieval.bm25_topk(
+        _t(spark, sf_dir, "documents"), BM25_QUERY, k=20
+    )
+
+
 def fingerprint(spark, sf_dir):
     return text_analysis.fingerprint(_t(spark, sf_dir, "documents"))
 
@@ -1328,6 +1346,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         dedup_minhash_sig, multimodal_resize, dedup_simhash, token_count,
         ann_lsh_bucketed, graph_lpa, sparql_union, sparql_construct,
         sparql_agg, sparql_minus, graph_bfs, sparql_text,
-        sparql_expressive,
+        sparql_expressive, bm25_rank,
     ]
 }

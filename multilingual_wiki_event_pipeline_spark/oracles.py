@@ -1084,6 +1084,15 @@ EXTRA_ORACLES: dict[str, str] = {
 # oracle is sparql_bgp's verbatim
 EXTRA_ORACLES["sparql_text"] = ORACLES["sparql_bgp"]
 
+# BM25 top-k: the SQL twin is GENERATED from the same query-term list the
+# Spark entry uses, so idf/tf term order (and thus float-sum order)
+# matches by construction — only parallel-sum avgdl can differ, below the
+# 6-dp rounding.
+from .operators.retrieval import bm25_topk_sql as _bm25_sql  # noqa: E402
+from .catalog import BM25_QUERY as _BM25_QUERY  # noqa: E402
+
+EXTRA_ORACLES["bm25_rank"] = _bm25_sql(_BM25_QUERY, k=20)
+
 
 
 # --- flagship oracle: the full KG pipeline's full_triples ------------------
