@@ -401,8 +401,9 @@ def _certain_vars(kwargs: dict, cols) -> set:
         pats = parse_bgp(pats)
     for t in pats:
         req |= {x.lstrip("?") for x in t if is_var(x)}
-    for v in kwargs.get("values") or {}:
-        req.add(v.lstrip("?$"))
+    for v, col in (kwargs.get("values") or {}).items():
+        if all(x is not None for x in col):  # UNDEF rows leave it null
+            req.add(v.lstrip("?$"))
     for ug in kwargs.get("union_groups") or []:
         ug_certain = None
         for b in ug:
@@ -504,6 +505,14 @@ def bgp_match(triples: DataFrame,
       the named variables (multi-variable dicts bind positionally: the
       lists are parallel rows). Must share at least one variable with the
       pattern solutions (a disjoint VALUES would be a cartesian product).
+      ``None`` is SPARQL UNDEF: such a row constrains only the variables
+      it binds. Rows partition by their bound-mask; each mask group is
+      its own broadcast equi-join (all-UNDEF rows multiply solutions
+      unconstrained), unioned with nulls for UNDEF vars — every data row
+      pairs once with each compatible solution, the spec's multiset
+      join. Joining VALUES on an OPTIONAL-introduced variable raises
+      (unbound is compatible with everything in SPARQL; a SQL NULL key
+      matches nothing).
     - ``binds``: SPARQL BIND — an ordered list of ``(name, expr)`` pairs,
       each a Spark SQL expression over the variables bound so far (earlier
       binds included), evaluated per solution with ``withColumn`` — a pure
@@ -622,6 +631,7 @@ def bgp_match(triples: DataFrame,
         return result, bound
 
     result, bound = _connect_subs(result, bound)
+    maybe_null: set = set()  # solution vars that can be SQL NULL
     for group in optional or []:
         gdf, gvars, certain = _compile_group(triples, group)
         shared = bound & gvars
@@ -633,6 +643,7 @@ def bgp_match(triples: DataFrame,
             )
         _check_certain_join(shared, certain)
         result = result.join(gdf, on=sorted(shared), how="left")
+        maybe_null |= gvars - bound  # optional-miss rows leave them NULL
         bound |= gvars
     # second pass: subqueries that connect only through
     # OPTIONAL-introduced variables join here (inner join — an
@@ -647,12 +658,20 @@ def bgp_match(triples: DataFrame,
         )
     if values:
         vvars = [v.lstrip("?") for v in values]
-        shared = bound & set(vvars)
-        if not shared:
+        if not bound & set(vvars):
             raise ValueError(
                 f"VALUES variables {sorted(vvars)} share nothing with "
                 f"{sorted(bound)} — a disjoint VALUES would be a cartesian "
                 "product"
+            )
+        undef_shared = bound & set(vvars) & maybe_null
+        if undef_shared:
+            raise ValueError(
+                f"VALUES joins on OPTIONAL-introduced variables "
+                f"{sorted(undef_shared)} — an unbound solution is "
+                "compatible with every VALUES row in SPARQL but a SQL "
+                "NULL key matches none; move the VALUES before the "
+                "OPTIONAL or into its group"
             )
         lengths = {v: len(values[v]) for v in values}
         if len(set(lengths.values())) > 1 or 0 in lengths.values():
@@ -660,9 +679,47 @@ def bgp_match(triples: DataFrame,
                 f"VALUES lists must be parallel non-empty rows, got "
                 f"lengths {lengths}"
             )
+        # SPARQL UNDEF (None): a row constrains only the variables it
+        # binds. Rows partition by their bound-mask; each mask group is
+        # its own broadcast equi-join (or a multiplicity-only cross for
+        # all-UNDEF rows), unioned with nulls for the vars a group
+        # leaves UNDEF — each data row pairs with each compatible
+        # solution exactly once, the spec's multiset join.
         rows = list(zip(*[values[v] for v in values]))
-        vdf = result.sparkSession.createDataFrame(rows, vvars)
-        result = result.join(F.broadcast(vdf), on=sorted(shared))
+        by_mask: dict[tuple, list] = {}
+        for r in rows:
+            by_mask.setdefault(
+                tuple(x is not None for x in r), []
+            ).append(r)
+        pieces = []
+        for mask in sorted(by_mask):
+            grows = by_mask[mask]
+            gvars = [v for v, m in zip(vvars, mask) if m]
+            if not gvars:  # all-UNDEF: one copy of every solution per row
+                mult = result.sparkSession.range(len(grows)).toDF(
+                    "__values_mult"
+                )
+                pieces.append(
+                    result.crossJoin(F.broadcast(mult))
+                    .drop("__values_mult")
+                )
+                continue
+            vdf = result.sparkSession.createDataFrame(
+                [tuple(x for x in r if x is not None) for r in grows],
+                gvars,
+            )
+            shared = sorted(bound & set(gvars))
+            if shared:
+                pieces.append(result.join(F.broadcast(vdf), on=shared))
+            else:  # binds only fresh vars: every row extends every
+                pieces.append(result.crossJoin(F.broadcast(vdf)))
+        result = pieces[0]
+        for p in pieces[1:]:
+            result = result.unionByName(p, allowMissingColumns=True)
+        maybe_null |= {
+            v for v, col in zip(vvars, zip(*rows))
+            if any(x is None for x in col)
+        }
         bound |= set(vvars)
     for name, expr in binds or []:
         name = name.lstrip("?$")

@@ -450,14 +450,32 @@ def _translate_expr(expr: str, prefixes: dict[str, str]) -> str:
     expr = re.sub(
         r"(?i)\bbound\s*\(\s*(\w+)\s*\)", r"(\1 IS NOT NULL)", expr
     )
+    def _regex3(m: re.Match) -> str:
+        term, pat, flags_tok = m.group(1), m.group(2), m.group(3)
+        raw = lits[int(flags_tok.strip("\x00"))]
+        flags = raw[1:-1] if raw[:1] in "\"'" else ""
+        # XPath flags with a Java inline-flag twin; q (literal match)
+        # has no (?q) and x differs on '#' comments — both raise
+        if not flags or any(f not in "ism" for f in flags):
+            raise SparqlSyntaxError(
+                f"unsupported REGEX flags {raw}: only i/s/m map to Java "
+                "inline flags; inline others in the pattern itself"
+            )
+        return f"({term} rlike concat('(?{flags})', {pat}))"
+
+    expr = re.sub(  # 3-arg form first: flags literal -> (?ism) prefix
+        r"(?i)\bregex\s*\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*,"
+        r"\s*(\x00\d+\x00)\s*\)",
+        _regex3, expr,
+    )
     expr = re.sub(
         r"(?i)\bregex\s*\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)",
         r"(\1 rlike \2)", expr,
     )
     if re.search(r"(?i)\bregex\s*\(", expr):
         raise SparqlSyntaxError(
-            "unsupported REGEX call form — only REGEX(term, pattern) is "
-            "rewritten; for flags, inline them in the pattern (e.g. (?i))"
+            "unsupported REGEX call form — only REGEX(term, pattern[, "
+            "flags-literal]) is rewritten"
         )
     if re.search(r"(?i)\b(not\s+)?exists\s*\{", expr):
         raise SparqlSyntaxError(
@@ -585,9 +603,10 @@ def _parse_values(scan: _Scan, prefixes: dict[str, str]
             row = []
             while not row_scan.eof():
                 tok = row_scan.read_token()
-                if tok.upper() == "UNDEF":
-                    raise SparqlSyntaxError("VALUES UNDEF not supported")
-                row.append(_term(tok, prefixes))
+                row.append(
+                    None if tok.upper() == "UNDEF"
+                    else _term(tok, prefixes)
+                )
             rows.append(row)
         if any(len(r) != len(names) for r in rows):
             raise SparqlSyntaxError("ragged VALUES rows")
@@ -599,9 +618,10 @@ def _parse_values(scan: _Scan, prefixes: dict[str, str]
     vals = []
     while not vals_scan.eof():
         tok = vals_scan.read_token()
-        if tok.upper() == "UNDEF":
-            raise SparqlSyntaxError("VALUES UNDEF not supported")
-        vals.append(_term(tok, prefixes))
+        # single-variable UNDEF rows bind nothing: pure multiplicity
+        vals.append(
+            None if tok.upper() == "UNDEF" else _term(tok, prefixes)
+        )
     return {name: vals}
 
 

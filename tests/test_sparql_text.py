@@ -330,13 +330,77 @@ def test_values_dollar_variable(store):
     assert [(r.e, r.who) for r in out] == [("e2", "bob")]
 
 
+def test_regex_flags_literal(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?y WHERE { ?y ex:label ?l . FILTER(REGEX(?l, "BIG", "i")) }
+    """).collect()
+    assert [r.y for r in out] == ["e1"]
+
+
+def test_values_undef_row_matches_everything(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e ?who ?tag WHERE {
+            ?e ex:actor ?who .
+            VALUES (?who ?tag) { ("alice" "A") (UNDEF "any") }
+        }
+    """).collect()
+    assert sorted((r.e, r.who, r.tag) for r in out) == [
+        ("e1", "alice", "A"), ("e1", "alice", "any"),
+        ("e1", "carol", "any"), ("e2", "bob", "any"),
+    ]
+
+
+def test_values_single_var_undef_is_pure_multiplicity(store):
+    # the UNDEF row constrains nothing: every solution once more
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e ?who WHERE {
+            ?e ex:actor ?who .
+            VALUES ?who { "bob" UNDEF }
+        }
+    """).collect()
+    assert sorted((r.e, r.who) for r in out) == [
+        ("e1", "alice"), ("e1", "carol"),
+        ("e2", "bob"), ("e2", "bob"),
+    ]
+
+
+def test_values_undef_binding_fresh_var_extends_solutions(store):
+    # the (UNDEF "B") row binds only the fresh ?tag: it extends every
+    # solution; the fully-bound row extends only its match
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?who ?tag WHERE {
+            ?e ex:actor ?who .
+            VALUES (?who ?tag) { ("bob" "A") (UNDEF "B") }
+        }
+    """).collect()
+    assert sorted((r.who, r.tag) for r in out) == [
+        ("alice", "B"), ("bob", "A"), ("bob", "B"), ("carol", "B"),
+    ]
+
+
+def test_values_on_optional_introduced_variable_raises(store):
+    with pytest.raises(ValueError, match="OPTIONAL-introduced"):
+        sparql_query(store, """
+            PREFIX ex: <http://ex.org/>
+            SELECT * WHERE {
+                ?e a ex:Event .
+                OPTIONAL { ?e ex:missing ?m }
+                VALUES ?m { "x" }
+            }
+        """).collect()
+
+
 @pytest.mark.parametrize("text, msg", [
     ("PREFIX ex: <http://ex SELECT ?x WHERE { ?x ?p ?o }",
      "unterminated PREFIX"),
     ('SELECT ?x WHERE { VALUES ?x { "a" } }', "required triple pattern"),
     ('ASK { ?e ?p ?o } LIMIT 5', "after ASK body"),
-    ('SELECT ?x WHERE { ?x ?p ?l . FILTER(REGEX(?l, "a", "i")) }',
-     "REGEX call form"),
+    ('SELECT ?x WHERE { ?x ?p ?l . FILTER(REGEX(?l, "a", "q")) }',
+     "REGEX flags"),
     ("DESCRIBE <a> LIMIT 5", "no solution modifiers"),
 ])
 def test_malformed_queries_raise_cleanly(store, text, msg):
