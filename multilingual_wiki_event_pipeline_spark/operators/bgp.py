@@ -868,6 +868,41 @@ def bgp_describe(triples: DataFrame, resources: list[str]) -> DataFrame:
     )
 
 
+def bgp_describe_solutions(triples: DataFrame,
+                           solutions: DataFrame,
+                           described: list[str],
+                           extra_resources: list[str] = ()) -> DataFrame:
+    """``DESCRIBE ?v ... WHERE { ... }``: describe every resource the
+    solution sequence binds to the described variables (plus any
+    explicitly named ones). Simple-description semantics as in
+    :func:`bgp_describe`, but the resource set is data-dependent, so the
+    OR-filter becomes two LEFT SEMI joins (subject hits, object hits)
+    unioned and set-deduplicated — DESCRIBE returns a GRAPH. The
+    distinct resource frame is small in practice; AQE broadcasts it."""
+    if not described and not extra_resources:
+        raise ValueError("DESCRIBE of no resources")
+    missing = set(described) - set(solutions.columns)
+    if missing:
+        raise ValueError(
+            f"DESCRIBE variables {sorted(missing)} are not bound by the "
+            f"WHERE clause (solution vars: {sorted(solutions.columns)})"
+        )
+    res = None
+    for v in described:
+        part = solutions.select(F.col(v).alias("_r"))
+        res = part if res is None else res.unionByName(part)
+    if extra_resources:
+        lit = triples.sparkSession.createDataFrame(
+            [(r,) for r in extra_resources], ["_r"]
+        )
+        res = lit if res is None else res.unionByName(lit)
+    res = res.filter(F.col("_r").isNotNull()).distinct()
+    t = triples.select(*TRIPLE_COLS)
+    by_subj = t.join(res, t["subj"] == res["_r"], "left_semi")
+    by_obj = t.join(res, t["obj"] == res["_r"], "left_semi")
+    return by_subj.unionByName(by_obj).distinct()
+
+
 def bgp_union(triples: DataFrame, groups: list) -> DataFrame:
     """SPARQL UNION: the bag concatenation of each group's solutions.
 

@@ -14,7 +14,9 @@ a user runs against a SPARQL endpoint runs against the K3 triple store.
   ``LIMIT``;
 - ``CONSTRUCT { template } WHERE { body }``;
 - ``ASK [WHERE] { body }`` (returns a Python bool);
-- ``DESCRIBE <iri>...``.
+- ``DESCRIBE (<iri> | ?v | *)... [WHERE { body }]`` — with a WHERE
+  clause, describes every resource the solutions bind to the listed
+  variables (``*`` = all solution variables) plus any named IRIs.
 
 ``body`` supports triple patterns (with ``;`` predicate-object and ``,``
 object lists, ``a`` for rdf:type, prefixed names, property paths),
@@ -82,6 +84,7 @@ from .bgp import (
     bgp_ask,
     bgp_construct,
     bgp_describe,
+    bgp_describe_solutions,
     bgp_match,
 )
 
@@ -971,17 +974,43 @@ def sparql_query(triples: DataFrame, text: str):
         return bgp_construct(triples, template=template, **kwargs)
 
     if scan.take_kw("DESCRIBE"):
-        resources = []
+        resources, dvars, star = [], [], False
         while not scan.eof() and scan.peek_ch() != "{" \
                 and not scan.peek_kw("WHERE"):
             if scan.peek_kw("LIMIT", "OFFSET", "ORDER", "GROUP", "HAVING"):
                 raise SparqlSyntaxError(
                     "DESCRIBE takes no solution modifiers"
                 )
-            resources.append(_term(scan.read_token(), prefixes))
+            tok = scan.read_token()
+            if tok == "*":
+                star = True
+            elif tok[:1] in ("?", "$"):
+                dvars.append(tok.lstrip("?$"))
+            else:
+                resources.append(_term(tok, prefixes))
+        if scan.eof():
+            if star or dvars:
+                raise SparqlSyntaxError(
+                    "DESCRIBE of variables needs a WHERE clause"
+                )
+            return bgp_describe(triples, resources)
+        # DESCRIBE ?v ... WHERE { ... }: describe every resource the
+        # solutions bind to the listed vars (* = all solution vars)
+        scan.take_kw("WHERE")
+        where = _parse_body(scan.read_block(), prefixes)
+        _require_patterns(where)
         if not scan.eof():
-            raise SparqlSyntaxError("DESCRIBE ... WHERE is not supported")
-        return bgp_describe(triples, resources)
+            raise SparqlSyntaxError("DESCRIBE takes no solution modifiers")
+        sol = bgp_match(
+            triples, **_compile_where_kwargs(triples, where, prefixes)
+        )
+        if star:
+            dvars = sorted(set(sol.columns) | set(dvars))
+        if not dvars:
+            raise SparqlSyntaxError(
+                "DESCRIBE ... WHERE needs at least one described variable"
+            )
+        return bgp_describe_solutions(triples, sol, dvars, resources)
 
     raise SparqlSyntaxError(
         "query must be SELECT, ASK, CONSTRUCT, or DESCRIBE"

@@ -382,6 +382,48 @@ def test_values_undef_binding_fresh_var_extends_solutions(store):
     ]
 
 
+def test_describe_where_variable(store):
+    # resources bound to ?who by the WHERE: alice, carol, bob; the
+    # description is every triple touching one of them (subject or
+    # object), as a set
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        DESCRIBE ?who WHERE { ?e ex:actor ?who }
+    """).collect()
+    assert sorted(map(tuple, out)) == [
+        ("alice", EX + "knows", "bob"),
+        ("e1", EX + "actor", "alice"),
+        ("e1", EX + "actor", "carol"),
+        ("e2", EX + "actor", "bob"),
+    ]
+
+
+def test_describe_where_star_and_explicit_iri(store):
+    # * describes every solution var (?x only here); the explicit term
+    # adds t3 even though no variable binds it
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        DESCRIBE * t3 WHERE { t1 ex:sub ?x }
+    """).collect()
+    assert sorted(map(tuple, out)) == [
+        ("t1", EX + "sub", "t2"),
+        ("t2", EX + "sub", "t3"),
+    ]
+
+
+def test_describe_where_unbound_variable_raises(store):
+    with pytest.raises(ValueError, match="not bound by the WHERE"):
+        sparql_query(store, """
+            PREFIX ex: <http://ex.org/>
+            DESCRIBE ?nope WHERE { ?e ex:actor ?who }
+        """).collect()
+
+
+def test_describe_variables_without_where_raises(store):
+    with pytest.raises(SparqlSyntaxError, match="needs a WHERE"):
+        sparql_query(store, "DESCRIBE ?who")
+
+
 def test_values_on_optional_introduced_variable_raises(store):
     with pytest.raises(ValueError, match="OPTIONAL-introduced"):
         sparql_query(store, """
