@@ -474,6 +474,7 @@ def bgp_match(triples: DataFrame,
               minus: list | None = None,
               not_exists: list | None = None,
               exists: list | None = None,
+              exists_binds: list[tuple[str, object]] | None = None,
               group_by: list[str] | None = None,
               aggregates: dict[str, str] | None = None,
               having: list[str] | None = None,
@@ -574,6 +575,15 @@ def bgp_match(triples: DataFrame,
       group is an existence test: every solution survives iff the group
       matches anything. Same NULL caveat as negation: a shared variable
       NULL in a solution never matches in the semi join.
+    - ``exists_binds``: ``(flag_name, group)`` pairs for EXISTS used
+      INSIDE a larger filter expression (``FILTER(EXISTS {..} || ?x =
+      "y")``): the group compiles to a boolean flag column — a left join
+      against the group's DISTINCT shared-variable projection (truth
+      only, never multiplies; uncorrelated groups use the broadcast
+      1-row emptiness probe) — the ``filters`` expressions reference the
+      flag (negate with ``NOT flag``), and flags drop after the filters
+      run. Correlating on an OPTIONAL-introduced variable raises (the
+      SQL NULL key would silently diverge from SPARQL substitution).
     - ``group_by`` / ``aggregates`` / ``having``: SPARQL aggregation —
       ``group_by`` lists grouping variables, ``aggregates`` maps output
       names to Spark SQL aggregate expressions over the variable columns
@@ -753,8 +763,47 @@ def bgp_match(triples: DataFrame,
                 ).drop("_n")
             # MINUS with no shared variable removes nothing (spec):
             # disjoint-domain solutions are never compatible
+    # EXISTS used INSIDE a larger filter expression: each group becomes
+    # a boolean flag column (left join against the group's distinct
+    # shared-variable projection — truth only, never multiplies), the
+    # filter references the flag, flags drop after the filters run
+    flag_cols: list[str] = []
+    for name, group in exists_binds or []:
+        if name in bound:
+            raise ValueError(f"exists_binds name {name!r} is already "
+                             "a solution variable")
+        gdf, gvars, certain = _compile_group(triples, group)
+        shared = bound & gvars
+        if shared:
+            _check_certain_join(shared, certain)
+            undef = shared & maybe_null
+            if undef:
+                raise ValueError(
+                    f"EXISTS in a filter expression correlates on "
+                    f"OPTIONAL-introduced variables {sorted(undef)} — "
+                    "an unbound solution leaves the variable free in "
+                    "SPARQL's substitution but a SQL NULL key matches "
+                    "nothing; restructure so the variable is required"
+                )
+            marker = gdf.select(*sorted(shared)).distinct().withColumn(
+                name, F.lit(True)
+            )
+            result = result.join(marker, on=sorted(shared), how="left")
+            result = result.withColumn(
+                name, F.coalesce(F.col(name), F.lit(False))
+            )
+        else:  # uncorrelated: one broadcast 1-row emptiness probe
+            empty = F.broadcast(
+                gdf.limit(1).agg(F.count("*").alias("_n"))
+            )
+            result = result.crossJoin(empty).withColumn(
+                name, F.col("_n") == 1
+            ).drop("_n")
+        flag_cols.append(name)
     for pred in filters or []:
         result = result.filter(F.expr(pred))
+    if flag_cols:
+        result = result.drop(*flag_cols)
     if aggregates or group_by:
         if not aggregates:
             raise ValueError("GROUP BY without aggregates — use distinct "

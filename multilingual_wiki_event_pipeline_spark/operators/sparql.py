@@ -61,11 +61,12 @@ Documented deviations (pragmatic subset, each raises or is noted):
   carries datatype/language in side columns the matcher doesn't consult).
 - Numeric literals compare as strings (the store's ``obj`` is a string
   column); quote-and-compare or FILTER with an explicit cast.
-- No BASE, no SERVICE/GRAPH, no EXISTS *inside* a larger FILTER
-  expression (both ``FILTER EXISTS { ... }`` and ``FILTER NOT EXISTS
-  { ... }`` as standalone constraints are supported — semi/anti joins),
-  no property paths in CONSTRUCT templates — all raise with a clear
-  message.
+- No BASE, no SERVICE/GRAPH, no property paths in CONSTRUCT templates —
+  all raise with a clear message. ``[NOT] EXISTS { ... }`` works both as
+  a standalone FILTER constraint (semi/anti join) and inside a larger
+  filter expression (``FILTER(EXISTS {..} || ?x = "y")`` — compiled to a
+  boolean flag via a distinct-projection left join, never multiplying
+  solutions); EXISTS in BIND/HAVING expressions raises.
 
 Scale notes (100 TB): parsing is driver-side and O(query length); the
 compiled plan is exactly what ``bgp_match`` builds — per-pattern filtered
@@ -482,9 +483,9 @@ def _translate_expr(expr: str, prefixes: dict[str, str]) -> str:
         )
     if re.search(r"(?i)\b(not\s+)?exists\s*\{", expr):
         raise SparqlSyntaxError(
-            "EXISTS inside a larger FILTER expression is not supported — "
-            "write it as its own standalone FILTER [NOT] EXISTS { ... } "
-            "constraint (FILTERs in a group conjoin)"
+            "EXISTS { ... } is only supported in FILTER constraints "
+            "(standalone or inside the filter expression), not in "
+            "BIND/HAVING/projection expressions"
         )
     for name in _FN_UNSUPPORTED:
         if re.search(rf"(?i)\b{name}\s*\(", expr):
@@ -533,6 +534,41 @@ def _translate_agg(expr: str, prefixes: dict[str, str]) -> str:
     if m:
         return f"min({_translate_expr(m.group(1), prefixes)})"
     return _translate_expr(expr, prefixes)
+
+
+def _extract_exists_binds(raw: str, prefixes: dict[str, str],
+                          start_n: int) -> tuple[str, list]:
+    """Cut every ``[NOT] EXISTS { group }`` out of a filter-expression
+    text, replacing it with a generated boolean flag reference (negated
+    inline for the NOT form); the groups compile through ``_parse_group``
+    and travel as ``bgp_match``'s ``exists_binds``. String literals are
+    length-preserving-masked first so EXISTS inside quotes (or braces in
+    literals) never false-trigger."""
+    masked = _LITERAL_RE.sub(lambda m: "\x01" * len(m.group(0)), raw)
+    pat = re.compile(r"(?i)\b(NOT\s+)?EXISTS\s*\{")
+    out, binds, i = [], [], 0
+    while True:
+        m = pat.search(masked, i)
+        if not m:
+            out.append(raw[i:])
+            break
+        depth, j = 1, m.end()
+        while j < len(masked) and depth:
+            if masked[j] == "{":
+                depth += 1
+            elif masked[j] == "}":
+                depth -= 1
+            j += 1
+        if depth:
+            raise SparqlSyntaxError(
+                "unbalanced braces in FILTER ... EXISTS { ... }"
+            )
+        name = f"__exists_{start_n + len(binds)}"
+        binds.append((name, _parse_group(raw[m.end():j - 1], prefixes)))
+        out.append(raw[i:m.start()])
+        out.append(f"(NOT {name})" if m.group(1) else name)
+        i = j
+    return "".join(out), binds
 
 
 def _read_filter_expr(scan: _Scan) -> str:
@@ -730,8 +766,14 @@ def _parse_body(body: str, prefixes: dict[str, str]) -> dict:
                     _parse_group(scan.read_block(), prefixes)
                 )
             else:
+                raw, ebinds = _extract_exists_binds(
+                    _read_filter_expr(scan), prefixes,
+                    len(kwargs.get("exists_binds", ())),
+                )
+                if ebinds:
+                    kwargs.setdefault("exists_binds", []).extend(ebinds)
                 kwargs.setdefault("filters", []).append(
-                    _translate_expr(_read_filter_expr(scan), prefixes)
+                    _translate_expr(raw, prefixes)
                 )
                 if not scan.eof() and scan.peek_ch() == ".":
                     scan.read_token()

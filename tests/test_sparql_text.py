@@ -664,13 +664,62 @@ def test_filter_exists_uncorrelated(store):
     assert out == []
 
 
-def test_exists_inside_expression_raises(store):
-    with pytest.raises(SparqlSyntaxError, match="standalone"):
+def test_exists_inside_expression_conjunction(store):
+    # actor solutions: alice, carol, bob; only alice has a knows edge,
+    # and bob is excluded by the other conjunct
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?who WHERE {
+            ?e ex:actor ?who .
+            FILTER(?who != "bob" && EXISTS { ?who ex:knows ?z })
+        }
+    """).collect()
+    assert [r.who for r in out] == ["alice"]
+
+
+def test_exists_inside_expression_disjunction_never_multiplies(store):
+    # EXISTS truth must not multiply: e1 has TWO actors but each
+    # (e, who) solution appears once; the || arm rescues "quiet"
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e ?l WHERE {
+            ?e ex:label ?l .
+            FILTER(EXISTS { ?e ex:actor ?w . ?w ex:knows ?z }
+                   || ?l = "quiet")
+        }
+    """).collect()
+    assert sorted((r.e, r.l) for r in out) == [
+        ("e1", "big boom"), ("e2", "quiet"),
+    ]
+
+
+def test_not_exists_inside_expression(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?who WHERE {
+            ?e ex:actor ?who .
+            FILTER(NOT EXISTS { ?who ex:knows ?z } && ?who != "carol")
+        }
+    """).collect()
+    assert [r.who for r in out] == ["bob"]
+
+
+def test_exists_literal_containing_exists_brace_is_data(store):
+    # the quoted string must not trigger extraction
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?l WHERE { ?e ex:label ?l . FILTER(?l != "EXISTS {x}") }
+    """).collect()
+    assert sorted(r.l for r in out) == ["big boom", "quiet"]
+
+
+def test_exists_in_bind_expression_raises(store):
+    with pytest.raises(SparqlSyntaxError, match="BIND/HAVING"):
         sparql_query(store, """
             PREFIX ex: <http://ex.org/>
-            SELECT ?who WHERE {
+            SELECT ?f WHERE {
                 ?e ex:actor ?who .
-                FILTER(?who != "bob" && EXISTS { ?who ex:knows ?z })
+                BIND(EXISTS { ?who ex:knows ?z } AS ?f)
             }
         """)
 
