@@ -1185,6 +1185,28 @@ def graph_bfs(spark, sf_dir):
     return graph.bfs_distances(graph.symmetrize(pairs), ["c1"], max_depth=4)
 
 
+def graph_triangles(spark, sf_dir):
+    """Per-node triangle counts (operators/graph.triangle_counts,
+    degree-ordered orientation) over the same-order-date customer
+    co-occurrence graph. Days are capped at 12 customers (row_number by
+    custkey — the deterministic hub cap that keeps a co-occurrence
+    projection linear-ish at scale; mirrored in the oracle)."""
+    from .operators import graph
+
+    dc = _t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_custkey").alias("c"),
+    ).distinct()
+    capped = dc.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("d").orderBy("c"))
+    ).filter(F.col("rn") <= 12)
+    left, right = capped.alias("l"), capped.alias("r")
+    edges = left.join(right, "d").filter(
+        F.col("l.c") < F.col("r.c")
+    ).select(F.col("l.c").alias("src"), F.col("r.c").alias("dst"))
+    return graph.triangle_counts(edges)
+
+
 def asof_join_events(spark, sf_dir):
     """Purchase→last-view attribution as-of join (operators/temporal.py;
     pandas merge_asof / DuckDB ASOF JOIN semantics): for each 'purchase'
@@ -1346,6 +1368,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         dedup_minhash_sig, multimodal_resize, dedup_simhash, token_count,
         ann_lsh_bucketed, graph_lpa, sparql_union, sparql_construct,
         sparql_agg, sparql_minus, graph_bfs, sparql_text,
-        sparql_expressive, bm25_rank,
+        sparql_expressive, bm25_rank, graph_triangles,
     ]
 }

@@ -233,6 +233,74 @@ def bfs_distances(edges: DataFrame, sources: list[str],
     return dist
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph
+    (``edges(src, dst)``, any direction; self-loops dropped, duplicate
+    directions collapsed). Output: ``(node, n_triangles)`` for nodes in
+    at least one triangle.
+
+    Spark shape — the degree-ordered orientation algorithm (the standard
+    scale trick, e.g. Suri & Vassilvitskii WWW'11): each edge is directed
+    from its (degree, id)-smaller endpoint, so every triangle is counted
+    exactly once as x→y1, x→y2, y1→y2 with x < y1 < y2 in that order, and
+    the wedge join fans out per-node by min(degree) rather than degree —
+    hub nodes never enumerate their quadratic neighbor pairs. Plan:
+    canonicalize+distinct (one shuffle), degree agg (partial agg), two
+    equi-joins (wedge build on the apex, closing-edge membership on
+    (y1, y2)), explode of the TRIANGLE rows only (bounded by the result,
+    not the graph), final partial-agg count. All BIGINT/comparison ops —
+    bit-exact in DuckDB, no float risk."""
+    e = (
+        edges.select(F.col("src").alias("s"), F.col("dst").alias("t"))
+        .filter(F.col("s") != F.col("t"))
+        .select(
+            F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("dg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("n").alias("a"), F.col("dg").alias("dga")),
+               "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("dg").alias("dgb")),
+              "b")
+    )
+    fwd = (F.col("dga") < F.col("dgb")) | (
+        (F.col("dga") == F.col("dgb")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("x"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("y"),
+        F.when(fwd, F.col("dgb")).otherwise(F.col("dga")).alias("yd"),
+    )
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    wedges = (
+        e1.join(e2, "x")
+        .filter(
+            (F.col("e1.yd") < F.col("e2.yd"))
+            | (
+                (F.col("e1.yd") == F.col("e2.yd"))
+                & (F.col("e1.y") < F.col("e2.y"))
+            )
+        )
+        .select(
+            "x", F.col("e1.y").alias("y1"), F.col("e2.y").alias("y2")
+        )
+    )
+    closing = o.select(F.col("x").alias("y1"), F.col("y").alias("y2"))
+    tri = wedges.join(closing, ["y1", "y2"])
+    return (
+        tri.select(F.explode(F.array("x", "y1", "y2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+
+
 def symmetrize(pairs: DataFrame) -> DataFrame:
     """``pairs(src, dst)`` -> both directions, for undirected-walk ranking
     (also guarantees no dangling nodes: every node has an out-edge)."""

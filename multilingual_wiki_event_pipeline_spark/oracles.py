@@ -1093,6 +1093,45 @@ from .catalog import BM25_QUERY as _BM25_QUERY  # noqa: E402
 
 EXTRA_ORACLES["bm25_rank"] = _bm25_sql(_BM25_QUERY, k=20)
 
+# Degree-ordered triangle counting over the capped same-order-date
+# customer co-occurrence graph — all BIGINT/comparisons, so the mirror
+# is bit-exact. Orientation: each edge directed from its (degree, id)-
+# smaller endpoint; a triangle is counted once as x->y1, x->y2, y1->y2.
+EXTRA_ORACLES["graph_triangles"] = """
+    WITH dc AS (
+      SELECT DISTINCT CAST(o_orderdate AS DATE) AS d, o_custkey AS c
+      FROM orders),
+    cap AS (
+      SELECT d, c FROM (
+        SELECT d, c, ROW_NUMBER() OVER (PARTITION BY d ORDER BY c) AS rn
+        FROM dc) WHERE rn <= 12),
+    e AS (
+      SELECT DISTINCT l.c AS a, r.c AS b
+      FROM cap l JOIN cap r ON l.d = r.d AND l.c < r.c),
+    deg AS (
+      SELECT n, COUNT(*) AS dg FROM (
+        SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) GROUP BY n),
+    o AS (
+      SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+                  THEN a ELSE b END AS x,
+             CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+                  THEN b ELSE a END AS y,
+             CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+                  THEN db.dg ELSE da.dg END AS yd
+      FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+    tri AS (
+      SELECT e1.x AS x, e1.y AS y1, e2.y AS y2
+      FROM o e1
+      JOIN o e2 ON e1.x = e2.x
+        AND (e1.yd < e2.yd OR (e1.yd = e2.yd AND e1.y < e2.y))
+      JOIN o e3 ON e3.x = e1.y AND e3.y = e2.y)
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y1 FROM tri
+      UNION ALL SELECT y2 FROM tri)
+    GROUP BY node
+"""
+
 
 
 # --- flagship oracle: the full KG pipeline's full_triples ------------------

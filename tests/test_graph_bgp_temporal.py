@@ -542,6 +542,51 @@ def test_pagerank_all_nodes_receive_equivalence(spark):
     assert slow == fast
 
 
+def test_triangle_counts_two_sharing_an_edge(spark):
+    # triangles {a,b,c} and {b,c,d} share edge (b,c); e dangles off a
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"), ("d", "c"),
+         ("a", "e")],
+        "src string, dst string",
+    )
+    got = {r.node: r.n_triangles
+           for r in graph.triangle_counts(e).collect()}
+    assert got == {"a": 1, "b": 2, "c": 2, "d": 1}  # e absent: 0
+
+
+def test_triangle_counts_ignore_direction_dups_and_loops(spark):
+    # one triangle stated with mixed directions, a duplicate edge, and a
+    # self-loop — counted exactly once per node
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", "b"), ("a", "c"), ("a", "a")],
+        "src string, dst string",
+    )
+    got = {r.node: r.n_triangles
+           for r in graph.triangle_counts(e).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_counts_star_has_none(spark):
+    # a hub with many spokes but no closing edges: no triangles, and the
+    # degree orientation means the hub never enumerates spoke pairs
+    e = spark.createDataFrame(
+        [("hub", f"s{i}") for i in range(10)], "src string, dst string"
+    )
+    assert graph.triangle_counts(e).count() == 0
+
+
+def test_triangle_counts_k4_complete(spark):
+    # K4: every node sits in C(3,2)=3 triangles
+    nodes = ["a", "b", "c", "d"]
+    e = spark.createDataFrame(
+        [(u, v) for u in nodes for v in nodes if u < v],
+        "src string, dst string",
+    )
+    got = {r.node: r.n_triangles
+           for r in graph.triangle_counts(e).collect()}
+    assert got == {n: 3 for n in nodes}
+
+
 def test_bfs_distances_path_graph(spark):
     # a -> b -> c -> d chain plus a shortcut a -> c
     e = spark.createDataFrame(
