@@ -1207,6 +1207,30 @@ def graph_triangles(spark, sf_dir):
     return graph.triangle_counts(edges)
 
 
+def graph_sssp(spark, sf_dir):
+    """Weighted shortest paths (operators/graph.sssp_distances; 4 fixed
+    Bellman-Ford rounds, BIGINT weights — bit-exact unrolled-CTE DuckDB
+    oracle) from customer c1 over the symmetrized customer↔supplier
+    graph, edge weight = min line quantity between the pair."""
+    from .operators import graph
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    pairs = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    return graph.sssp_distances(both, ["c1"], n_rounds=4)
+
+
 def asof_join_events(spark, sf_dir):
     """Purchase→last-view attribution as-of join (operators/temporal.py;
     pandas merge_asof / DuckDB ASOF JOIN semantics): for each 'purchase'
@@ -1368,6 +1392,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         dedup_minhash_sig, multimodal_resize, dedup_simhash, token_count,
         ann_lsh_bucketed, graph_lpa, sparql_union, sparql_construct,
         sparql_agg, sparql_minus, graph_bfs, sparql_text,
-        sparql_expressive, bm25_rank, graph_triangles,
+        sparql_expressive, bm25_rank, graph_triangles, graph_sssp,
     ]
 }

@@ -233,6 +233,48 @@ def bfs_distances(edges: DataFrame, sources: list[str],
     return dist
 
 
+def sssp_distances(edges: DataFrame, sources: list[str],
+                   n_rounds: int = 4) -> DataFrame:
+    """Single-source shortest path distances over ``edges(src, dst, w)``
+    with non-negative BIGINT weights — the weighted sibling of
+    :func:`bfs_distances`. Synchronous Bellman-Ford relaxation for a
+    FIXED number of rounds (so the unrolled-CTE DuckDB oracle matches
+    bit-for-bit; BIGINT adds are order-independent): per round, every
+    edge offers ``dist[src] + w`` to its dst and each node keeps the
+    minimum. Nodes not reached within ``n_rounds`` relaxations are
+    absent (documented contract — at round k the result equals true
+    shortest paths using ≤ k edges). Parallel edges collapse to their
+    min weight up front. Same Spark shape as BFS: one shuffle join +
+    map-side-combinable min agg per round, lazy localCheckpoint fuses
+    rounds into one job."""
+    if not sources:
+        raise ValueError("sssp_distances needs at least one source node")
+    edges = (
+        edges.select("src", "dst", F.col("w").cast("long").alias("w"))
+        .groupBy("src", "dst").agg(F.min("w").alias("w"))
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(s, 0) for s in sources], "node string, dist long"
+    )
+    for _ in range(n_rounds):
+        relaxed = (
+            edges.join(dist, edges.src == dist.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle counts over an undirected simple graph
     (``edges(src, dst)``, any direction; self-loops dropped, duplicate

@@ -1093,6 +1093,43 @@ from .catalog import BM25_QUERY as _BM25_QUERY  # noqa: E402
 
 EXTRA_ORACLES["bm25_rank"] = _bm25_sql(_BM25_QUERY, k=20)
 
+def _sssp_sql(n_rounds: int = 4, source: str = "c1") -> str:
+    """Unrolled-CTE twin of operators/graph.sssp_distances: per round,
+    union current distances with every in-neighbor's dist + edge weight
+    and keep the min per node. Weights are BIGINT (FLOOR mirrors Spark's
+    truncating cast on the non-negative quantities), so the relaxation
+    is bit-exact."""
+    rounds = ",\n".join(
+        f"""
+        d{i} AS (
+          SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d{i - 1}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + e.w AS dist
+            FROM edges e JOIN d{i - 1} d ON d.node = e.src
+          ) GROUP BY node
+        )"""
+        for i in range(1, n_rounds + 1)
+    )
+    return f"""
+        WITH pairs AS (
+          SELECT concat('c', CAST(o_custkey AS VARCHAR)) AS src,
+                 concat('s', CAST(l_suppkey AS VARCHAR)) AS dst,
+                 CAST(FLOOR(l_quantity) AS BIGINT) AS w
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        sym AS (SELECT src, dst, w FROM pairs
+                UNION ALL
+                SELECT dst AS src, src AS dst, w FROM pairs),
+        edges AS (SELECT src, dst, MIN(w) AS w FROM sym
+                  GROUP BY src, dst),
+        d0 AS (SELECT '{source}' AS node, CAST(0 AS BIGINT) AS dist),
+        {rounds}
+        SELECT node, dist FROM d{n_rounds}
+    """
+
+
+EXTRA_ORACLES["graph_sssp"] = _sssp_sql()
+
 # Degree-ordered triangle counting over the capped same-order-date
 # customer co-occurrence graph — all BIGINT/comparisons, so the mirror
 # is bit-exact. Orientation: each edge directed from its (degree, id)-

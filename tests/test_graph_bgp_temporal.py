@@ -542,6 +542,32 @@ def test_pagerank_all_nodes_receive_equivalence(spark):
     assert slow == fast
 
 
+def test_sssp_prefers_cheap_long_path(spark):
+    # a->b->c costs 2+3=5, direct a->c costs 10: the longer path wins
+    e = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 3), ("a", "c", 10)],
+        "src string, dst string, w long",
+    )
+    got = {r.node: r.dist
+           for r in graph.sssp_distances(e, ["a"], n_rounds=3).collect()}
+    assert got == {"a": 0, "b": 2, "c": 5}
+
+
+def test_sssp_round_bound_and_parallel_edge_min(spark):
+    # parallel a->b edges collapse to the min; d needs 3 relaxations so
+    # it is absent at n_rounds=2 (documented <=k-edge contract)
+    e = spark.createDataFrame(
+        [("a", "b", 7), ("a", "b", 4), ("b", "c", 1), ("c", "d", 1)],
+        "src string, dst string, w long",
+    )
+    two = {r.node: r.dist
+           for r in graph.sssp_distances(e, ["a"], n_rounds=2).collect()}
+    assert two == {"a": 0, "b": 4, "c": 5}
+    three = {r.node: r.dist
+             for r in graph.sssp_distances(e, ["a"], n_rounds=3).collect()}
+    assert three == {"a": 0, "b": 4, "c": 5, "d": 6}
+
+
 def test_triangle_counts_two_sharing_an_edge(spark):
     # triangles {a,b,c} and {b,c,d} share edge (b,c); e dangles off a
     e = spark.createDataFrame(
