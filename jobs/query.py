@@ -17,6 +17,12 @@ SELECT/CONSTRUCT/DESCRIBE results are written as parquet when --output
 is given, otherwise printed (first --show rows). ASK prints true/false
 and exits 0/1 — shell-scriptable.
 
+--update runs a SPARQL 1.1 Update request instead (INSERT/DELETE DATA,
+DELETE WHERE, DELETE/INSERT ... WHERE; ';'-sequences) and REQUIRES
+--output: the store is immutable — the updated graph is written as a
+NEW parquet store, never in place (the same new-generation discipline
+as the streaming compactor's manifest pointer).
+
 Scale notes: the query compiles to per-pattern filtered scans over the
 partitioned store + equi-joins (operators/bgp.py); constant predicates
 and subjects reach the parquet reader as pushed filters, and the
@@ -36,6 +42,9 @@ def main(argv: list[str]) -> int:
     q = ap.add_mutually_exclusive_group(required=True)
     q.add_argument("--query", help="SPARQL query text")
     q.add_argument("--query-file", help="file containing the query")
+    q.add_argument("--update",
+                   help="SPARQL Update text — writes the updated graph "
+                        "to --output as a new store (never in place)")
     ap.add_argument("--output", default=None,
                     help="write the result as parquet here (default: print)")
     ap.add_argument("--show", type=int, default=20,
@@ -47,15 +56,26 @@ def main(argv: list[str]) -> int:
 
     from multilingual_wiki_event_pipeline_spark.operators.sparql import (
         sparql_query,
+        sparql_update,
     )
 
-    text = args.query
+    text = args.query or args.update
     if text is None:
         with open(args.query_file, encoding="utf-8") as fh:
             text = fh.read()
 
     spark = SparkSession.builder.appName("mwep-sparql-query").getOrCreate()
     triples = spark.read.parquet(args.store)
+
+    if args.update:
+        if not args.output:
+            ap.error("--update requires --output (stores are immutable; "
+                     "the updated graph is written as a new store)")
+        sparql_update(triples, text).write.mode(
+            "error"  # refuse to clobber — a new store dir per generation
+        ).parquet(args.output)
+        print(f"wrote {args.output}")
+        return 0
 
     result = sparql_query(triples, text)
     if isinstance(result, bool):  # ASK

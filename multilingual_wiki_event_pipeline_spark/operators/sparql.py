@@ -80,6 +80,7 @@ import re
 from pyspark.sql import DataFrame
 
 from .bgp import (
+    TRIPLE_COLS,
     _paren_wrapped,
     _split_top,
     bgp_ask,
@@ -1057,3 +1058,193 @@ def sparql_query(triples: DataFrame, text: str):
     raise SparqlSyntaxError(
         "query must be SELECT, ASK, CONSTRUCT, or DESCRIBE"
     )
+
+
+def _parse_triple_block(text: str, prefixes: dict[str, str],
+                        ground: bool, what: str
+                        ) -> list[tuple[str, str, str]]:
+    """A ``{ triples }`` block (INSERT/DELETE data or template) ->
+    parsed triples, predicates unwrapped from their path-handling
+    ``<...>``. ``ground=True`` (the DATA forms) additionally rejects
+    variables."""
+    tscan = _Scan(text)
+    out = []
+    while not tscan.eof():
+        out.extend(_parse_clause(tscan, prefixes))
+    if not out:
+        raise SparqlSyntaxError(f"empty {what} block")
+    unwrapped = []
+    for s, p, o in out:
+        p = p[1:-1] if p.startswith("<") and p.endswith(">") else p
+        if ground and any(t.startswith(("?", "$")) for t in (s, p, o)):
+            raise SparqlSyntaxError(
+                f"{what} requires ground triples (no variables): "
+                f"{(s, p, o)!r}"
+            )
+        unwrapped.append((s, p, o))
+    return unwrapped
+
+
+def _store_minus(store, dels, hint_broadcast: bool):
+    """Graph difference: LEFT ANTI on the full triple — the delete set
+    is the build side, so a literal DELETE DATA broadcasts and the store
+    itself never shuffles."""
+    from pyspark.sql import functions as F
+
+    d = dels.dropDuplicates()
+    return store.join(
+        F.broadcast(d) if hint_broadcast else d,
+        on=list(TRIPLE_COLS), how="left_anti",
+    )
+
+
+def _store_plus(store, ins, hint_broadcast: bool):
+    """Graph union with RDF set semantics, without re-shuffling the
+    store: the already-present subset is found with a LEFT SEMI probe
+    (the small INSERT set is the build side), subtracted from the
+    insert set driver-free (exceptAll of two small frames), and only
+    the genuinely new triples append."""
+    from pyspark.sql import functions as F
+
+    ins_d = ins.dropDuplicates()
+    probe = F.broadcast(ins_d) if hint_broadcast else ins_d
+    existing = store.join(
+        probe, on=list(TRIPLE_COLS), how="left_semi"
+    ).dropDuplicates()
+    return store.unionByName(ins_d.exceptAll(existing))
+
+
+def sparql_update(triples: DataFrame, text: str) -> DataFrame:
+    """SPARQL 1.1 Update against ``triples(subj, pred, obj, ...)`` —
+    as an IMMUTABLE transform: returns the new ``(subj, pred, obj)``
+    graph; the input DataFrame (and whatever store it came from) is
+    untouched, Spark-style. Callers persist the result however they
+    version stores (e.g. ``sinks.write_triples`` to a new manifest
+    generation).
+
+    Supported operations, ``;``-separated and applied in order (each
+    sees the previous result; within one operation DELETE and INSERT
+    both evaluate against the pre-operation graph, per spec):
+
+    - ``INSERT DATA { triples }`` / ``DELETE DATA { triples }`` —
+      ground triples; the literal set broadcasts, the store never
+      shuffles (ANTI/SEMI probes with the small side as build side).
+    - ``DELETE WHERE { patterns }`` — shorthand: the pattern block is
+      both the match and the delete template (QuadPattern per spec —
+      filters/OPTIONAL/etc. raise; use the full form).
+    - ``DELETE { template } [INSERT { template }] WHERE { body }`` and
+      ``INSERT { template } WHERE { body }`` — the body compiles through
+      the full ``bgp_match`` surface; templates instantiate per solution
+      exactly like CONSTRUCT (unbound-in-an-OPTIONAL-miss instantiations
+      drop, per spec), then graph-difference / set-union apply.
+
+    Graph-management operations (LOAD/CLEAR/CREATE/DROP named graphs)
+    are out of scope — the store is a single graph; they raise.
+    """
+    scan = _Scan(_strip_comments(text))
+    prefixes = _parse_prologue(scan)
+    store = triples.select(*TRIPLE_COLS)
+    spark = triples.sparkSession
+    n_ops = 0
+    while True:
+        scan.skip_ws()
+        if scan.eof():
+            break
+        if scan.take_kw("LOAD", "CLEAR", "CREATE", "DROP", "COPY",
+                        "MOVE", "ADD"):
+            raise SparqlSyntaxError(
+                "graph-management operations are not supported — the "
+                "store is a single graph"
+            )
+        if scan.take_kw("INSERT"):
+            if scan.take_kw("DATA"):
+                data = _parse_triple_block(
+                    scan.read_block(), prefixes, True, "INSERT DATA"
+                )
+                store = _store_plus(
+                    store,
+                    spark.createDataFrame(data, list(TRIPLE_COLS)),
+                    hint_broadcast=True,
+                )
+            else:
+                template = _parse_triple_block(
+                    scan.read_block(), prefixes, False, "INSERT"
+                )
+                scan.expect_kw("WHERE")
+                where = _parse_body(scan.read_block(), prefixes)
+                _require_patterns(where)
+                ins = bgp_construct(
+                    store, template=template,
+                    **_compile_where_kwargs(store, where, prefixes),
+                )
+                store = _store_plus(store, ins, hint_broadcast=False)
+        elif scan.take_kw("DELETE"):
+            if scan.take_kw("DATA"):
+                data = _parse_triple_block(
+                    scan.read_block(), prefixes, True, "DELETE DATA"
+                )
+                store = _store_minus(
+                    store,
+                    spark.createDataFrame(data, list(TRIPLE_COLS)),
+                    hint_broadcast=True,
+                )
+            elif scan.take_kw("WHERE"):
+                where = _parse_body(scan.read_block(), prefixes)
+                extra = {k for k, v in where.items()
+                         if v and k != "patterns"}
+                if extra or not where.get("patterns"):
+                    raise SparqlSyntaxError(
+                        "DELETE WHERE takes only triple patterns "
+                        "(QuadPattern per spec) — use DELETE { ... } "
+                        "WHERE { ... } for a full group"
+                    )
+                template = [
+                    (s,
+                     p[1:-1] if p.startswith("<") and p.endswith(">")
+                     else p,
+                     o)
+                    for s, p, o in where["patterns"]
+                ]
+                dels = bgp_construct(
+                    store, template=template, patterns=where["patterns"]
+                )
+                store = _store_minus(store, dels, hint_broadcast=False)
+            else:
+                del_template = _parse_triple_block(
+                    scan.read_block(), prefixes, False, "DELETE"
+                )
+                ins_template = None
+                if scan.take_kw("INSERT"):
+                    ins_template = _parse_triple_block(
+                        scan.read_block(), prefixes, False, "INSERT"
+                    )
+                scan.expect_kw("WHERE")
+                where = _parse_body(scan.read_block(), prefixes)
+                _require_patterns(where)
+                kwargs = _compile_where_kwargs(store, where, prefixes)
+                dels = bgp_construct(store, template=del_template,
+                                     **kwargs)
+                ins = (
+                    bgp_construct(store, template=ins_template, **kwargs)
+                    if ins_template else None
+                )
+                # both instantiated against the pre-op graph (lazy
+                # lineage pins it); delete applies before insert
+                store = _store_minus(store, dels, hint_broadcast=False)
+                if ins is not None:
+                    store = _store_plus(store, ins, hint_broadcast=False)
+        else:
+            raise SparqlSyntaxError(
+                "update operation must start with INSERT or DELETE"
+            )
+        n_ops += 1
+        scan.skip_ws()
+        if not scan.eof():
+            if scan.peek_ch() != ";":
+                raise SparqlSyntaxError(
+                    "update operations must be separated by ';'"
+                )
+            scan.read_token()
+    if not n_ops:
+        raise SparqlSyntaxError("empty update request")
+    return store

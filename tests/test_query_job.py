@@ -79,6 +79,43 @@ def test_ask_exit_codes(query_main, store_dir):
     ]) == 1
 
 
+def test_update_writes_new_store_never_in_place(
+        query_main, store_dir, tmp_path):
+    out = str(tmp_path / "store_v2")
+    rc = query_main([
+        "--store", store_dir,
+        "--update",
+        'DELETE { ?e sem:hasActor ?w } INSERT { ?e sem:agent ?w } '
+        'WHERE { ?e sem:hasActor ?w } ;\n'
+        'INSERT DATA { e3 rdfs:label "added" }',
+        "--output", out,
+    ])
+    assert rc == 0
+    got = sorted(duckdb.sql(
+        f"SELECT subj, pred, obj FROM '{out}/*.parquet'"
+    ).fetchall())
+    assert got == [
+        ("e1", "rdfs:label", "error"),
+        ("e1", "sem:agent", "alice"),
+        ("e2", "rdfs:label", "signup"),
+        ("e2", "sem:agent", "bob"),
+        ("e3", "rdfs:label", "added"),
+    ]
+    # original store untouched (immutability contract)
+    orig = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{store_dir}/**/*.parquet'"
+    ).fetchone()[0]
+    assert orig == 4
+
+
+def test_update_without_output_errors(query_main, store_dir):
+    with pytest.raises(SystemExit):
+        query_main([
+            "--store", store_dir,
+            "--update", 'INSERT DATA { x <p> "v" }',
+        ])
+
+
 def test_query_file(query_main, store_dir, tmp_path, capsys):
     qf = tmp_path / "q.rq"
     qf.write_text(
