@@ -449,17 +449,13 @@ def _compile_union_group(triples: DataFrame,
     shuffle of its own."""
     if not branches:
         raise ValueError("empty UNION group")
-    dfs, certain = [], None
+    out = bgp_union(triples, branches)  # one union construction to rule
+    certain = None
     for g in branches:
         kwargs = dict(g) if isinstance(g, dict) else {"patterns": g}
-        d = bgp_match(triples, **kwargs)
-        dfs.append(d)
-        c = _certain_vars(kwargs, d.columns)
+        c = _certain_vars(kwargs, out.columns)
         certain = c if certain is None else (certain & c)
-    out = dfs[0]
-    for b in dfs[1:]:
-        out = out.unionByName(b, allowMissingColumns=True)
-    return out.select(*sorted(out.columns)), certain
+    return out, certain
 
 
 def bgp_match(triples: DataFrame,
@@ -613,11 +609,32 @@ def bgp_match(triples: DataFrame,
     # (certain = vars bound in every branch)
     subs = [(s, set(s.columns)) for s in (sub_selects or [])]
     subs += [_compile_union_group(triples, g) for g in (union_groups or [])]
+    # two classes of possibly-NULL solution variables, guarded
+    # differently: null_risk (introduced null-able by a UNION branch not
+    # binding them, or by VALUES UNDEF) makes ANY later equi-join on
+    # them unsound — raise; opt_null (OPTIONAL-introduced) keeps the
+    # module's documented join semantics and only raises where silence
+    # would be a NEW deviation (VALUES, exists_binds).
+    null_risk: set = set()
+    opt_null: set = set()
+
+    def _check_result_side(shared: set, what: str) -> None:
+        bad = shared & null_risk
+        if bad:
+            raise ValueError(
+                f"{what} joins on variables {sorted(bad)} that an "
+                "earlier UNION branch / VALUES row can leave unbound — "
+                "an unbound solution is compatible with anything in "
+                "SPARQL but a SQL NULL key matches nothing; bind the "
+                "variable in every branch/row or restructure the query"
+            )
+
     if patterns:
         result, bound = _join_group(triples, patterns)
     elif subs:
-        result, _ = subs.pop(0)
+        result, seed_certain = subs.pop(0)
         bound = set(result.columns)
+        null_risk |= bound - seed_certain
     else:
         raise ValueError("empty basic graph pattern")
     def _connect_subs(result, bound):
@@ -636,12 +653,13 @@ def bgp_match(triples: DataFrame,
             s, certain = subs.pop(pick)
             shared = bound & set(s.columns)
             _check_certain_join(shared, certain)
+            _check_result_side(shared, "a subquery/UNION group")
             result = result.join(s, on=sorted(shared), how="inner")
+            null_risk.update(set(s.columns) - certain - bound)
             bound |= set(s.columns)
         return result, bound
 
     result, bound = _connect_subs(result, bound)
-    maybe_null: set = set()  # solution vars that can be SQL NULL
     for group in optional or []:
         gdf, gvars, certain = _compile_group(triples, group)
         shared = bound & gvars
@@ -652,8 +670,9 @@ def bgp_match(triples: DataFrame,
                 "cartesian product"
             )
         _check_certain_join(shared, certain)
+        _check_result_side(shared, "an OPTIONAL group")
         result = result.join(gdf, on=sorted(shared), how="left")
-        maybe_null |= gvars - bound  # optional-miss rows leave them NULL
+        opt_null |= gvars - bound  # optional-miss rows leave them NULL
         bound |= gvars
     # second pass: subqueries that connect only through
     # OPTIONAL-introduced variables join here (inner join — an
@@ -674,14 +693,15 @@ def bgp_match(triples: DataFrame,
                 f"{sorted(bound)} — a disjoint VALUES would be a cartesian "
                 "product"
             )
-        undef_shared = bound & set(vvars) & maybe_null
+        undef_shared = bound & set(vvars) & (null_risk | opt_null)
         if undef_shared:
             raise ValueError(
-                f"VALUES joins on OPTIONAL-introduced variables "
-                f"{sorted(undef_shared)} — an unbound solution is "
-                "compatible with every VALUES row in SPARQL but a SQL "
-                "NULL key matches none; move the VALUES before the "
-                "OPTIONAL or into its group"
+                f"VALUES joins on possibly-unbound variables "
+                f"{sorted(undef_shared)} (OPTIONAL-introduced or not "
+                "bound by every UNION branch / VALUES row) — an unbound "
+                "solution is compatible with every VALUES row in SPARQL "
+                "but a SQL NULL key matches none; bind the variable in "
+                "the required part or move the VALUES before it"
             )
         lengths = {v: len(values[v]) for v in values}
         if len(set(lengths.values())) > 1 or 0 in lengths.values():
@@ -726,9 +746,16 @@ def bgp_match(triples: DataFrame,
         result = pieces[0]
         for p in pieces[1:]:
             result = result.unionByName(p, allowMissingColumns=True)
-        maybe_null |= {
+        for v in set(vvars) - set(result.columns):
+            # a variable UNDEF in every row and not otherwise bound:
+            # stays in scope as unbound (all-null), per SPARQL
+            result = result.withColumn(v, F.lit(None).cast("string"))
+        null_risk |= {
+            # UNDEF can only null a variable VALUES itself introduces —
+            # a pattern-bound one keeps the solution's value in every
+            # mask group (the join never overwrites the result side)
             v for v, col in zip(vvars, zip(*rows))
-            if any(x is None for x in col)
+            if any(x is None for x in col) and v not in bound
         }
         bound |= set(vvars)
     for name, expr in binds or []:
@@ -748,6 +775,7 @@ def bgp_match(triples: DataFrame,
             shared = bound & gvars
             if shared:
                 _check_certain_join(shared, certain)
+                _check_result_side(shared, f"a {kind.upper()} group")
                 how = "left_semi" if kind == "exists" else "left_anti"
                 result = result.join(gdf, on=sorted(shared), how=how)
             elif kind != "minus":
@@ -776,11 +804,11 @@ def bgp_match(triples: DataFrame,
         shared = bound & gvars
         if shared:
             _check_certain_join(shared, certain)
-            undef = shared & maybe_null
+            undef = shared & (null_risk | opt_null)
             if undef:
                 raise ValueError(
                     f"EXISTS in a filter expression correlates on "
-                    f"OPTIONAL-introduced variables {sorted(undef)} — "
+                    f"possibly-unbound variables {sorted(undef)} — "
                     "an unbound solution leaves the variable free in "
                     "SPARQL's substitution but a SQL NULL key matches "
                     "nothing; restructure so the variable is required"

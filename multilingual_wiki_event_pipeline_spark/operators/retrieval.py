@@ -38,9 +38,28 @@ regex token class (reference analog: bag-of-words over cleaned text).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
 TOKEN_RE = "[a-z0-9]+"
+
+
+def _check_terms(query_terms: list[str]) -> None:
+    if not query_terms:
+        raise ValueError("bm25 needs at least one query term")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError(f"duplicate query terms: {query_terms}")
+    bad = [t for t in query_terms if not re.fullmatch(TOKEN_RE, t)]
+    if bad:
+        # an uppercase/punctuated term can never equal a tokenizer
+        # output (lowercased [a-z0-9] runs) — it would silently score 0
+        # everywhere; and terms are interpolated into the generated
+        # oracle SQL, so the whitelist doubles as injection-proofing
+        raise ValueError(
+            f"query terms must match {TOKEN_RE!r} (lowercase tokenizer "
+            f"output): {bad}"
+        )
 
 
 def bm25_topk(documents: DataFrame,
@@ -55,10 +74,7 @@ def bm25_topk(documents: DataFrame,
     of distinct query terms present, rounded BM25 score; only docs with
     at least one hit rank. Ties break on doc_id (deterministic).
     """
-    if not query_terms:
-        raise ValueError("bm25_topk needs at least one query term")
-    if len(set(query_terms)) != len(query_terms):
-        raise ValueError(f"duplicate query terms: {query_terms}")
+    _check_terms(query_terms)
 
     toks = F.regexp_extract_all(
         F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0)
@@ -120,6 +136,7 @@ def bm25_topk_sql(query_terms: list[str],
     """DuckDB twin of :func:`bm25_topk` — generated from the SAME
     parameter list so the term order (and therefore the float-sum
     order) matches the Spark plan exactly."""
+    _check_terms(query_terms)
     tf_defs = ",\n               ".join(
         f"CAST(len(list_filter(t, x -> x = '{t}')) AS DOUBLE) AS tf_{i}"
         for i, t in enumerate(query_terms)

@@ -458,14 +458,16 @@ def _translate_expr(expr: str, prefixes: dict[str, str]) -> str:
     def _regex3(m: re.Match) -> str:
         term, pat, flags_tok = m.group(1), m.group(2), m.group(3)
         raw = lits[int(flags_tok.strip("\x00"))]
-        flags = raw[1:-1] if raw[:1] in "\"'" else ""
+        flags = raw[1:-1] if raw[:1] in "\"'" else None
         # XPath flags with a Java inline-flag twin; q (literal match)
         # has no (?q) and x differs on '#' comments — both raise
-        if not flags or any(f not in "ism" for f in flags):
+        if flags is None or any(f not in "ism" for f in flags):
             raise SparqlSyntaxError(
                 f"unsupported REGEX flags {raw}: only i/s/m map to Java "
                 "inline flags; inline others in the pattern itself"
             )
+        if not flags:  # REGEX(t, p, "") == the 2-arg form, per spec
+            return f"({term} rlike {pat})"
         return f"({term} rlike concat('(?{flags})', {pat}))"
 
     expr = re.sub(  # 3-arg form first: flags literal -> (?ism) prefix
@@ -1009,9 +1011,10 @@ def sparql_query(triples: DataFrame, text: str):
         kwargs = _compile_where_kwargs(triples, where, prefixes)
         kwargs.update(mods)
         # template predicates were <>-wrapped for path handling; emitted
-        # triples carry the raw IRI like the store does
+        # triples carry the raw IRI like the store does (path forms
+        # raise — CONSTRUCT templates emit concrete triples)
         template = [
-            (s, p[1:-1] if p.startswith("<") and p.endswith(">") else p, o)
+            (s, _unwrap_template_pred(p, "a CONSTRUCT template"), o)
             for s, p, o in template
         ]
         return bgp_construct(triples, template=template, **kwargs)
@@ -1060,6 +1063,30 @@ def sparql_query(triples: DataFrame, text: str):
     )
 
 
+_PATH_OP_CHARS = set("+*?^/|!()")
+
+
+def _unwrap_template_pred(p: str, what: str) -> str:
+    """A template/data-block predicate must be a single concrete IRI (or
+    a variable in templates): unwrap the path-handling ``<...>`` ONLY
+    when it encloses exactly one IRI — a path form (``<a>/<b>``,
+    ``<a>+``, bare ``ex:a/ex:b``) raises instead of silently emitting a
+    corrupted predicate or deleting nothing (SPARQL forbids paths in
+    CONSTRUCT templates and update QuadPatterns)."""
+    if p.startswith(("?", "$")):
+        return p
+    if p.startswith("<") and p.endswith(">"):
+        inner = p[1:-1]
+        if "<" not in inner and ">" not in inner:
+            return inner
+    elif not _PATH_OP_CHARS & set(p):
+        return p  # bare prefixed-name form, no path operators
+    raise SparqlSyntaxError(
+        f"property paths are not allowed in {what} — a template/data "
+        f"block emits concrete triples: {p!r}"
+    )
+
+
 def _parse_triple_block(text: str, prefixes: dict[str, str],
                         ground: bool, what: str
                         ) -> list[tuple[str, str, str]]:
@@ -1075,7 +1102,7 @@ def _parse_triple_block(text: str, prefixes: dict[str, str],
         raise SparqlSyntaxError(f"empty {what} block")
     unwrapped = []
     for s, p, o in out:
-        p = p[1:-1] if p.startswith("<") and p.endswith(">") else p
+        p = _unwrap_template_pred(p, what)
         if ground and any(t.startswith(("?", "$")) for t in (s, p, o)):
             raise SparqlSyntaxError(
                 f"{what} requires ground triples (no variables): "
@@ -1199,10 +1226,7 @@ def sparql_update(triples: DataFrame, text: str) -> DataFrame:
                         "WHERE { ... } for a full group"
                     )
                 template = [
-                    (s,
-                     p[1:-1] if p.startswith("<") and p.endswith(">")
-                     else p,
-                     o)
+                    (s, _unwrap_template_pred(p, "DELETE WHERE"), o)
                     for s, p, o in where["patterns"]
                 ]
                 dels = bgp_construct(
@@ -1245,6 +1269,12 @@ def sparql_update(triples: DataFrame, text: str) -> DataFrame:
                     "update operations must be separated by ';'"
                 )
             scan.read_token()
+            # truncate lineage between operations: each DELETE/INSERT
+            # WHERE embeds the pre-op store several times (templates +
+            # anti/semi probes), so an unchecked N-op sequence grows the
+            # plan exponentially — same hygiene as the iterative graph
+            # operators
+            store = store.localCheckpoint(eager=False)
     if not n_ops:
         raise SparqlSyntaxError("empty update request")
     return store

@@ -83,3 +83,13 @@ def test_bm25_rejects_bad_queries(spark):
         bm25_topk(docs, [])
     with pytest.raises(ValueError, match="duplicate"):
         bm25_topk(docs, ["spark", "spark"])
+    # uppercase/punctuated terms can never match tokenizer output (and
+    # would reach the generated oracle SQL unescaped) — reject early
+    with pytest.raises(ValueError, match="lowercase tokenizer"):
+        bm25_topk(docs, ["Spark"])
+    from multilingual_wiki_event_pipeline_spark.operators.retrieval import (
+        bm25_topk_sql,
+    )
+
+    with pytest.raises(ValueError, match="lowercase tokenizer"):
+        bm25_topk_sql(["o'brien"])

@@ -424,6 +424,68 @@ def test_describe_variables_without_where_raises(store):
         sparql_query(store, "DESCRIBE ?who")
 
 
+def test_values_on_union_partial_variable_raises(store):
+    # ?lab is unbound in the actor branch: a VALUES equi-join on it
+    # would drop those solutions SPARQL keeps — must raise, not lie
+    with pytest.raises(ValueError, match="possibly-unbound|UNION branch"):
+        sparql_query(store, """
+            PREFIX ex: <http://ex.org/>
+            SELECT * WHERE {
+                { ?e ex:actor ?who } UNION { ?e ex:label ?lab }
+                VALUES ?lab { "boom" }
+            }
+        """).collect()
+
+
+def test_optional_on_union_partial_variable_raises(store):
+    with pytest.raises(ValueError, match="UNION branch"):
+        sparql_query(store, """
+            PREFIX ex: <http://ex.org/>
+            SELECT * WHERE {
+                { ?e ex:actor ?who } UNION { ?e ex:label ?lab }
+                OPTIONAL { ?x ex:knows ?lab }
+            }
+        """).collect()
+
+
+def test_values_var_undef_in_every_row_stays_in_scope(store):
+    # ?x is UNDEF in the only row: stays in scope as unbound (null),
+    # not an unresolved-column crash
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?who ?x WHERE {
+            ?e ex:actor ?who .
+            VALUES (?who ?x) { ("alice" UNDEF) }
+        }
+    """).collect()
+    assert [(r.who, r.x) for r in out] == [("alice", None)]
+
+
+def test_values_undef_on_pattern_bound_var_keeps_it_certain(store):
+    # UNDEF rows can only null a variable VALUES itself introduces;
+    # ?who is pattern-bound, so a later EXISTS correlation on it is
+    # sound and must NOT raise
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e ?who WHERE {
+            ?e ex:actor ?who .
+            VALUES ?who { "bob" UNDEF }
+            FILTER(EXISTS { ?who ex:knows ?z } || ?who = "bob")
+        }
+    """).collect()
+    assert sorted((r.e, r.who) for r in out) == [
+        ("e1", "alice"), ("e2", "bob"), ("e2", "bob"),
+    ]
+
+
+def test_regex_empty_flags_is_two_arg_form(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?y WHERE { ?y ex:label ?l . FILTER(REGEX(?l, "boom", "")) }
+    """).collect()
+    assert [r.y for r in out] == ["e1"]
+
+
 def test_values_on_optional_introduced_variable_raises(store):
     with pytest.raises(ValueError, match="OPTIONAL-introduced"):
         sparql_query(store, """

@@ -138,6 +138,48 @@ def test_delete_where_with_filter_raises(store):
         """)
 
 
+def test_insert_data_path_predicate_raises(store):
+    # a path form would silently corrupt the stored predicate
+    with pytest.raises(SparqlSyntaxError, match="paths are not allowed"):
+        sparql_update(store, """
+            PREFIX ex: <http://ex.org/>
+            INSERT DATA { e5 ex:a/ex:b "v" }
+        """)
+
+
+def test_delete_where_path_predicate_raises(store):
+    # the path matches transitively but its 'template' would delete
+    # nothing — must raise instead of silently no-opping
+    with pytest.raises(SparqlSyntaxError, match="paths are not allowed"):
+        sparql_update(store, """
+            PREFIX ex: <http://ex.org/>
+            DELETE WHERE { ?s ex:actor+ ?o }
+        """)
+
+
+def test_construct_path_template_raises(store, spark):
+    from multilingual_wiki_event_pipeline_spark.operators.sparql import (
+        sparql_query,
+    )
+
+    with pytest.raises(SparqlSyntaxError, match="paths are not allowed"):
+        sparql_query(store, """
+            PREFIX ex: <http://ex.org/>
+            CONSTRUCT { ?s ex:a/ex:b ?o } WHERE { ?s ex:actor ?o }
+        """)
+
+
+def test_long_sequence_plan_stays_bounded(store):
+    # 8 chained ops: without per-op lineage truncation this plan grows
+    # ~4^N store references; with it, building + running stays sane
+    ops = " ;\n".join(
+        f'INSERT DATA {{ n{i} <http://ex.org/p> "v{i}" }}'
+        for i in range(8)
+    )
+    out = sparql_update(store, ops)
+    assert out.count() == 4 + 8
+
+
 def test_graph_management_raises(store):
     with pytest.raises(SparqlSyntaxError, match="single graph"):
         sparql_update(store, "CLEAR GRAPH <g>")
