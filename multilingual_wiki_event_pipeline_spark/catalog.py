@@ -1088,6 +1088,40 @@ def sparql_minus(spark, sf_dir):
     )
 
 
+def sparql_describe(spark, sf_dir):
+    """DESCRIBE ?actor WHERE over the K3 store: every triple touching an
+    error-event actor (subject or object position). The data-dependent
+    resource set compiles to two LEFT SEMI joins + set-dedup
+    (operators/bgp.bgp_describe_solutions); AQE broadcasts the small
+    distinct-actor side. Oracle = the same SEMI joins in SQL."""
+    from .operators.sparql import sparql_query
+
+    return sparql_query(triples_events(spark, sf_dir), """
+        DESCRIBE ?actor WHERE {
+            ?ev rdfs:label "error" ;
+                sem:hasActor ?actor .
+        }
+    """)
+
+
+def sparql_update_rewrite(spark, sf_dir):
+    """SPARQL 1.1 Update as an immutable transform over the K3 store: a
+    two-op sequence (predicate migration via DELETE/INSERT WHERE, then
+    an INSERT DATA marker) returning the NEW graph. Deletions are a
+    LEFT ANTI with the instantiated delete set as build side; insertions
+    keep set semantics via the SEMI-probe + exceptAll plan (the store is
+    never re-shuffled); lineage is truncated between ops. Oracle = the
+    same anti-join / not-exists-union pipeline in SQL."""
+    from .operators.sparql import sparql_update
+
+    return sparql_update(triples_events(spark, sf_dir), """
+        DELETE { ?ev sem:hasActor ?a }
+        INSERT { ?ev sem:agent ?a }
+        WHERE  { ?ev rdfs:label "error" ; sem:hasActor ?a } ;
+        INSERT DATA { coll:events rdfs:label "migrated" }
+    """)
+
+
 def sparql_text(spark, sf_dir):
     """SPARQL *text* front-end (operators/sparql.py): the sparql_bgp
     query authored as the query STRING a reference user would write
@@ -1393,5 +1427,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         ann_lsh_bucketed, graph_lpa, sparql_union, sparql_construct,
         sparql_agg, sparql_minus, graph_bfs, sparql_text,
         sparql_expressive, bm25_rank, graph_triangles, graph_sssp,
+        sparql_describe, sparql_update_rewrite,
     ]
 }

@@ -1093,6 +1093,63 @@ from .catalog import BM25_QUERY as _BM25_QUERY  # noqa: E402
 
 EXTRA_ORACLES["bm25_rank"] = _bm25_sql(_BM25_QUERY, k=20)
 
+# DESCRIBE ?actor WHERE: two SEMI joins (subject/object hits) + set
+# dedup — the mirror of bgp_describe_solutions' plan
+EXTRA_ORACLES["sparql_describe"] = f"""
+    WITH tr AS ({_TRIPLES_EVENTS_SQL}),
+    res AS (
+      SELECT DISTINCT p2.obj AS r
+      FROM tr p1
+      JOIN tr p2 ON p2.pred = 'sem:hasActor' AND p2.subj = p1.subj
+      WHERE p1.pred = 'rdfs:label' AND p1.obj = 'error'),
+    hits AS (
+      SELECT t.subj, t.pred, t.obj FROM tr t
+      SEMI JOIN res ON t.subj = res.r
+      UNION ALL
+      SELECT t.subj, t.pred, t.obj FROM tr t
+      SEMI JOIN res ON t.obj = res.r)
+    SELECT DISTINCT subj, pred, obj FROM hits
+"""
+
+# SPARQL Update mirror: DELETE/INSERT WHERE both instantiate from the
+# PRE-op graph (sol), delete applies first; set-semantic insert adds
+# only triples absent from the post-delete graph; the second op adds
+# its marker row iff absent.
+EXTRA_ORACLES["sparql_update_rewrite"] = f"""
+    WITH tr AS ({_TRIPLES_EVENTS_SQL}),
+    sol AS (
+      SELECT p2.subj AS ev, p2.obj AS a
+      FROM tr p1
+      JOIN tr p2 ON p2.pred = 'sem:hasActor' AND p2.subj = p1.subj
+      WHERE p1.pred = 'rdfs:label' AND p1.obj = 'error'),
+    dels AS (SELECT DISTINCT ev AS subj, 'sem:hasActor' AS pred,
+                    a AS obj FROM sol),
+    ins AS (SELECT DISTINCT ev AS subj, 'sem:agent' AS pred,
+                   a AS obj FROM sol),
+    after_del AS (
+      SELECT t.subj, t.pred, t.obj FROM tr t
+      ANTI JOIN dels d ON t.subj = d.subj AND t.pred = d.pred
+                      AND t.obj = d.obj),
+    op1 AS (
+      SELECT subj, pred, obj FROM after_del
+      UNION ALL
+      SELECT i.subj, i.pred, i.obj FROM ins i
+      WHERE NOT EXISTS (
+        SELECT 1 FROM after_del x
+        WHERE x.subj = i.subj AND x.pred = i.pred AND x.obj = i.obj)),
+    op2 AS (
+      SELECT subj, pred, obj FROM op1
+      UNION ALL
+      SELECT 'coll:events' AS subj, 'rdfs:label' AS pred,
+             'migrated' AS obj
+      WHERE NOT EXISTS (
+        SELECT 1 FROM op1 x
+        WHERE x.subj = 'coll:events' AND x.pred = 'rdfs:label'
+          AND x.obj = 'migrated'))
+    SELECT subj, pred, obj FROM op2
+"""
+
+
 def _sssp_sql(n_rounds: int = 4, source: str = "c1") -> str:
     """Unrolled-CTE twin of operators/graph.sssp_distances: per round,
     union current distances with every in-neighbor's dist + edge weight
