@@ -1265,6 +1265,29 @@ def graph_sssp(spark, sf_dir):
     return graph.sssp_distances(both, ["c1"], n_rounds=4)
 
 
+def graph_kcore(spark, sf_dir):
+    """3-core peeling (operators/graph.kcore_nodes; 4 fixed synchronous
+    rounds, pure integer ops — bit-exact unrolled-CTE DuckDB oracle) over
+    the same hub-capped same-order-date customer co-occurrence graph as
+    graph_triangles. Surviving nodes + their in-core degree: the KG
+    cluster-quality filter (degree-1 tendrils peel away, attested
+    communities survive)."""
+    from .operators import graph
+
+    dc = _t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_custkey").alias("c"),
+    ).distinct()
+    capped = dc.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("d").orderBy("c"))
+    ).filter(F.col("rn") <= 12)
+    left, right = capped.alias("l"), capped.alias("r")
+    edges = left.join(right, "d").filter(
+        F.col("l.c") < F.col("r.c")
+    ).select(F.col("l.c").alias("src"), F.col("r.c").alias("dst"))
+    return graph.kcore_nodes(edges, k=3, n_rounds=4)
+
+
 def asof_join_events(spark, sf_dir):
     """Purchase→last-view attribution as-of join (operators/temporal.py;
     pandas merge_asof / DuckDB ASOF JOIN semantics): for each 'purchase'
@@ -1427,6 +1450,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         ann_lsh_bucketed, graph_lpa, sparql_union, sparql_construct,
         sparql_agg, sparql_minus, graph_bfs, sparql_text,
         sparql_expressive, bm25_rank, graph_triangles, graph_sssp,
-        sparql_describe, sparql_update_rewrite,
+        sparql_describe, sparql_update_rewrite, graph_kcore,
     ]
 }

@@ -349,3 +349,67 @@ def symmetrize(pairs: DataFrame) -> DataFrame:
     return pairs.select("src", "dst").unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+
+
+def kcore_nodes(edges: DataFrame, k: int, n_rounds: int = 4) -> DataFrame:
+    """k-core peeling over an undirected simple graph (``edges(src,
+    dst)``, any direction; self-loops dropped, parallel edges collapsed).
+    Output: ``(node, degree)`` — the nodes surviving ``n_rounds`` of
+    synchronous peeling, with their degree in the surviving subgraph.
+
+    The k-core (densest-cohesion subgraph where every node keeps ≥ k
+    neighbors) is the standard KG-quality filter downstream of
+    canonicalization: entity clusters whose mention graph survives a
+    2- or 3-core are well-attested, degree-1 tendrils are noise. Each
+    synchronous round removes EVERY node whose current degree is < k at
+    once; the exact k-core is the fixpoint, and after r rounds the result
+    is a sound over-approximation (supersets shrink monotonically, so any
+    node removed by round r is provably outside the core). Rounds are
+    FIXED, not run to convergence, so the unrolled-CTE DuckDB oracle
+    mirrors the partial peel bit-for-bit — the same fixed-round contract
+    as :func:`sssp_distances`; call sites pick ``n_rounds`` ≥ the peel
+    depth of their graph if they need the exact core (peel depth is
+    typically tiny: hub-capped co-occurrence graphs converge in 2-4).
+
+    All ops are integer counts and comparisons — zero float risk.
+
+    Scale notes (100 TB): per round ONE map-side-combinable degree agg
+    (shuffle on node) + two left-semi joins of the edge table against the
+    node-sized survivor set (broadcastable as soon as edges >> nodes; AQE
+    picks that up at runtime). Lineage is truncated per round with lazy
+    localCheckpoint like the other fixed-round iterators, so the rounds
+    fuse into one submitted job.
+    """
+    if k < 1:
+        raise ValueError("kcore_nodes needs k >= 1")
+    und = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    for _ in range(n_rounds):
+        keep = (
+            sym.groupBy("src")
+            .agg(F.count("*").alias("dg"))
+            .filter(F.col("dg") >= k)
+            .select(F.col("src").alias("node"))
+        )
+        sym = (
+            sym.join(keep, sym.src == keep.node, "left_semi")
+            .join(keep, F.col("dst") == keep.node, "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("long").alias("degree"))
+    )

@@ -1227,6 +1227,44 @@ EXTRA_ORACLES["graph_triangles"] = """
 """
 
 
+def _kcore_sql(k: int, n_rounds: int = 4) -> str:
+    """Unrolled-CTE twin of operators/graph.kcore_nodes over the
+    triangles' hub-capped co-occurrence graph: per round, survivors are
+    the nodes with symmetric degree >= k, and the edge set is restricted
+    to survivor-survivor edges. Pure integer counts — bit-exact."""
+    rounds = ",\n".join(
+        f"""
+        n{i} AS (
+          SELECT src AS node FROM e{i - 1}
+          GROUP BY src HAVING COUNT(*) >= {k}),
+        e{i} AS (
+          SELECT e.src, e.dst FROM e{i - 1} e
+          JOIN n{i} a ON e.src = a.node
+          JOIN n{i} b ON e.dst = b.node)"""
+        for i in range(1, n_rounds + 1)
+    )
+    return f"""
+        WITH dc AS (
+          SELECT DISTINCT CAST(o_orderdate AS DATE) AS d, o_custkey AS c
+          FROM orders),
+        cap AS (
+          SELECT d, c FROM (
+            SELECT d, c, ROW_NUMBER() OVER (PARTITION BY d ORDER BY c) AS rn
+            FROM dc) WHERE rn <= 12),
+        und AS (
+          SELECT DISTINCT l.c AS a, r.c AS b
+          FROM cap l JOIN cap r ON l.d = r.d AND l.c < r.c),
+        e0 AS (SELECT a AS src, b AS dst FROM und
+               UNION ALL
+               SELECT b AS src, a AS dst FROM und),
+        {rounds}
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM e{n_rounds} GROUP BY src
+    """
+
+
+EXTRA_ORACLES["graph_kcore"] = _kcore_sql(k=3, n_rounds=4)
+
 
 # --- flagship oracle: the full KG pipeline's full_triples ------------------
 # The corpus is deterministic (datagen seed 42) and generated to a FIXED

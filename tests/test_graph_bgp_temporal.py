@@ -613,6 +613,47 @@ def test_triangle_counts_k4_complete(spark):
     assert got == {n: 3 for n in nodes}
 
 
+def test_kcore_peels_tail_keeps_clique(spark):
+    # K4 {a,b,c,d} with a tail d-e-f: the 2-core is exactly the K4 (f
+    # peels in round 1, e in round 2), each survivor at degree 3
+    nodes = ["a", "b", "c", "d"]
+    k4 = [(u, v) for u in nodes for v in nodes if u < v]
+    e = spark.createDataFrame(
+        k4 + [("d", "e"), ("e", "f")], "src string, dst string"
+    )
+    got = {r.node: r.degree
+           for r in graph.kcore_nodes(e, k=2, n_rounds=3).collect()}
+    assert got == {n: 3 for n in nodes}
+
+
+def test_kcore_fixed_rounds_partial_then_empty(spark):
+    # path a-b-c-d-e under k=2: round 1 strips the endpoints, round 2
+    # strips b,d, round 3 strips c — the fixed-round contract exposes the
+    # sound over-approximation at n_rounds=1 and the empty exact core
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    one = {r.node: r.degree
+           for r in graph.kcore_nodes(e, k=2, n_rounds=1).collect()}
+    assert one == {"b": 1, "c": 2, "d": 1}
+    assert graph.kcore_nodes(e, k=2, n_rounds=3).count() == 0
+    with pytest.raises(ValueError):
+        graph.kcore_nodes(e, k=0)
+
+
+def test_kcore_ignores_direction_dups_and_loops(spark):
+    # triangle stated with mixed directions, a duplicate edge, and a
+    # self-loop: the 2-core is the triangle at degree 2 each
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", "b"), ("a", "c"), ("a", "a")],
+        "src string, dst string",
+    )
+    got = {r.node: r.degree
+           for r in graph.kcore_nodes(e, k=2, n_rounds=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
 def test_bfs_distances_path_graph(spark):
     # a -> b -> c -> d chain plus a shortcut a -> c
     e = spark.createDataFrame(
