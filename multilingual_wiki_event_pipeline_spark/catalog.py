@@ -1265,6 +1265,28 @@ def graph_sssp(spark, sf_dir):
     return graph.sssp_distances(both, ["c1"], n_rounds=4)
 
 
+def ntriples_roundtrip(spark, sf_dir):
+    """The K3 triple emitter round-tripped through the N-Triples text
+    format (sources/ntriples.py): render to interchange lines, parse
+    back with the strict expression parser, map the parsed schema onto
+    triples_events' (no lang column; '' datatype on IRI-object rows).
+    Oracle = the triples_events SQL verbatim — render∘parse must be the
+    identity, which hash-checks the writer's escaping AND the parser's
+    term split/unescaping in one entry."""
+    from .operators.triples import render_turtle_line
+    from .sources.ntriples import parse_ntriples_lines
+
+    t = triples_events(spark, sf_dir)
+    lines = render_turtle_line(
+        t.withColumn("lang", F.lit(None).cast("string"))
+    )
+    parsed = parse_ntriples_lines(lines)
+    return parsed.select(
+        "subj", "pred", "obj", "obj_is_literal",
+        F.coalesce("datatype", F.lit("")).alias("datatype"),
+    )
+
+
 def graph_kcore(spark, sf_dir):
     """3-core peeling (operators/graph.kcore_nodes; 4 fixed synchronous
     rounds, pure integer ops — bit-exact unrolled-CTE DuckDB oracle) over
@@ -1451,5 +1473,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         sparql_agg, sparql_minus, graph_bfs, sparql_text,
         sparql_expressive, bm25_rank, graph_triangles, graph_sssp,
         sparql_describe, sparql_update_rewrite, graph_kcore,
+        ntriples_roundtrip,
     ]
 }

@@ -264,25 +264,35 @@ def serialize_participant_collection(
 
 
 def render_turtle_line(triples: DataFrame) -> DataFrame:
-    """Turtle rendering as a formatting projection (golden-file comparisons).
-    N-Triples-ish line form; literal escaping limited to the characters the
-    corpus can contain."""
+    """Turtle rendering as a formatting projection (golden-file comparisons
+    and the sources/ntriples.py writer). N-Triples line form; literal
+    escaping covers the characters N-Triples forbids raw (backslash,
+    quote, LF, CR — TAB is legal raw); terms starting with ``_:`` render
+    as blank-node labels, everything else as ``<IRI>``."""
+    # NB replacement strings are Java-regex replacements: backslashes must
+    # be doubled THERE too, so a literal \" needs four source backslashes
     esc = F.regexp_replace(
-        F.regexp_replace(F.col("obj"), r"\\", r"\\\\"), '"', r'\"'
+        F.regexp_replace(F.col("obj"), r"\\", r"\\\\"), '"', r"\\\""
     )
     esc = F.regexp_replace(esc, "\n", r"\\n")
+    esc = F.regexp_replace(esc, "\r", r"\\r")
     literal = F.concat(
         F.lit('"'), esc, F.lit('"'),
         F.when(F.col("lang").isNotNull(), F.concat(F.lit("@"), F.col("lang"))).otherwise(F.lit("")),
         F.when(F.col("datatype").isNotNull(),
                F.concat(F.lit("^^<"), F.col("datatype"), F.lit(">"))).otherwise(F.lit("")),
     )
+    def term(c):
+        return F.when(c.startswith("_:"), c).otherwise(
+            F.concat(F.lit("<"), c, F.lit(">"))
+        )
+
     obj = F.when(F.col("obj_is_literal"), literal).otherwise(
-        F.concat(F.lit("<"), F.col("obj"), F.lit(">"))
+        term(F.col("obj"))
     )
     return triples.select(
         F.concat(
-            F.lit("<"), F.col("subj"), F.lit("> <"), F.col("pred"), F.lit("> "),
+            term(F.col("subj")), F.lit(" <"), F.col("pred"), F.lit("> "),
             obj, F.lit(" ."),
         ).alias("line")
     )

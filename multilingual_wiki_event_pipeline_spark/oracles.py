@@ -1265,6 +1265,10 @@ def _kcore_sql(k: int, n_rounds: int = 4) -> str:
 
 EXTRA_ORACLES["graph_kcore"] = _kcore_sql(k=3, n_rounds=4)
 
+# render∘parse identity: the round-trip entry must hash-match the plain
+# triple emitter
+EXTRA_ORACLES["ntriples_roundtrip"] = ORACLES["triples_events"]
+
 
 # --- flagship oracle: the full KG pipeline's full_triples ------------------
 # The corpus is deterministic (datagen seed 42) and generated to a FIXED
