@@ -1265,6 +1265,62 @@ def graph_sssp(spark, sf_dir):
     return graph.sssp_distances(both, ["c1"], n_rounds=4)
 
 
+def _sparql_graph_store(spark, sf_dir):
+    """Quad store for the named-graph entries: events live in
+    per-event-type NAMED graphs (``graph:{event_type}``), user labels in
+    the DEFAULT graph."""
+    from .operators import quads as q
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    named = e.select(
+        F.concat(F.lit("graph:"), F.col("event_type")).alias("g"),
+        F.concat(F.lit("inst:ev"), F.col("event_id").cast("string")).alias("subj"),
+        F.lit("sem:hasActor").alias("pred"),
+        F.concat(F.lit("usr:"), F.col("user_id").cast("string")).alias("obj"),
+    )
+    labels = e.select(
+        F.concat(F.lit("usr:"), F.col("user_id").cast("string")).alias("subj"),
+        F.lit("rdfs:label").alias("pred"),
+        F.concat(F.lit("user "), F.col("user_id").cast("string")).alias("obj"),
+    ).distinct()
+    return named.unionByName(q.as_quads(labels))
+
+
+def sparql_graph(spark, sf_dir):
+    """SPARQL named graphs (operators/quads.py + quad patterns in
+    bgp._compile_pattern): ``GRAPH ?g { ?e sem:hasActor ?u } . ?u
+    rdfs:label ?name`` — the graph variable binds the graph name into
+    each solution and the default-graph pattern joins on ?u. One
+    equality-filtered scan per pattern (g reaches the parquet reader as
+    a pushed filter on a g-partitioned store) + one equi-join; no
+    per-graph driver loop."""
+    from .operators import quads as q
+    from .operators.bgp import bgp_match
+
+    store = _sparql_graph_store(spark, sf_dir)
+    pats = (
+        q.graph_patterns([("?e", "sem:hasActor", "?u")], "?g")
+        + q.default_patterns([("?u", "rdfs:label", "?name")])
+    )
+    return bgp_match(store, patterns=pats)
+
+
+def sparql_graph_text(spark, sf_dir):
+    """The same named-graph query as sparql_graph, but entered through
+    the SPARQL text front-end (GRAPH ?g block + default-graph pattern) —
+    hash-matching the same oracle pins parser → quad-pattern compilation
+    end-to-end."""
+    from .operators.sparql import sparql_query
+
+    store = _sparql_graph_store(spark, sf_dir)
+    return sparql_query(store, """
+        SELECT ?e ?g ?name ?u WHERE {
+            GRAPH ?g { ?e <sem:hasActor> ?u }
+            ?u <rdfs:label> ?name .
+        }
+    """)
+
+
 def ntriples_roundtrip(spark, sf_dir):
     """The K3 triple emitter round-tripped through the N-Triples text
     format (sources/ntriples.py): render to interchange lines, parse
@@ -1473,6 +1529,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         sparql_agg, sparql_minus, graph_bfs, sparql_text,
         sparql_expressive, bm25_rank, graph_triangles, graph_sssp,
         sparql_describe, sparql_update_rewrite, graph_kcore,
-        ntriples_roundtrip,
+        ntriples_roundtrip, sparql_graph, sparql_graph_text,
     ]
 }

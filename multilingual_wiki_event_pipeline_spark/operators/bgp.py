@@ -58,6 +58,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 TRIPLE_COLS = ("subj", "pred", "obj")
+GRAPH_COL = "g"
+# the default graph's reserved tag in a quad store (operators/quads.py) —
+# GRAPH ?var ranges over NAMED graphs only per SPARQL 1.1, so the
+# variable-graph scan excludes it
+DEFAULT_GRAPH = "urn:x-default"
 
 
 def is_var(term: str) -> bool:
@@ -290,6 +295,15 @@ def _compile_pattern(triples: DataFrame,
     A variable repeated inside one pattern (e.g. ``?x :p ?x``) becomes an
     intra-pattern equality filter.
 
+    A 4-term pattern is a QUAD pattern: the 4th term matches the
+    ``GRAPH_COL`` column of a quad store (operators/quads.py) — a
+    constant pins the named graph (the ``DEFAULT_GRAPH`` sentinel pins
+    the default graph), a variable binds the graph name and, per SPARQL
+    1.1, ranges over NAMED graphs only (the sentinel is excluded).
+    Property paths inside a variable-graph quad pattern raise (a path
+    can hop across graphs; evaluate paths against one graph via the
+    constant form or ``quads.graph_view``).
+
     A constant predicate may be a SPARQL 1.1 property-path expression
     (see ``_path_edges``): ``p+`` / ``p*`` closures, ``^p`` inverse,
     ``a/b`` sequence, ``a|b`` alternation. The compiled path frame stands
@@ -299,6 +313,23 @@ def _compile_pattern(triples: DataFrame,
     literal IRI — never path-interpreted (real IRIs contain ``/``) — with
     the brackets stripped before matching.
     """
+    cols = TRIPLE_COLS + (GRAPH_COL,) if len(pattern) == 4 else TRIPLE_COLS
+    if len(pattern) == 4:
+        gterm = pattern[3]
+        if is_var(gterm):
+            # GRAPH ?g ranges over named graphs only (SPARQL 1.1 §13.3)
+            triples = triples.filter(F.col(GRAPH_COL) != F.lit(DEFAULT_GRAPH))
+        if not is_var(pattern[1]) and _is_path(pattern[1]):
+            if is_var(gterm):
+                raise ValueError(
+                    f"property path {pattern[1]!r} inside GRAPH "
+                    f"{gterm} — paths are per-graph; pin the graph or "
+                    "use quads.graph_view"
+                )
+            # constant graph: the filter consumes the 4th term and the
+            # path compiles against that single graph's triple view
+            triples = triples.filter(F.col(GRAPH_COL) == F.lit(gterm))
+            pattern, cols = pattern[:3], TRIPLE_COLS
     p = pattern[1]
     if not is_var(p):
         # path test FIRST: "<a>/<b>" both starts with "<" and ends with
@@ -312,10 +343,10 @@ def _compile_pattern(triples: DataFrame,
                 "subj", F.lit(p).alias("pred"), "obj"
             )
         elif p.startswith("<") and p.endswith(">"):
-            pattern = (pattern[0], p[1:-1], pattern[2])
+            pattern = (pattern[0], p[1:-1], pattern[2]) + pattern[3:]
     df = triples
     var_to_col: dict[str, str] = {}
-    for term, col in zip(pattern, TRIPLE_COLS):
+    for term, col in zip(pattern, cols):
         if is_var(term):
             name = term[1:]
             if not name:

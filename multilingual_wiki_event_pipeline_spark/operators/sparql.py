@@ -61,7 +61,18 @@ Documented deviations (pragmatic subset, each raises or is noted):
   carries datatype/language in side columns the matcher doesn't consult).
 - Numeric literals compare as strings (the store's ``obj`` is a string
   column); quote-and-compare or FILTER with an explicit cast.
-- No BASE, no SERVICE/GRAPH, no property paths in CONSTRUCT templates —
+- Named graphs: against a QUAD store (a ``g`` column — operators/
+  quads.py), ``GRAPH ?g { ... }`` / ``GRAPH <iri> { ... }`` and the
+  ``FROM`` / ``FROM NAMED`` dataset clauses are supported in all four
+  query forms; plain patterns then match the DEFAULT graph only (the
+  ``urn:x-default`` tag), per SPARQL dataset semantics. Sub-surface:
+  GRAPH blocks take triple patterns and FILTERs only (a FILTER inside
+  merges into the enclosing group — identical semantics when it names
+  variables the block binds, a documented deviation otherwise); nested
+  GRAPH raises; property paths inside GRAPH need a constant graph term;
+  DESCRIBE over a quad store describes the set-union of all graphs;
+  GRAPH against a plain triple store raises; updates reject GRAPH.
+- No BASE, no SERVICE, no property paths in CONSTRUCT templates —
   all raise with a clear message. ``[NOT] EXISTS { ... }`` works both as
   a standalone FILTER constraint (semi/anti join) and inside a larger
   filter expression (``FILTER(EXISTS {..} || ?x = "y")`` — compiled to a
@@ -80,6 +91,8 @@ import re
 from pyspark.sql import DataFrame
 
 from .bgp import (
+    DEFAULT_GRAPH,
+    GRAPH_COL,
     TRIPLE_COLS,
     _paren_wrapped,
     _split_top,
@@ -88,6 +101,7 @@ from .bgp import (
     bgp_describe,
     bgp_describe_solutions,
     bgp_match,
+    parse_bgp,
 )
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -802,10 +816,36 @@ def _parse_body(body: str, prefixes: dict[str, str]) -> dict:
             )
             if not scan.eof() and scan.peek_ch() == ".":
                 scan.read_token()
-        elif scan.peek_kw("GRAPH"):
-            raise SparqlSyntaxError(
-                "GRAPH is not supported (the store is a single graph)"
-            )
+        elif scan.take_kw("GRAPH"):
+            gtok = scan.read_token()
+            if gtok[:1] in ("?", "$"):
+                gterm = "?" + gtok.lstrip("?$")
+            else:
+                gterm = _term(gtok, prefixes)
+            gk = _parse_body(scan.read_block(), prefixes)
+            extra = {k for k, v in gk.items()
+                     if v and k not in ("patterns", "filters")}
+            if extra:
+                raise SparqlSyntaxError(
+                    f"GRAPH blocks support triple patterns and FILTER "
+                    f"only — found {sorted(extra)}; hoist the clause out "
+                    "of the GRAPH block"
+                )
+            if not gk.get("patterns"):
+                raise SparqlSyntaxError(
+                    "GRAPH block needs at least one triple pattern"
+                )
+            for p in gk["patterns"]:
+                if len(p) != 3:
+                    raise SparqlSyntaxError("nested GRAPH blocks")
+                kwargs["patterns"].append(tuple(p) + (gterm,))
+            # documented deviation: a GRAPH-block FILTER merges into the
+            # enclosing group (group scoping is identical when the filter
+            # only names variables the block's required patterns bind)
+            if gk.get("filters"):
+                kwargs.setdefault("filters", []).extend(gk["filters"])
+            if not scan.eof() and scan.peek_ch() == ".":
+                scan.read_token()
         else:
             kwargs["patterns"].extend(_parse_clause(scan, prefixes))
     return kwargs
@@ -821,7 +861,7 @@ def _parse_projection(scan: _Scan, prefixes: dict[str, str]):
     binds: list[tuple[str, str]] = []
     star = False
     while True:
-        if scan.peek_kw("WHERE") or scan.peek_ch() == "{":
+        if scan.peek_kw("WHERE", "FROM") or scan.peek_ch() == "{":
             break
         if scan.peek_ch() == "*":
             scan.i += 1
@@ -911,6 +951,101 @@ def _parse_modifiers(scan: _Scan, prefixes: dict[str, str]) -> dict:
     return mods
 
 
+def _parse_dataset(scan: _Scan, prefixes: dict[str, str]):
+    """``FROM <g>`` / ``FROM NAMED <g>`` dataset clauses (repeatable,
+    between the projection/template and WHERE)."""
+    fg: list[str] = []
+    fn: list[str] = []
+    while scan.take_kw("FROM"):
+        target = fn if scan.take_kw("NAMED") else fg
+        target.append(_term(scan.read_token(), prefixes))
+    return fg or None, fn or None
+
+
+def _quadify_group(g):
+    """Rewrite one group spec for a quad store: every 3-term pattern
+    gains the DEFAULT_GRAPH tag (SPARQL dataset semantics — a plain
+    pattern matches the default graph only); 4-term GRAPH patterns pass
+    through."""
+    if isinstance(g, dict):
+        return _quadify_where(g)
+    if isinstance(g, str):
+        g = parse_bgp(g)
+    return [tuple(p) + (DEFAULT_GRAPH,) if len(p) == 3 else tuple(p)
+            for p in g]
+
+
+def _quadify_where(where: dict) -> dict:
+    out = dict(where)
+    pats = out.get("patterns")
+    if pats:
+        if isinstance(pats, str):
+            pats = parse_bgp(pats)
+        out["patterns"] = [
+            tuple(p) + (DEFAULT_GRAPH,) if len(p) == 3 else tuple(p)
+            for p in pats
+        ]
+    for key in ("optional", "minus", "not_exists", "exists"):
+        if out.get(key):
+            out[key] = [_quadify_group(g) for g in out[key]]
+    if out.get("union_groups"):
+        out["union_groups"] = [
+            [_quadify_group(b) for b in ug] for ug in out["union_groups"]
+        ]
+    if out.get("exists_binds"):
+        out["exists_binds"] = [
+            (name, _quadify_group(g)) for name, g in out["exists_binds"]
+        ]
+    return out
+
+
+def _uses_graph(where: dict) -> bool:
+    def group_uses(g) -> bool:
+        if isinstance(g, dict):
+            return _uses_graph(g)
+        if isinstance(g, str):
+            return False
+        return any(len(p) == 4 for p in g)
+
+    pats = where.get("patterns") or []
+    if not isinstance(pats, str) and any(len(p) == 4 for p in pats):
+        return True
+    for key in ("optional", "minus", "not_exists", "exists"):
+        if any(group_uses(g) for g in where.get(key) or []):
+            return True
+    for ug in where.get("union_groups") or []:
+        if any(group_uses(b) for b in ug):
+            return True
+    return any(group_uses(g) for _, g in where.get("exists_binds") or [])
+
+
+def _prepare_store(triples: DataFrame, where: dict,
+                   from_graphs=None, from_named=None):
+    """Resolve the (store, WHERE) pair for quad- vs triple-mode.
+
+    Quad mode (the store has a ``g`` column): apply FROM / FROM NAMED
+    via quads.dataset and tag every plain pattern with the default-graph
+    sentinel so dataset semantics hold. Triple mode: GRAPH patterns and
+    dataset clauses raise — they presuppose named graphs."""
+    is_quads = GRAPH_COL in triples.columns
+    if not is_quads:
+        if from_graphs or from_named:
+            raise SparqlSyntaxError(
+                "FROM / FROM NAMED need a quad store (a 'g' column); "
+                "this store is a single graph"
+            )
+        if _uses_graph(where):
+            raise SparqlSyntaxError(
+                "GRAPH needs a quad store (a 'g' column); this store is "
+                "a single graph"
+            )
+        return triples, where
+    if from_graphs or from_named:
+        from .quads import dataset
+        triples = dataset(triples, from_graphs, from_named)
+    return triples, _quadify_where(where)
+
+
 def _require_patterns(where: dict) -> None:
     if not where.get("patterns") and not where.get("subselect_texts") \
             and not where.get("union_groups"):
@@ -942,11 +1077,12 @@ def _compile_subselect(triples: DataFrame, text: str,
     scan = _Scan(text)
     if not scan.take_kw("SELECT"):
         raise SparqlSyntaxError("a subquery must be a SELECT")
-    return _run_select(triples, scan, prefixes)
+    return _run_select(triples, scan, prefixes, allow_dataset=False)
 
 
 def _run_select(triples: DataFrame, scan: _Scan,
-                prefixes: dict[str, str]) -> DataFrame:
+                prefixes: dict[str, str],
+                allow_dataset: bool = True) -> DataFrame:
     """The SELECT form, shared by top-level queries and subqueries (the
     scan is positioned just past the SELECT keyword)."""
     from pyspark.sql import functions as F
@@ -955,10 +1091,17 @@ def _run_select(triples: DataFrame, scan: _Scan,
     if scan.take_kw("REDUCED"):
         distinct = True  # REDUCED permits dedup; DISTINCT delivers it
     select, aggregates, proj_binds = _parse_projection(scan, prefixes)
+    if not allow_dataset and scan.peek_kw("FROM"):
+        raise SparqlSyntaxError(
+            "FROM / FROM NAMED are query-global — not allowed in a "
+            "subquery"
+        )
+    fg, fn = _parse_dataset(scan, prefixes)
     scan.take_kw("WHERE")
     where = _parse_body(scan.read_block(), prefixes)
     _require_patterns(where)
     mods = _parse_modifiers(scan, prefixes)
+    triples, where = _prepare_store(triples, where, fg, fn)
     kwargs = _compile_where_kwargs(triples, where, prefixes)
     if proj_binds:
         if aggregates or mods.get("group_by"):
@@ -988,6 +1131,7 @@ def sparql_query(triples: DataFrame, text: str):
         return _run_select(triples, scan, prefixes)
 
     if scan.take_kw("ASK"):
+        fg, fn = _parse_dataset(scan, prefixes)
         scan.take_kw("WHERE")
         where = _parse_body(scan.read_block(), prefixes)
         _require_patterns(where)
@@ -996,6 +1140,7 @@ def sparql_query(triples: DataFrame, text: str):
                 f"unexpected text after ASK body: "
                 f"{scan.s[scan.i:scan.i + 40]!r}"
             )
+        triples, where = _prepare_store(triples, where, fg, fn)
         kwargs = _compile_where_kwargs(triples, where, prefixes)
         return bgp_ask(triples, **kwargs)
 
@@ -1004,10 +1149,12 @@ def sparql_query(triples: DataFrame, text: str):
         template = []
         while not template_scan.eof():
             template.extend(_parse_clause(template_scan, prefixes))
+        fg, fn = _parse_dataset(scan, prefixes)
         scan.expect_kw("WHERE")
         where = _parse_body(scan.read_block(), prefixes)
         _require_patterns(where)
         mods = _parse_modifiers(scan, prefixes)
+        triples, where = _prepare_store(triples, where, fg, fn)
         kwargs = _compile_where_kwargs(triples, where, prefixes)
         kwargs.update(mods)
         # template predicates were <>-wrapped for path handling; emitted
@@ -1022,7 +1169,7 @@ def sparql_query(triples: DataFrame, text: str):
     if scan.take_kw("DESCRIBE"):
         resources, dvars, star = [], [], False
         while not scan.eof() and scan.peek_ch() != "{" \
-                and not scan.peek_kw("WHERE"):
+                and not scan.peek_kw("WHERE") and not scan.peek_kw("FROM"):
             if scan.peek_kw("LIMIT", "OFFSET", "ORDER", "GROUP", "HAVING"):
                 raise SparqlSyntaxError(
                     "DESCRIBE takes no solution modifiers"
@@ -1034,12 +1181,23 @@ def sparql_query(triples: DataFrame, text: str):
                 dvars.append(tok.lstrip("?$"))
             else:
                 resources.append(_term(tok, prefixes))
+        fg, fn = _parse_dataset(scan, prefixes)
+
+        def _describe_view(store):
+            # over a quad store, DESCRIBE describes the UNION graph
+            # (set semantics — a triple present in two graphs is one
+            # description triple)
+            if GRAPH_COL in store.columns:
+                return store.select(*TRIPLE_COLS).distinct()
+            return store
+
         if scan.eof():
             if star or dvars:
                 raise SparqlSyntaxError(
                     "DESCRIBE of variables needs a WHERE clause"
                 )
-            return bgp_describe(triples, resources)
+            store, _ = _prepare_store(triples, {}, fg, fn)
+            return bgp_describe(_describe_view(store), resources)
         # DESCRIBE ?v ... WHERE { ... }: describe every resource the
         # solutions bind to the listed vars (* = all solution vars)
         scan.take_kw("WHERE")
@@ -1047,9 +1205,11 @@ def sparql_query(triples: DataFrame, text: str):
         _require_patterns(where)
         if not scan.eof():
             raise SparqlSyntaxError("DESCRIBE takes no solution modifiers")
+        store, where = _prepare_store(triples, where, fg, fn)
         sol = bgp_match(
-            triples, **_compile_where_kwargs(triples, where, prefixes)
+            store, **_compile_where_kwargs(store, where, prefixes)
         )
+        triples = _describe_view(store)
         if star:
             dvars = sorted(set(sol.columns) | set(dvars))
         if not dvars:
@@ -1141,6 +1301,15 @@ def _store_plus(store, ins, hint_broadcast: bool):
     return store.unionByName(ins_d.exceptAll(existing))
 
 
+def _reject_update_graph(where: dict) -> None:
+    if _uses_graph(where):
+        raise SparqlSyntaxError(
+            "GRAPH is not supported in updates — sparql_update operates "
+            "on a single graph (query named graphs with sparql_query "
+            "over a quad store)"
+        )
+
+
 def sparql_update(triples: DataFrame, text: str) -> DataFrame:
     """SPARQL 1.1 Update against ``triples(subj, pred, obj, ...)`` —
     as an IMMUTABLE transform: returns the new ``(subj, pred, obj)``
@@ -1200,6 +1369,7 @@ def sparql_update(triples: DataFrame, text: str) -> DataFrame:
                 scan.expect_kw("WHERE")
                 where = _parse_body(scan.read_block(), prefixes)
                 _require_patterns(where)
+                _reject_update_graph(where)
                 ins = bgp_construct(
                     store, template=template,
                     **_compile_where_kwargs(store, where, prefixes),
@@ -1217,6 +1387,7 @@ def sparql_update(triples: DataFrame, text: str) -> DataFrame:
                 )
             elif scan.take_kw("WHERE"):
                 where = _parse_body(scan.read_block(), prefixes)
+                _reject_update_graph(where)
                 extra = {k for k, v in where.items()
                          if v and k != "patterns"}
                 if extra or not where.get("patterns"):
@@ -1245,6 +1416,7 @@ def sparql_update(triples: DataFrame, text: str) -> DataFrame:
                 scan.expect_kw("WHERE")
                 where = _parse_body(scan.read_block(), prefixes)
                 _require_patterns(where)
+                _reject_update_graph(where)
                 kwargs = _compile_where_kwargs(store, where, prefixes)
                 dels = bgp_construct(store, template=del_template,
                                      **kwargs)

@@ -1269,6 +1269,24 @@ EXTRA_ORACLES["graph_kcore"] = _kcore_sql(k=3, n_rounds=4)
 # triple emitter
 EXTRA_ORACLES["ntriples_roundtrip"] = ORACLES["triples_events"]
 
+# named graphs: GRAPH ?g binds the per-event-type graph name; the
+# default-graph label pattern joins on the actor. Bag semantics = one
+# row per (event x its label row); labels are distinct per user.
+EXTRA_ORACLES["sparql_graph"] = """
+    WITH ev AS (
+      SELECT concat('graph:', event_type) AS g,
+             concat('inst:ev', CAST(event_id AS VARCHAR)) AS e,
+             concat('usr:', CAST(user_id AS VARCHAR)) AS u
+      FROM events),
+    lab AS (
+      SELECT DISTINCT concat('usr:', CAST(user_id AS VARCHAR)) AS u,
+             concat('user ', CAST(user_id AS VARCHAR)) AS name
+      FROM events)
+    SELECT ev.e AS e, ev.g AS g, lab.name AS name, ev.u AS u
+    FROM ev JOIN lab ON ev.u = lab.u
+"""
+EXTRA_ORACLES["sparql_graph_text"] = EXTRA_ORACLES["sparql_graph"]
+
 
 # --- flagship oracle: the full KG pipeline's full_triples ------------------
 # The corpus is deterministic (datagen seed 42) and generated to a FIXED

@@ -654,6 +654,102 @@ def test_kcore_ignores_direction_dups_and_loops(spark):
     assert got == {"a": 2, "b": 2, "c": 2}
 
 
+@pytest.fixture(scope="module")
+def quad_store(spark):
+    from multilingual_wiki_event_pipeline_spark.operators import quads as q
+    g1 = spark.createDataFrame(
+        [("e1", "type", "Fire"), ("e1", "loc", "NL"), ("s", "p", "both")],
+        "subj string, pred string, obj string",
+    )
+    g2 = spark.createDataFrame(
+        [("e1", "type", "Flood"), ("e2", "loc", "DE"), ("s", "p", "both")],
+        "subj string, pred string, obj string",
+    )
+    dflt = spark.createDataFrame(
+        [("e1", "label", "fire one"), ("e2", "label", "ev two")],
+        "subj string, pred string, obj string",
+    )
+    return q.union_graphs({"graph:a": g1, "graph:b": g2}, default=dflt)
+
+
+def test_graph_var_binds_named_graphs_only(quad_store):
+    from multilingual_wiki_event_pipeline_spark.operators import quads as q
+    # ?g must range over named graphs (never the default sentinel), and
+    # joins to the default-graph label pattern on ?e
+    pats = q.graph_patterns([("?e", "type", "?t")], "?g") + \
+        q.default_patterns([("?e", "label", "?l")])
+    got = sorted(map(tuple, bgp.bgp_match(quad_store, patterns=pats).collect()))
+    assert got == [("e1", "graph:a", "fire one", "Fire"),
+                   ("e1", "graph:b", "fire one", "Flood")]
+    # the default graph's 'label' triples are invisible to GRAPH ?g
+    lab = bgp.bgp_match(
+        quad_store, patterns=q.graph_patterns([("?e", "label", "?l")], "?g")
+    )
+    assert lab.count() == 0
+
+
+def test_graph_constant_pins_one_graph(quad_store):
+    from multilingual_wiki_event_pipeline_spark.operators import quads as q
+    got = bgp.bgp_match(
+        quad_store, patterns=q.graph_patterns([("?e", "type", "?t")], "graph:a")
+    )
+    assert sorted(map(tuple, got.collect())) == [("e1", "Fire")]
+
+
+def test_graph_var_joins_within_group(quad_store):
+    from multilingual_wiki_event_pipeline_spark.operators import quads as q
+    # both patterns in one GRAPH ?g group must match in the SAME graph:
+    # type+loc co-occur only in graph:a (e1) — graph:b's loc is e2
+    pats = q.graph_patterns([("?e", "type", "?t"), ("?e", "loc", "?w")], "?g")
+    got = sorted(map(tuple, bgp.bgp_match(quad_store, patterns=pats).collect()))
+    assert got == [("e1", "graph:a", "Fire", "NL")]
+
+
+def test_dataset_from_merges_with_set_semantics(quad_store):
+    from multilingual_wiki_event_pipeline_spark.operators import quads as q
+    ds = q.dataset(quad_store, from_graphs=["graph:a", "graph:b"])
+    # ('s','p','both') lives in BOTH source graphs: the merged default
+    # graph holds it ONCE (RDF merge, not bag union)
+    got = bgp.bgp_match(
+        ds, patterns=q.default_patterns([("s", "p", "?o")])
+    )
+    assert [r.o for r in got.collect()] == ["both"]
+    # and the original default graph is gone from the active dataset
+    assert bgp.bgp_match(
+        ds, patterns=q.default_patterns([("?e", "label", "?l")])
+    ).count() == 0
+
+
+def test_dataset_from_named_restricts_graph_var(quad_store):
+    from multilingual_wiki_event_pipeline_spark.operators import quads as q
+    ds = q.dataset(quad_store, from_named=["graph:b"])
+    got = bgp.bgp_match(
+        ds, patterns=q.graph_patterns([("?e", "type", "?t")], "?g")
+    )
+    assert sorted(map(tuple, got.collect())) == [("e1", "graph:b", "Flood")]
+    # FROM NAMED alone implies an empty default graph
+    assert bgp.bgp_match(
+        ds, patterns=q.default_patterns([("?e", "label", "?l")])
+    ).count() == 0
+
+
+def test_graph_path_constant_ok_variable_raises(spark):
+    from multilingual_wiki_event_pipeline_spark.operators import quads as q
+    edges = spark.createDataFrame(
+        [("a", "sub", "b"), ("b", "sub", "c")],
+        "subj string, pred string, obj string",
+    )
+    store = q.union_graphs({"graph:o": edges})
+    got = bgp.bgp_match(
+        store, patterns=q.graph_patterns([("a", "sub+", "?x")], "graph:o")
+    )
+    assert sorted(r.x for r in got.collect()) == ["b", "c"]
+    with pytest.raises(ValueError, match="paths are per-graph"):
+        bgp.bgp_match(
+            store, patterns=q.graph_patterns([("a", "sub+", "?x")], "?g")
+        ).collect()
+
+
 def test_bfs_distances_path_graph(spark):
     # a -> b -> c -> d chain plus a shortcut a -> c
     e = spark.createDataFrame(

@@ -1002,3 +1002,133 @@ def test_trailing_dot_after_subquery_block(store):
         }
     """).collect()
     assert [(r.e, r.who) for r in out] == [("e2", "bob")]
+
+
+@pytest.fixture(scope="module")
+def qstore(spark):
+    """Quad store: per-source named graphs + a default graph of labels."""
+    from multilingual_wiki_event_pipeline_spark.operators import quads as q
+    ga = spark.createDataFrame(
+        [("e1", EX + "type", "Fire"), ("e1", EX + "loc", "NL"),
+         ("t1", EX + "sub", "t2"), ("t2", EX + "sub", "t3")],
+        "subj string, pred string, obj string",
+    )
+    gb = spark.createDataFrame(
+        [("e1", EX + "type", "Flood"), ("e2", EX + "loc", "DE")],
+        "subj string, pred string, obj string",
+    )
+    dflt = spark.createDataFrame(
+        [("e1", EX + "label", "fire one"), ("e2", EX + "label", "two")],
+        "subj string, pred string, obj string",
+    )
+    return q.union_graphs(
+        {"http://g/a": ga, "http://g/b": gb}, default=dflt
+    )
+
+
+def test_text_graph_var_joins_default_pattern(qstore):
+    out = sparql_query(qstore, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e ?g ?t ?l WHERE {
+            GRAPH ?g { ?e ex:type ?t }
+            ?e ex:label ?l .
+        }
+    """)
+    assert sorted(map(tuple, out.collect())) == [
+        ("e1", "http://g/a", "Fire", "fire one"),
+        ("e1", "http://g/b", "Flood", "fire one"),
+    ]
+
+
+def test_text_graph_constant_and_from(qstore):
+    out = sparql_query(qstore, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?t WHERE { GRAPH <http://g/a> { ?e ex:type ?t } }
+    """)
+    assert [r.t for r in out.collect()] == ["Fire"]
+    # FROM re-tags graph a as the default graph; the original default
+    # graph leaves the active dataset
+    out2 = sparql_query(qstore, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?t FROM <http://g/a> WHERE { ?e ex:type ?t }
+    """)
+    assert [r.t for r in out2.collect()] == ["Fire"]
+    assert not sparql_query(
+        qstore,
+        "PREFIX ex: <http://ex.org/> "
+        "ASK FROM <http://g/a> { ?e ex:label ?l }",
+    )
+
+
+def test_text_from_named_restricts_graph_var(qstore):
+    out = sparql_query(qstore, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?g ?t FROM NAMED <http://g/b>
+        WHERE { GRAPH ?g { ?e ex:type ?t } }
+    """)
+    assert sorted(map(tuple, out.collect())) == [("http://g/b", "Flood")]
+
+
+def test_text_graph_path_with_constant_graph(qstore):
+    out = sparql_query(qstore, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?x WHERE { GRAPH <http://g/a> { t1 ex:sub+ ?x } }
+    """)
+    assert sorted(r.x for r in out.collect()) == ["t2", "t3"]
+
+
+def test_text_graph_optional_containing_graph(qstore):
+    # GRAPH inside OPTIONAL: label is required, per-graph type optional
+    out = sparql_query(qstore, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?e ?g ?t WHERE {
+            ?e ex:label ?l .
+            OPTIONAL { GRAPH ?g { ?e ex:type ?t } }
+        }
+    """)
+    got = sorted(map(tuple, out.collect()))
+    assert got == [
+        ("e1", "http://g/a", "Fire"),
+        ("e1", "http://g/b", "Flood"),
+        ("e2", None, None),
+    ]
+
+
+def test_text_graph_errors(qstore, store):
+    with pytest.raises(SparqlSyntaxError, match="quad store"):
+        sparql_query(store, "SELECT ?t WHERE { GRAPH ?g { ?e ?p ?t } }")
+    with pytest.raises(SparqlSyntaxError, match="quad store"):
+        sparql_query(
+            store, "SELECT ?t FROM <http://g/a> WHERE { ?e ?p ?t }"
+        )
+    with pytest.raises(SparqlSyntaxError, match="nested GRAPH"):
+        sparql_query(qstore, """
+            SELECT ?t WHERE {
+                GRAPH ?g { GRAPH ?h { ?e ?p ?t } }
+            }
+        """)
+    with pytest.raises(SparqlSyntaxError, match="triple patterns and FILTER"):
+        sparql_query(qstore, """
+            SELECT ?t WHERE {
+                GRAPH ?g { OPTIONAL { ?e ?p ?t } }
+            }
+        """)
+    with pytest.raises(SparqlSyntaxError, match="subquery"):
+        sparql_query(qstore, """
+            PREFIX ex: <http://ex.org/>
+            SELECT ?t WHERE {
+                { SELECT ?t FROM <http://g/a> WHERE { ?e ex:type ?t } }
+                ?e ex:type ?t .
+            }
+        """)
+
+
+def test_text_update_rejects_graph(qstore):
+    from multilingual_wiki_event_pipeline_spark.operators.sparql import (
+        sparql_update,
+    )
+    with pytest.raises(SparqlSyntaxError, match="single graph"):
+        sparql_update(qstore.drop("g"), """
+            PREFIX ex: <http://ex.org/>
+            DELETE { ?e ex:type ?t } WHERE { GRAPH ?g { ?e ex:type ?t } }
+        """)
