@@ -1343,6 +1343,26 @@ def ntriples_roundtrip(spark, sf_dir):
     )
 
 
+def nquads_roundtrip(spark, sf_dir):
+    """The named-graph quad store round-tripped through N-Quads text
+    (sources/ntriples.py): render each quad to its interchange line
+    (default-graph rows omit the label per the grammar), parse back with
+    the strict quad parser, and return (g, subj, pred, obj,
+    obj_is_literal). render∘parse must be the identity — one entry
+    hash-checks the quad writer, the optional-graph-term split, and the
+    default-graph tagging."""
+    from .sources.ntriples import parse_nquads_lines
+    from .operators.triples import render_turtle_line
+
+    store = _sparql_graph_store(spark, sf_dir).withColumn(
+        "obj_is_literal", F.col("pred") == F.lit("rdfs:label")
+    ).withColumn("lang", F.lit(None).cast("string")) \
+     .withColumn("datatype", F.lit(None).cast("string"))
+    lines = render_turtle_line(store, graph_col="g")
+    parsed = parse_nquads_lines(lines)
+    return parsed.select("g", "subj", "pred", "obj", "obj_is_literal")
+
+
 def graph_kcore(spark, sf_dir):
     """3-core peeling (operators/graph.kcore_nodes; 4 fixed synchronous
     rounds, pure integer ops — bit-exact unrolled-CTE DuckDB oracle) over
@@ -1530,5 +1550,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         sparql_expressive, bm25_rank, graph_triangles, graph_sssp,
         sparql_describe, sparql_update_rewrite, graph_kcore,
         ntriples_roundtrip, sparql_graph, sparql_graph_text,
+        nquads_roundtrip,
     ]
 }

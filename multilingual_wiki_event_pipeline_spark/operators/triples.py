@@ -263,12 +263,17 @@ def serialize_participant_collection(
     return out.dropDuplicates(TRIPLE_COLS)
 
 
-def render_turtle_line(triples: DataFrame) -> DataFrame:
+def render_turtle_line(triples: DataFrame,
+                       graph_col: str | None = None) -> DataFrame:
     """Turtle rendering as a formatting projection (golden-file comparisons
     and the sources/ntriples.py writer). N-Triples line form; literal
     escaping covers the characters N-Triples forbids raw (backslash,
     quote, LF, CR — TAB is legal raw); terms starting with ``_:`` render
-    as blank-node labels, everything else as ``<IRI>``."""
+    as blank-node labels, everything else as ``<IRI>``.
+
+    With ``graph_col``, renders N-QUADS: the named-graph label is the
+    4th term; rows tagged with the default-graph sentinel (or null) omit
+    it, per the N-Quads grammar."""
     # NB replacement strings are Java-regex replacements: backslashes must
     # be doubled THERE too, so a literal \" needs four source backslashes
     esc = F.regexp_replace(
@@ -290,9 +295,16 @@ def render_turtle_line(triples: DataFrame) -> DataFrame:
     obj = F.when(F.col("obj_is_literal"), literal).otherwise(
         term(F.col("obj"))
     )
+    tail = F.lit(" .")
+    if graph_col is not None:
+        from .bgp import DEFAULT_GRAPH
+        g = F.col(graph_col)
+        tail = F.when(
+            g.isNull() | (g == F.lit(DEFAULT_GRAPH)), F.lit(" .")
+        ).otherwise(F.concat(F.lit(" "), term(g), F.lit(" .")))
     return triples.select(
         F.concat(
             term(F.col("subj")), F.lit(" <"), F.col("pred"), F.lit("> "),
-            obj, F.lit(" ."),
+            obj, tail,
         ).alias("line")
     )

@@ -1287,6 +1287,25 @@ EXTRA_ORACLES["sparql_graph"] = """
 """
 EXTRA_ORACLES["sparql_graph_text"] = EXTRA_ORACLES["sparql_graph"]
 
+# N-Quads render-parse identity over the same quad store: every quad,
+# with default-graph label rows re-tagged by the parser
+EXTRA_ORACLES["nquads_roundtrip"] = """
+    WITH ev AS (
+      SELECT concat('graph:', event_type) AS g,
+             concat('inst:ev', CAST(event_id AS VARCHAR)) AS subj,
+             'sem:hasActor' AS pred,
+             concat('usr:', CAST(user_id AS VARCHAR)) AS obj
+      FROM events),
+    lab AS (
+      SELECT DISTINCT 'urn:x-default' AS g,
+             concat('usr:', CAST(user_id AS VARCHAR)) AS subj,
+             'rdfs:label' AS pred,
+             concat('user ', CAST(user_id AS VARCHAR)) AS obj
+      FROM events)
+    SELECT g, subj, pred, obj, (pred = 'rdfs:label') AS obj_is_literal
+    FROM (SELECT * FROM ev UNION ALL SELECT * FROM lab)
+"""
+
 
 # --- flagship oracle: the full KG pipeline's full_triples ------------------
 # The corpus is deterministic (datagen seed 42) and generated to a FIXED

@@ -10,7 +10,11 @@ source: every line is one triple, so ``spark.read.text`` splits a
 projection — regex term split, literal/IRI classification, escape
 decoding — with zero Python, zero shuffle, and full whole-stage codegen.
 The writer is the inverse projection over the typed triple frame
-(``operators/triples.render_turtle_line``) plus ``write.text``.
+(``operators/triples.render_turtle_line``) plus ``write.text``. The
+N-QUADS variants (``parse_nquads_lines`` / ``read_nquads`` /
+``write_nquads``) add the optional graph-label term and produce/consume
+the quad-store layout of operators/quads.py (absent label = the
+default-graph sentinel).
 
 Grammar coverage (W3C N-Triples): IRI terms ``<...>``, blank nodes
 ``_:label`` (kept verbatim as term text), literals with language tags
@@ -40,6 +44,15 @@ from ..operators.triples import render_turtle_line
 # term split: subject (IRI or blank), predicate IRI, object (lazy — the
 # end anchor + backtracking make literals containing " . " parse whole)
 _LINE_RE = r"^[ \t]*(<[^>]*>|_:[^ \t]+)[ \t]+<([^>]*)>[ \t]+(.*?)[ \t]*\.[ \t]*$"
+# N-Quads: optional graph label (IRI or blank) before the dot. The lazy
+# object is (.+?) — non-empty, so the optional graph group can never
+# claim the object term of a 3-term line; literals containing " <x> "
+# still parse whole because a graph-group match that strands text before
+# the dot backtracks.
+_QLINE_RE = (
+    r"^[ \t]*(<[^>]*>|_:[^ \t]+)[ \t]+<([^>]*)>[ \t]+(.+?)"
+    r"(?:[ \t]+(<[^>]*>|_:[^ \t]+))?[ \t]*\.[ \t]*$"
+)
 _LIT_RE = r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z]+(?:-[A-Za-z0-9]+)*)|\^\^<([^>]*)>)?$'
 # every char is either a non-backslash or one complete legal escape
 _VALID_ESC_RE = (
@@ -103,13 +116,31 @@ def parse_ntriples_lines(lines: DataFrame, col: str = "line",
     """``lines(col)`` -> typed triple frame ``(subj, pred, obj,
     obj_is_literal, lang, datatype)``. Pure expression plan — see module
     docstring for grammar and the strict/permissive error contract."""
+    return _parse(lines, col, strict, quads=False)
+
+
+def parse_nquads_lines(lines: DataFrame, col: str = "line",
+                       strict: bool = True) -> DataFrame:
+    """``lines(col)`` -> typed QUAD frame ``(g, subj, pred, obj,
+    obj_is_literal, lang, datatype)`` — the N-Quads sibling of
+    :func:`parse_ntriples_lines`. Lines without a graph label land in
+    the default graph (``bgp.DEFAULT_GRAPH``), so the result plugs
+    straight into operators/quads.py."""
+    return _parse(lines, col, strict, quads=True)
+
+
+def _parse(lines: DataFrame, col: str, strict: bool,
+           quads: bool) -> DataFrame:
+    from ..operators.bgp import DEFAULT_GRAPH
+
+    rx = _QLINE_RE if quads else _LINE_RE
     line = F.col(col)
     meat = lines.filter(
         (F.trim(line) != "") & ~F.ltrim(line).startswith("#")
     )
-    subj_t = F.regexp_extract(line, _LINE_RE, 1)
-    pred_t = F.regexp_extract(line, _LINE_RE, 2)
-    obj_t = F.regexp_extract(line, _LINE_RE, 3)
+    subj_t = F.regexp_extract(line, rx, 1)
+    pred_t = F.regexp_extract(line, rx, 2)
+    obj_t = F.regexp_extract(line, rx, 3)
 
     is_iri = obj_t.startswith("<")
     is_blank = obj_t.startswith("_:")
@@ -134,6 +165,18 @@ def parse_ntriples_lines(lines: DataFrame, col: str = "line",
         | (is_lit & ~lit_ok)
         | ~esc_ok
     )
+    if quads:
+        g_t = F.regexp_extract(line, rx, 4)
+        g_iri = F.regexp_extract(g_t, r"^<(.*)>$", 1)
+        esc_ok = esc_ok & F.when(
+            g_t.startswith("<"), g_iri.rlike(_VALID_ESC_RE)
+        ).otherwise(F.lit(True))
+        malformed = malformed | ~esc_ok
+        g_out = (
+            F.when(g_t == "", F.lit(DEFAULT_GRAPH))
+            .when(g_t.startswith("<"), _unescape(g_iri))
+            .otherwise(g_t)
+        )
 
     subj = F.when(subj_t.startswith("<"), _unescape(subj_iri)).otherwise(subj_t)
     obj = (
@@ -154,14 +197,17 @@ def parse_ntriples_lines(lines: DataFrame, col: str = "line",
         )
     else:
         meat = meat.filter(~malformed)
-    return meat.select(
+    out_cols = [
         subj.alias("subj"),
         _unescape(pred_t).alias("pred"),
         obj.alias("obj"),
         is_lit.alias("obj_is_literal"),
         lang.alias("lang"),
         F.when(is_lit, dtype).alias("datatype"),
-    )
+    ]
+    if quads:
+        out_cols.insert(0, g_out.alias("g"))
+    return meat.select(*out_cols)
 
 
 def read_ntriples(spark: SparkSession, path: str,
@@ -175,6 +221,27 @@ def read_ntriples(spark: SparkSession, path: str,
                                 strict=strict)
 
 
+def read_nquads(spark: SparkSession, path: str,
+                strict: bool = True) -> DataFrame:
+    """Distributed N-Quads scan — the quad-store (operators/quads.py)
+    interchange sibling of :func:`read_ntriples`; same splittable
+    text-scan plan, one extra projected column."""
+    return parse_nquads_lines(spark.read.text(path), col="value",
+                              strict=strict)
+
+
+def _write_lines(triples: DataFrame, path: str, n_files: int | None,
+                 graph_col: str | None) -> None:
+    if "lang" not in triples.columns:
+        triples = triples.withColumn("lang", F.lit(None).cast("string"))
+    lines = render_turtle_line(triples, graph_col=graph_col).select(
+        F.col("line").alias("value")
+    )
+    if n_files is not None:
+        lines = lines.repartition(n_files)
+    lines.write.mode("overwrite").text(path)
+
+
 def write_ntriples(triples: DataFrame, path: str,
                    n_files: int | None = None) -> None:
     """Render the typed triple frame to N-Triples lines and write as
@@ -182,9 +249,12 @@ def write_ntriples(triples: DataFrame, path: str,
     producers carry datatype-only triples); ``n_files`` caps output file
     count via a round-robin repartition (omit it to inherit upstream
     partitioning — no extra shuffle)."""
-    if "lang" not in triples.columns:
-        triples = triples.withColumn("lang", F.lit(None).cast("string"))
-    lines = render_turtle_line(triples).select(F.col("line").alias("value"))
-    if n_files is not None:
-        lines = lines.repartition(n_files)
-    lines.write.mode("overwrite").text(path)
+    _write_lines(triples, path, n_files, graph_col=None)
+
+
+def write_nquads(quads: DataFrame, path: str,
+                 n_files: int | None = None) -> None:
+    """Render a quad frame (``g`` column + the triple schema) to
+    N-Quads; default-graph rows (sentinel or null ``g``) omit the graph
+    label per the grammar."""
+    _write_lines(quads, path, n_files, graph_col="g")

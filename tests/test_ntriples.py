@@ -102,3 +102,56 @@ def test_write_without_lang_column(spark, tmp_path):
     nt.write_ntriples(t, path)
     (row,) = nt.read_ntriples(spark, path).collect()
     assert row.obj == "v" and row.lang is None and row.datatype == "xsd:string"
+
+
+def test_nquads_roundtrip_and_default_graph(spark, tmp_path):
+    from multilingual_wiki_event_pipeline_spark.operators.bgp import (
+        DEFAULT_GRAPH,
+    )
+    q = spark.createDataFrame(
+        [
+            ("http://g/a", "http://e/s1", "http://e/p",
+             'lit " <x> . y', True, "en", None),
+            (DEFAULT_GRAPH, "http://e/s2", "http://e/p", "http://e/o",
+             False, None, None),
+            ("_:bg", "_:b1", "http://e/p", "2024", True, None,
+             "http://www.w3.org/2001/XMLSchema#gYear"),
+        ],
+        "g string, subj string, pred string, obj string, "
+        "obj_is_literal boolean, lang string, datatype string",
+    )
+    path = str(tmp_path / "nq")
+    nt.write_nquads(q, path)
+    back = nt.read_nquads(spark, path)
+    assert sorted(map(tuple, q.collect())) == sorted(map(tuple, back.collect()))
+    # the default-graph row rendered WITHOUT a graph label
+    raw = spark.read.text(path).collect()
+    (plain,) = [r.value for r in raw if "s2" in r.value]
+    assert plain == "<http://e/s2> <http://e/p> <http://e/o> ."
+
+
+def test_nquads_parse_graph_shapes(spark):
+    from multilingual_wiki_event_pipeline_spark.operators.bgp import (
+        DEFAULT_GRAPH,
+    )
+    df = _lines(spark, [
+        "<http://e/s> <http://e/p> <http://e/o> <http://g/a> .",
+        "<http://e/s> <http://e/p> <http://e/o> _:bg .",
+        "<http://e/s> <http://e/p> <http://e/o> .",
+        '<http://e/s> <http://e/p> "a <b> c" .',
+    ])
+    got = nt.parse_nquads_lines(df).collect()
+    assert sorted(r.g for r in got) == \
+        ["_:bg", "http://g/a", DEFAULT_GRAPH, DEFAULT_GRAPH]
+    (litrow,) = [r for r in got if r.obj_is_literal]
+    assert litrow.obj == "a <b> c" and litrow.g == DEFAULT_GRAPH
+
+
+def test_nquads_strict_and_permissive(spark):
+    df = _lines(spark, [
+        "<http://e/s> <http://e/p> <http://e/o> <http://g/a> .",
+        "<http://e/s> <http://e/p> .",
+    ])
+    assert nt.parse_nquads_lines(df, strict=False).count() == 1
+    with pytest.raises(Exception, match="bad N-Triples line"):
+        nt.parse_nquads_lines(df, strict=True).count()
