@@ -845,6 +845,47 @@ def bm25_rank(spark, sf_dir):
     )
 
 
+def embed_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embeddings table
+    (similarity.quantize_embeddings): the 4x-smaller storage tier with
+    per-vector scale + exact BIGINT quantized norm. Map-only array
+    expressions; bit-exact DuckDB mirror (one float divide + ties-away
+    round, then all-integer)."""
+    return similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+def ann_quantized(spark, sf_dir):
+    """Top-k cosine in the int8 quantized space (similarity.
+    quantized_topk): scales cancel out of cosine, dots are
+    integer-exact, only the final sqrt/divide/round is float."""
+    return similarity.quantized_topk(
+        _t(spark, sf_dir, "embeddings"), k=5,
+        query_pred=F.col("query_id") < 20,
+    )
+
+
+def rrf_hybrid_rank(spark, sf_dir):
+    """Reciprocal-rank fusion (operators/retrieval.rrf_fuse) of two
+    incomparable rankers — BM25 topical relevance (top-50 for the probe
+    query) and the lexical quality prior (top-50 by quality_score) —
+    into one top-20: the LLM-curation hybrid that needs no score
+    calibration because RRF consumes only ranks. Both inputs are
+    TakeOrdered candidate lists, so the per-system rank windows run over
+    ≤50 rows."""
+    from .operators import retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = retrieval.bm25_topk(docs, BM25_QUERY, k=50)
+    qual = (
+        text_analysis.quality_score(docs)
+        .orderBy(F.desc("quality"), "doc_id")
+        .limit(50)
+    )
+    return retrieval.rrf_fuse(
+        [(bm, "score"), (qual, "quality")], k=20
+    )
+
+
 def fingerprint(spark, sf_dir):
     return text_analysis.fingerprint(_t(spark, sf_dir, "documents"))
 
@@ -1549,6 +1590,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         sparql_agg, sparql_minus, graph_bfs, sparql_text,
         sparql_expressive, bm25_rank, graph_triangles, graph_sssp,
         sparql_describe, sparql_update_rewrite, graph_kcore,
+        rrf_hybrid_rank, embed_quantize, ann_quantized,
         ntriples_roundtrip, sparql_graph, sparql_graph_text,
         nquads_roundtrip,
     ]

@@ -175,3 +175,70 @@ def bm25_topk_sql(query_terms: list[str],
         ORDER BY score DESC, doc_id
         LIMIT {k}
     """
+
+
+def rrf_fuse(rankings: list[tuple[DataFrame, str]],
+             id_col: str = "doc_id",
+             k: int = 20,
+             k_rrf: int = 60,
+             round_to: int = 9) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR '09)
+    of several BOUNDED candidate rankings into one top-k:
+
+        rrf(d) = sum over systems s ranking d: 1 / (k_rrf + rank_s(d))
+
+    ``rankings`` is a list of ``(df, score_col)`` pairs; each frame is a
+    candidate list whose ``score_col`` is higher-is-better. Ranks are
+    dense per system (row_number ordered by score desc, id asc — the
+    deterministic tie-break that makes the DuckDB twin hash-match), and
+    a document absent from a system simply contributes nothing, per the
+    standard formulation. Output: (id, rrf, n_systems) top-k by fused
+    score, ties on id.
+
+    This is the LLM-curation hybrid: fuse a lexical ranker (BM25), an
+    embedding kNN list, and/or a quality prior without score
+    calibration — RRF only consumes ranks, so incomparable score scales
+    compose soundly.
+
+    Scale contract (deliberate): inputs are top-k CANDIDATE LISTS
+    (hundreds of rows), not corpora — each per-system rank is a
+    row_number over an unpartitioned window, which Spark runs on one
+    task. That is the right plan for bounded lists (the alternative, a
+    per-system shuffle-heavy ranking join, buys nothing at k ≤ 10^4);
+    feeding a full corpus ranking through this raises no error but
+    serializes — rank upstream with TakeOrdered first (as bm25_topk
+    does). The fused aggregation itself is a plain groupBy.
+
+    Float note: contributions are 1/(k_rrf+rank) doubles summed per id;
+    with ≤ 2 systems two-term addition is exactly associative, and
+    beyond that ``round_to`` (default 9 dp, values ~1e-2) absorbs
+    sub-ulp ordering noise, ann_ivf-style.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    from pyspark.sql import Window
+
+    parts = []
+    for df, score_col in rankings:
+        w = Window.orderBy(F.desc(score_col), F.col(id_col))
+        parts.append(
+            df.select(
+                F.col(id_col),
+                F.row_number().over(w).alias("_rank"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("_rank"))),
+                round_to,
+            ).alias("rrf"),
+            F.count("*").cast("long").alias("n_systems"),
+        )
+        .orderBy(F.desc("rrf"), F.col(id_col))
+        .limit(k)
+    )

@@ -413,3 +413,93 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 16,
         kept = cents.join(new_cents.select("cell"), "cell", "left_anti")
         cents = new_cents.unionByName(kept).localCheckpoint()
     return cents
+
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the storage tier
+    a 100 TB embedding corpus actually ships (4x smaller than float32,
+    integer SIMD dot products downstream): ``q_i = round(127 * x_i /
+    max_abs(x))``, one scale per vector.
+
+    Output: ``(vec_id, scale, qvec, qnorm)`` — the dequantization scale
+    ``max_abs/127`` (rounded 9 dp), the int vector, and the integer
+    self-dot (norm² in quantized units; exact BIGINT, so it hash-checks
+    bit-for-bit and saves a pass at query time). Zero vectors quantize
+    to all-zero with scale 0. Pure array expressions — map-only,
+    whole-stage codegen, no shuffle.
+
+    Cross-engine determinism: the only float steps are one division and
+    ``round`` (ties away from zero in both Spark's HALF_UP and DuckDB's
+    round); everything after is integer-exact.
+    """
+    v = _as_double("embedding")
+    m = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    qvec = F.transform(
+        v,
+        lambda x: F.when(m == 0, F.lit(0)).otherwise(
+            F.round(x * F.lit(127.0) / m).cast("int")
+        ),
+    )
+    return embeddings.select(
+        "vec_id",
+        F.round(m / F.lit(127.0), 9).alias("scale"),
+        qvec.alias("qvec"),
+        F.aggregate(
+            qvec,
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + (y * y).cast("long"),
+        ).alias("qnorm"),
+    )
+
+
+def quantized_topk(embeddings: DataFrame, k: int = 5,
+                   query_pred: Column | None = None) -> DataFrame:
+    """Exact top-k cosine in the QUANTIZED space (the int8 serving tier:
+    same plan as :func:`brute_force_topk`, but dot products are integer
+    — per-vector scales cancel out of cosine, so no dequantization
+    happens at all). Similarity = int_dot / sqrt(qnorm_q * qnorm_c),
+    rounded 6 dp, ties on neighbor_id.
+
+    The integer dots are exact in double (|q|≤127, dims ≪ 2^53), so the
+    DuckDB twin hash-matches with only the final sqrt/divide/round in
+    float — tighter than the float32 brute-force tier's parallel-sum
+    story."""
+    from pyspark.sql import Window
+
+    qz = quantize_embeddings(embeddings).filter(F.col("qnorm") > 0)
+    q = qz.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("qq"),
+        F.col("qnorm").alias("qn"),
+    )
+    if query_pred is not None:
+        q = q.filter(query_pred)
+    c = qz.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qvec").alias("cq"),
+        F.col("qnorm").alias("cn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qq", "cq", lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot / F.sqrt(F.col("qn").cast("double") * F.col("cn")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

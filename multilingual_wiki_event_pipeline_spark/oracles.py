@@ -745,6 +745,7 @@ ORACLES: dict[str, str] = {
         ) WHERE rn <= 3
     """,
     "ann_ivf": _ivf_sql(),
+
     "lang_id_profile": """
         WITH padded AS (
           SELECT doc_id, concat(' ', text, ' ') AS p FROM documents),
@@ -1093,6 +1094,27 @@ from .catalog import BM25_QUERY as _BM25_QUERY  # noqa: E402
 
 EXTRA_ORACLES["bm25_rank"] = _bm25_sql(_BM25_QUERY, k=20)
 
+# RRF hybrid: BM25 top-50 + quality-prior top-50 fused by reciprocal
+# rank (ranks from row_number with the same desc-score, asc-id
+# tie-break as the Spark windows)
+EXTRA_ORACLES["rrf_hybrid_rank"] = f"""
+    WITH bm AS (SELECT doc_id, score FROM ({_bm25_sql(_BM25_QUERY, k=50)})),
+    r1 AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+           FROM bm),
+    qs AS (SELECT doc_id, quality FROM ({ORACLES["quality_score"]})
+           ORDER BY quality DESC, doc_id LIMIT 50),
+    r2 AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) AS r
+           FROM qs),
+    u AS (SELECT doc_id, r FROM r1 UNION ALL SELECT doc_id, r FROM r2)
+    SELECT doc_id, ROUND(SUM(1.0 / (60 + r)), 9) AS rrf,
+           CAST(COUNT(*) AS BIGINT) AS n_systems
+    FROM u GROUP BY doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 20
+"""
+
 # DESCRIBE ?actor WHERE: two SEMI joins (subject/object hits) + set
 # dedup — the mirror of bgp_describe_solutions' plan
 EXTRA_ORACLES["sparql_describe"] = f"""
@@ -1286,6 +1308,55 @@ EXTRA_ORACLES["sparql_graph"] = """
     FROM ev JOIN lab ON ev.u = lab.u
 """
 EXTRA_ORACLES["sparql_graph_text"] = EXTRA_ORACLES["sparql_graph"]
+
+# int8 scalar quantization: one float divide + ties-away round per
+# element, then all-integer (qnorm exact BIGINT)
+EXTRA_ORACLES["embed_quantize"] = f"""
+        WITH {_EMB},
+        m AS (SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) AS mx
+              FROM e),
+        qz AS (SELECT vec_id, ROUND(mx / 127.0, 9) AS scale,
+                      list_transform(v, x -> CASE WHEN mx = 0 THEN 0
+                        ELSE CAST(round(x * 127.0 / mx) AS INTEGER) END)
+                        AS qvec
+               FROM m)
+        SELECT vec_id, scale, qvec,
+               CAST(list_sum(list_transform(qvec,
+                    y -> CAST(y AS BIGINT) * y)) AS BIGINT) AS qnorm
+        FROM qz
+"""
+
+# quantized-space cosine: integer dots (exact in double), scales
+# cancel, only sqrt/divide/round is float
+EXTRA_ORACLES["ann_quantized"] = f"""
+        WITH {_EMB},
+        m AS (SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) AS mx
+              FROM e),
+        qz AS (SELECT vec_id,
+                      list_transform(v, x -> CASE WHEN mx = 0 THEN 0
+                        ELSE CAST(round(x * 127.0 / mx) AS INTEGER) END)
+                        AS qv
+               FROM m),
+        n AS (SELECT vec_id, qv,
+                     CAST(list_sum(list_transform(qv,
+                          y -> CAST(y AS BIGINT) * y)) AS BIGINT) AS qn
+              FROM qz
+              WHERE list_sum(list_transform(qv,
+                    y -> CAST(y AS BIGINT) * y)) > 0),
+        pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ROUND(list_dot_product(CAST(q.qv AS DOUBLE[]),
+                                        CAST(c.qv AS DOUBLE[]))
+                       / sqrt(CAST(q.qn AS DOUBLE) * c.qn), 6) AS sim
+          FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+        SELECT query_id, neighbor_id, sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rn
+          FROM pairs
+        ) WHERE rn <= 5
+"""
 
 # N-Quads render-parse identity over the same quad store: every quad,
 # with default-graph label rows re-tagged by the parser

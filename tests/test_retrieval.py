@@ -93,3 +93,41 @@ def test_bm25_rejects_bad_queries(spark):
 
     with pytest.raises(ValueError, match="lowercase tokenizer"):
         bm25_topk_sql(["o'brien"])
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from multilingual_wiki_event_pipeline_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+    a = spark.createDataFrame(
+        [("d1", 9.0), ("d2", 5.0), ("d3", 1.0)], "doc_id string, s double"
+    )
+    b = spark.createDataFrame(
+        [("d2", 0.9), ("d4", 0.5)], "doc_id string, q double"
+    )
+    got = {r.doc_id: (r.rrf, r.n_systems)
+           for r in rrf_fuse([(a, "s"), (b, "q")], k=10).collect()}
+    # d2: rank 2 in a, rank 1 in b -> 1/62 + 1/61
+    assert got["d2"] == (round(1 / 62 + 1 / 61, 9), 2)
+    assert got["d1"] == (round(1 / 61, 9), 1)
+    assert got["d3"] == (round(1 / 63, 9), 1)
+    assert got["d4"] == (round(1 / 62, 9), 1)
+    # fused order: d2 first (two systems), then d1 (rank-1 single)
+    order = [r.doc_id
+             for r in rrf_fuse([(a, "s"), (b, "q")], k=10).collect()]
+    assert order[:2] == ["d2", "d1"]
+
+
+def test_rrf_fuse_score_ties_break_on_id(spark):
+    from multilingual_wiki_event_pipeline_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+    a = spark.createDataFrame(
+        [("dB", 1.0), ("dA", 1.0)], "doc_id string, s double"
+    )
+    got = {r.doc_id: r.rrf for r in rrf_fuse([(a, "s")], k=2).collect()}
+    # equal scores: dA (smaller id) takes rank 1
+    assert got == {"dA": round(1 / 61, 9), "dB": round(1 / 62, 9)}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one ranking"):
+        rrf_fuse([])

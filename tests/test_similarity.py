@@ -111,3 +111,45 @@ def test_multiprobe_superset_of_single_probe(spark, emb):
 
     for (q, n), sim in list(multi.items())[:10]:
         assert sim == pytest.approx(cos(rows[q], rows[n]), abs=1e-5)
+
+
+def test_quantize_embeddings_values_and_zero_vector(spark):
+    from multilingual_wiki_event_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+    e = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in quantize_embeddings(e).collect()}
+    # max_abs=1.0: q = round(127*x) = [127, -64, 32] (HALF_UP: -63.5 -> -64)
+    assert got[1].qvec == [127, -64, 32]
+    assert got[1].qnorm == 127 * 127 + 64 * 64 + 32 * 32
+    assert abs(got[1].scale - 1.0 / 127) < 1e-9
+    assert got[2].qvec == [0, 0, 0] and got[2].qnorm == 0
+    assert got[2].scale == 0.0
+
+
+def test_quantized_topk_matches_float_ranking_roughly(spark):
+    from multilingual_wiki_event_pipeline_spark.operators import similarity
+    import pyspark.sql.functions as F
+    # 4 well-separated directions: quantized cosine must reproduce the
+    # exact ranking (int8 error ~1/127 << the similarity gaps)
+    e = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+         (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    qk = similarity.quantized_topk(
+        e, k=3, query_pred=F.col("query_id") == 0
+    ).collect()
+    assert [r.neighbor_id for r in qk] == [1, 2, 3]
+    # zero vectors are excluded from both sides, not NaN-ranked
+    e2 = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    qk2 = similarity.quantized_topk(
+        e2, k=5, query_pred=F.col("query_id") == 0
+    ).collect()
+    assert [r.neighbor_id for r in qk2] == [2]
