@@ -38,8 +38,11 @@ Documented deviations (pragmatic subset, each raises or is noted):
   variable translation (``?v`` → ``v``); the SPARQL forms ``&&``,
   ``||``, ``!``, ``BOUND``, ``REGEX(term, pattern)``, ``STR`` (identity
   — store terms are strings), ``STRSTARTS``/``STRENDS``/``STRLEN``/
-  ``UCASE``/``LCASE``/``SUBSTR``/``REPLACE`` are rewritten to their
-  Spark twins; ``CONTAINS``/``CONCAT``/``ABS``/``CEIL``/``FLOOR``/
+  ``UCASE``/``LCASE``/``SUBSTR``/``REPLACE``/``STRBEFORE``/
+  ``STRAFTER`` (first-occurrence semantics incl. the empty-separator
+  edges) / ``ENCODE_FOR_URI`` (via url_encode; Java URLEncoder alphabet
+  — '*' stays bare, '~' encodes — a documented deviation from RFC 3986)
+  are rewritten to their Spark twins; ``CONTAINS``/``CONCAT``/``ABS``/``CEIL``/``FLOOR``/
   ``ROUND``/``COALESCE``/``IF``/``IN`` share Spark's spelling already.
   ``<...>`` IRIs and declared-prefix names in expressions become string
   literals (the store's lexical form). RDF-term builtins the plain-
@@ -418,7 +421,7 @@ _FN_RENAME = {
 _FN_UNSUPPORTED = (
     "lang", "langmatches", "datatype", "isiri", "isuri", "isblank",
     "isliteral", "isnumeric", "iri", "uri", "bnode", "strdt", "strlang",
-    "uuid", "struuid", "now", "rand", "sameterm", "encode_for_uri",
+    "uuid", "struuid", "now", "rand", "sameterm",
     "exists",
 )
 
@@ -510,6 +513,39 @@ def _translate_expr(expr: str, prefixes: dict[str, str]) -> str:
                 f"SPARQL builtin {name.upper()}() is not supported — the "
                 "store matches on the plain lexical form (no RDF-term "
                 "metadata in expressions)"
+            )
+    # STRBEFORE/STRAFTER: per-spec first-occurrence semantics, incl. the
+    # empty-separator edge (instr(s,'')=1 makes both branches line up:
+    # STRBEFORE(s,'')='' and STRAFTER(s,'')=s). Args with nested commas/
+    # parens are out of scope, like the REGEX rewrite.
+    expr = re.sub(
+        r"(?i)\bstrbefore\s*\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)",
+        r"(CASE WHEN instr(\1, \2) > 0 "
+        r"THEN substring(\1, 1, instr(\1, \2) - 1) ELSE '' END)",
+        expr,
+    )
+    expr = re.sub(
+        r"(?i)\bstrafter\s*\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)",
+        r"(CASE WHEN instr(\1, \2) > 0 "
+        r"THEN substring(\1, instr(\1, \2) + length(\2)) ELSE '' END)",
+        expr,
+    )
+    # ENCODE_FOR_URI via Spark's url_encode with the form-encoding space
+    # fixed up; documented deviation: the Java URLEncoder alphabet ('*'
+    # stays bare, '~' encodes) vs RFC 3986's unreserved set
+    expr = re.sub(
+        # NB regexp_replace spelled directly (the REPLACE->regexp_replace
+        # rename pass below would hit a plain replace()); [+] dodges both
+        # regex-metachar and SQL-escape pitfalls
+        r"(?i)\bencode_for_uri\s*\(\s*([^,()]+?)\s*\)",
+        r"regexp_replace(url_encode(\1), '[+]', '%20')",
+        expr,
+    )
+    for name in ("strbefore", "strafter", "encode_for_uri"):
+        if re.search(rf"(?i)\b{name}\s*\(", expr):
+            raise SparqlSyntaxError(
+                f"unsupported {name.upper()} call form — arguments must "
+                "be simple (no nested commas/parens)"
             )
     for sparql_name, spark_name in _FN_RENAME.items():
         expr = re.sub(rf"(?i)\b{sparql_name}\s*\(", f"{spark_name}(", expr)

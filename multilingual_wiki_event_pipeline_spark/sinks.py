@@ -421,3 +421,33 @@ def write_triples(triples: DataFrame, path: str,
     salted.repartition(
         n_write_tasks, F.col("bucket"), F.hash("subj", "pred", "obj")
     ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def write_quads(quads: DataFrame, path: str,
+                n_buckets: int = DEFAULT_SALT_BUCKETS,
+                n_write_tasks: int | None = None) -> None:
+    """Partitioned QUAD-store write: ``partitionBy(g, bucket)`` — the
+    graph name is the leading partition column, so a ``GRAPH <iri>`` /
+    ``FROM`` equality predicate prunes to that graph's directories
+    before any row is read (the quads module's whole point), and within
+    each graph the subject-hash salting of :func:`write_triples`
+    applies unchanged (hot subject ranges spread, one mega-subject
+    cannot serialize the write).
+
+    Contract: ``g`` must be LOW-CARDINALITY (collections, sources,
+    snapshots — the reference's file-per-collection layout; thousands,
+    not millions). A high-cardinality graph term would explode the
+    partition directory count — put it in the data, not the layout, and
+    write with :func:`write_triples` + a plain column instead. On
+    Iceberg this becomes ``(identity(g), bucket(n, subj))`` partition
+    transforms — identical pruning."""
+    spark = quads.sparkSession
+    if n_write_tasks is None:
+        n_write_tasks = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    salted = quads.withColumn(
+        "bucket", F.pmod(F.hash(F.col("subj")), F.lit(n_buckets))
+    )
+    salted.repartition(
+        n_write_tasks, F.col("g"), F.col("bucket"),
+        F.hash("subj", "pred", "obj"),
+    ).write.mode("overwrite").partitionBy("g", "bucket").parquet(path)

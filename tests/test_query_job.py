@@ -125,3 +125,43 @@ def test_query_file(query_main, store_dir, tmp_path, capsys):
     assert query_main(["--store", store_dir, "--query-file", str(qf)]) == 0
     printed = capsys.readouterr().out
     assert "e1" in printed and "e2" in printed
+
+
+def test_quad_store_graph_query_end_to_end(query_main, spark, tmp_path,
+                                           capsys):
+    """write_quads -> spark.read.parquet -> GRAPH text query through the
+    CLI: the quad layout (g as leading partition dir) is schema-detected
+    by sparql_query, no flag needed."""
+    from multilingual_wiki_event_pipeline_spark.operators.bgp import (
+        DEFAULT_GRAPH,
+    )
+    from multilingual_wiki_event_pipeline_spark.sinks import write_quads
+
+    rows = [
+        ("http://g/a", "e1", "sem:hasActor", "alice"),
+        ("http://g/b", "e1", "sem:hasActor", "anna"),
+        (DEFAULT_GRAPH, "e1", "rdfs:label", "boom"),
+    ]
+    q = spark.createDataFrame(
+        rows, "g string, subj string, pred string, obj string"
+    )
+    store = str(tmp_path / "quads")
+    write_quads(q, store, n_buckets=4)
+    # partition layout: graph dirs first, bucket dirs inside
+    gdirs = sorted(
+        d for d in os.listdir(store) if d.startswith("g=")
+    )
+    assert len(gdirs) == 3
+    assert any(os.listdir(os.path.join(store, gdirs[0])))
+    rc = query_main([
+        "--store", store,
+        "--query",
+        "SELECT ?g ?who WHERE { GRAPH ?g { ?e <sem:hasActor> ?who } "
+        "?e <rdfs:label> \"boom\" . }",
+        "--show", "10",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "http://g/a" in out and "alice" in out
+    assert "http://g/b" in out and "anna" in out
+    assert DEFAULT_GRAPH not in out

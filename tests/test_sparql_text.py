@@ -1132,3 +1132,29 @@ def test_text_update_rejects_graph(qstore):
             PREFIX ex: <http://ex.org/>
             DELETE { ?e ex:type ?t } WHERE { GRAPH ?g { ?e ex:type ?t } }
         """)
+
+
+def test_strbefore_strafter_encode_builtins(store):
+    out = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?who (STRBEFORE(?l, " ") AS ?first)
+               (STRAFTER(?l, " ") AS ?rest)
+               (STRBEFORE(?l, "zzz") AS ?miss)
+               (STRAFTER(?l, "") AS ?whole)
+               (ENCODE_FOR_URI(?l) AS ?enc)
+        WHERE { ?e ex:actor ?who . ?e ex:label ?l .
+                FILTER(?who = "bob") }
+    """).collect()
+    (r,) = out
+    assert (r.first, r.rest, r.miss, r.whole) == ("", "", "", "quiet")
+    assert r.enc == "quiet"
+    out2 = sparql_query(store, """
+        PREFIX ex: <http://ex.org/>
+        SELECT (STRBEFORE(?l, " ") AS ?first)
+               (STRAFTER(?l, " ") AS ?rest)
+               (ENCODE_FOR_URI(?l) AS ?enc)
+        WHERE { ?e ex:label ?l . FILTER(STRSTARTS(?l, "big")) }
+    """).collect()
+    (r2,) = out2
+    assert (r2.first, r2.rest) == ("big", "boom")
+    assert r2.enc == "big%20boom"
