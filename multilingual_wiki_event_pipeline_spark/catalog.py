@@ -827,6 +827,111 @@ def token_count(spark, sf_dir):
     return text_analysis.token_counts(_t(spark, sf_dir, "documents"))
 
 
+def pii_redact(spark, sf_dir):
+    """PII redaction (curation.redact_pii). The synthetic corpus carries
+    no PII, so the probe appends deterministic doc_id-derived spans (one
+    email, one IPv4, one phone-shaped number per document) before
+    redacting; the oracle builds the identical augmented column, so the
+    hash checks both the redacted text and the per-class match counts."""
+    from .operators import curation
+
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.2."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return curation.redact_pii(d.select("doc_id", aug.alias("text")))
+
+
+def repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals (curation.repetition_stats):
+    duplicate-word fraction + most-frequent bigram/trigram mass, pure
+    array expressions — the word-salad corpus gives every doc a
+    non-trivial profile."""
+    from .operators import curation
+
+    return curation.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def decontaminate(spark, sf_dir):
+    """Benchmark decontamination (curation.ngram_decontaminate): docs
+    with doc_id % 10 == 0 play the eval set; the remaining 90% of the
+    corpus is flagged when it shares any 4-gram with it (4 chosen so the
+    sf0.01 corpus splits ~75 contaminated / ~375 clean — measured). The
+    eval fingerprints are broadcast; the corpus side is one explode +
+    one partial-agg count."""
+    from .operators import curation
+
+    d = _t(spark, sf_dir, "documents")
+    return curation.ngram_decontaminate(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        n=4,
+    )
+
+
+def chunk_docs(spark, sf_dir):
+    """Sliding-window chunking (training_prep.chunk_documents): 24-token
+    windows with 8-token overlap over the ~30-80-token synthetic docs —
+    every doc emits 2-5 chunks, exercising both full and short tails."""
+    from .operators import training_prep
+
+    return training_prep.chunk_documents(
+        _t(spark, sf_dir, "documents"), size=24, overlap=8
+    )
+
+
+def pack_boundary(spark, sf_dir):
+    """GPT-style boundary-split packing (training_prep.pack_sequences,
+    budget 256): the doc_id-ordered corpus token stream cut every 256
+    tokens; the distributed two-phase prefix sum is hash-checked against
+    the oracle's plain window cumsum — bucketing must not change the
+    arithmetic."""
+    from .operators import training_prep
+
+    return training_prep.pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=256, bucket_width=64
+    )
+
+
+def pack_firstfit(spark, sf_dir):
+    """SFT-style no-split greedy packing (training_prep.pack_greedy,
+    budget 128, 8 partitions): sequential first-fit-next per partition
+    inside one applyInPandas group; the DuckDB twin replays the identical
+    fold as a recursive CTE."""
+    from .operators import training_prep
+
+    return training_prep.pack_greedy(
+        _t(spark, sf_dir, "documents"), budget=128, n_parts=8
+    )
+
+
+# Mixture spec for the mixture_weighted entry — sources are the synthetic
+# corpus's domains; rates chosen to exercise keep-all-but-clamp (1.2),
+# mid rates, and the default for the unlisted remainder.
+MIXTURE_RATES = {"src0": 0.5, "src1": 1.2, "src2": 0.25}
+MIXTURE_SEED = "mix_r5"
+MIXTURE_DEFAULT = 0.1
+
+
+def mixture_weighted(spark, sf_dir):
+    """Deterministic data-mixture sampling (training_prep.mixture_sample):
+    per-source Bernoulli keep via the first 8 md5 hex digits of
+    seed:doc_id — the oracle recomputes the identical coin, so the kept
+    set hash-matches exactly (no RNG anywhere)."""
+    from .operators import training_prep
+
+    return training_prep.mixture_sample(
+        _t(spark, sf_dir, "documents"), MIXTURE_RATES,
+        seed=MIXTURE_SEED, default_rate=MIXTURE_DEFAULT,
+    )
+
+
 # Fixed probe query for the bm25_rank entry — the oracle SQL is generated
 # from the SAME list, so term order (float-sum order) matches by
 # construction. Terms chosen for spread: 'spark' is mid-frequency,
@@ -1592,6 +1697,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         sparql_describe, sparql_update_rewrite, graph_kcore,
         rrf_hybrid_rank, embed_quantize, ann_quantized,
         ntriples_roundtrip, sparql_graph, sparql_graph_text,
-        nquads_roundtrip,
+        nquads_roundtrip, pii_redact, repetition_stats, decontaminate,
+        chunk_docs, pack_boundary, pack_firstfit, mixture_weighted,
     ]
 }

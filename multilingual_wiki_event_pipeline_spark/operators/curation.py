@@ -1,0 +1,175 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Three operators a 100 TB pretraining pipeline runs between ingestion and
+dedup, all over ``documents(doc_id, text, ...)``:
+
+- **PII redaction** (``redact_pii``): expression-only ``regexp_replace``
+  chain (emails → IPv4 → phone-shaped numbers) plus per-class match
+  counts. No UDF, no shuffle — pure per-row codegen work, so the scan
+  stays pushdown-friendly and the operator is embarrassingly parallel at
+  any scale.
+- **Repetition statistics** (``repetition_stats``): the Gopher-style
+  repetitive-text signals (duplicate-word fraction, most-frequent bigram /
+  trigram mass). Computed entirely with array expressions
+  (``transform``/``filter``/``aggregate``) over the token list — per-row
+  O(distinct·total) on ~10²-token documents, no shuffle, no UDF.
+- **N-gram decontamination** (``ngram_decontaminate``): flags corpus
+  documents that share any word n-gram with an evaluation/benchmark set —
+  the standard guard against test-set leakage into training data. The
+  plan is the scale-correct shape: map-side explode of per-document
+  DISTINCT n-gram hashes, a **broadcast** join against the (small) eval
+  fingerprint set, partial-agg count per document, left join back. The
+  corpus side is never collected or re-shuffled beyond the one count
+  aggregation; at 100 TB the eval fingerprints (benchmarks are ~10⁴–10⁶
+  n-grams) broadcast to every executor and the whole check is one pass.
+
+Regex note: the three PII patterns are written in the common subset of
+Java regex (Spark) and RE2 (DuckDB oracle) — no backreferences, no
+lookaround — so both engines match identically; the catalog twin relies
+on that.
+
+Reference context: the reference pipeline curates its document store with
+hand-rolled per-document Python filters (reference `utils.py`,
+`clean_wiki.py` text cleanup); these operators are the equivalent
+curation stage re-expressed as distributed, codegen-friendly plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Patterns valid and equivalent in both Java regex and RE2.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
+
+
+def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, IPv4 addresses, and phone-shaped numbers.
+
+    Counts are taken on the ORIGINAL text; replacement is sequential
+    (emails first, so an address' domain dots can't be half-eaten by the
+    IPv4 pass). Output: doc_id, redacted, n_emails, n_ipv4, n_phones.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+
+    def _n(pat: str) -> Column:
+        return F.size(
+            F.regexp_extract_all(text_col, F.lit(pat), F.lit(0))
+        ).cast("long")
+
+    return documents.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        _n(EMAIL_RE).alias("n_emails"),
+        _n(IPV4_RE).alias("n_ipv4"),
+        _n(PHONE_RE).alias("n_phones"),
+    )
+
+
+def _top_ngram_frac(toks: Column, n: int) -> Column:
+    """Mass of the most frequent word n-gram: max count / total count.
+
+    Array-expression mode computation — O(distinct·total) per row, fine
+    for document-sized token lists; 0.0 when the doc has < n tokens.
+    """
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    return F.when(
+        F.size(toks) >= n, F.round(top * F.lit(1.0) / F.size(grams), 4)
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_stats(
+    documents: DataFrame,
+    top_bigram_max: float = 0.18,
+    dup_word_max: float = 0.9,
+) -> DataFrame:
+    """Gopher-style repetition signals + a composite ``repetitive`` flag.
+
+    dup_word_frac = 1 − distinct/total tokens; top_{bi,tri}gram_frac =
+    most-frequent-n-gram mass. The default thresholds mirror the spirit
+    of the Gopher repetition rules (Rae et al. 2021, table A1) scaled to
+    short synthetic documents; callers tune them per corpus.
+    """
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    dup_word = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(toks)) * F.lit(1.0) / n, 4
+    )
+    top_bi = _top_ngram_frac(toks, 2)
+    top_tri = _top_ngram_frac(toks, 3)
+    return documents.select(
+        "doc_id",
+        dup_word.alias("dup_word_frac"),
+        top_bi.alias("top_bigram_frac"),
+        top_tri.alias("top_trigram_frac"),
+        ((top_bi > top_bigram_max) | (dup_word > dup_word_max)).alias(
+            "repetitive"
+        ),
+    )
+
+
+def ngram_fingerprints(documents: DataFrame, n: int = 4) -> DataFrame:
+    """(doc_id, ng) — md5 of each DISTINCT word n-gram per document.
+
+    Distinct-before-explode keeps the exploded stream minimal (a document
+    never emits the same n-gram twice), so the downstream join measures
+    document-level overlap, not occurrence counts.
+    """
+    toks = F.split("text", " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ").cast("binary")),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return documents.select("doc_id", F.explode(grams).alias("ng"))
+
+
+def ngram_decontaminate(
+    corpus: DataFrame, eval_set: DataFrame, n: int = 4
+) -> DataFrame:
+    """Flag corpus documents sharing any word n-gram with the eval set.
+
+    Output: one row per corpus document — doc_id, n_hits (distinct
+    contaminated n-grams), contaminated. The eval fingerprint set is
+    broadcast (benchmark suites are tiny next to a training corpus), so
+    the corpus side is one explode + one partial-agg count; nothing in
+    the plan grows super-linearly with corpus size.
+    """
+    eval_fp = ngram_fingerprints(eval_set, n).select("ng").distinct()
+    hits = (
+        ngram_fingerprints(corpus, n)
+        .join(F.broadcast(eval_fp), "ng")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

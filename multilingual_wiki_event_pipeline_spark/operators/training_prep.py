@@ -1,0 +1,210 @@
+"""Training-batch preparation operators — the last mile of an LLM data
+pipeline, between curation/dedup and the trainer's data loader:
+
+- **Document chunking** (``chunk_documents``): sliding token windows with
+  overlap (the RAG/embedding and long-doc pretraining splitter). Pure
+  array expressions — per-row ``split`` → window starts via ``sequence``
+  → ``posexplode`` — no UDF, no shuffle; embarrassingly parallel.
+- **Boundary-split sequence packing** (``pack_sequences``): the GPT-style
+  pretraining packer — conceptually concatenate the corpus token stream
+  in ``doc_id`` order and cut every ``budget`` tokens; a document spanning
+  a cut contributes a slice to each sequence it intersects. The global
+  token offset is a distributed two-phase prefix sum (per-range-bucket
+  partials → tiny bucket-prefix frame → broadcast back), so the fact
+  table is never globally sorted into one partition: the only
+  single-partition window runs over the ~(corpus/bucket_width)-row bucket
+  frame.
+- **Greedy no-split packing** (``pack_greedy``): the SFT-style packer —
+  whole documents first-fit into fixed-budget bins, never split. The scan
+  is inherently sequential, so it runs partition-locally: documents are
+  assigned to ``n_parts`` explicit partitions and each partition packs
+  independently in ``doc_id`` order inside one Arrow-batched
+  ``applyInPandas`` group (a per-GROUP numpy pass, not per-row Python;
+  parallelism = ``n_parts``). The same decisions are reproducible in SQL
+  via a recursive CTE, which the catalog oracle uses.
+- **Mixture sampling** (``mixture_sample``): deterministic per-domain
+  Bernoulli sampling for data-mixture weighting — keep a document iff
+  ``hash(seed, doc_id) / 2^32 < rate(source)``. The hash is the first 8
+  hex digits of md5, identical in Spark and DuckDB, so the sample is
+  reproducible across engines and reruns (no RNG state anywhere); rates
+  arrive as a broadcast dimension join, one narrow pass over the corpus.
+
+Reference context: the reference pipeline has no trainer-facing stage
+(it stops at NAF/RDF serialization); these operators are the engine's
+additive LLM-pipeline surface, same tier as operators/curation.py and
+operators/text_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(documents: DataFrame, size: int = 64,
+                    overlap: int = 16) -> DataFrame:
+    """Sliding-window token chunks: windows of ``size`` tokens starting
+    every ``size - overlap`` tokens; the final window may be short, and a
+    start position beyond ``n - overlap`` is never emitted (it would carry
+    at most ``overlap`` unseen tokens, all inside the previous window).
+
+    Output: (doc_id, chunk_idx, chunk_text, n_toks), one row per window.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("require 0 <= overlap < size")
+    stride = size - overlap
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), n - F.lit(overlap)), F.lit(stride)
+    )
+    d = documents.select("doc_id", toks.alias("toks"), starts.alias("starts"))
+    chunk = F.slice("toks", F.col("s"), size)
+    return d.select(
+        "doc_id",
+        F.posexplode("starts").alias("chunk_idx", "s"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_toks"),
+    )
+
+
+def pack_sequences(documents: DataFrame, budget: int = 512,
+                   bucket_width: int = 64) -> DataFrame:
+    """Boundary-split packing: cut the doc_id-ordered corpus token stream
+    every ``budget`` tokens. Output one row per (document × training
+    sequence it intersects): (doc_id, seq_id, tok_start, tok_end, n_toks)
+    with tok_start/tok_end 1-based inclusive within the document.
+
+    The global token offset is a two-phase prefix sum keyed by the range
+    bucket ``doc_id // bucket_width``: per-bucket token subtotals (one
+    partial agg), an ordered prefix over the resulting bucket frame (tiny
+    — corpus/bucket_width rows, the only single-partition window), a
+    broadcast join back, then a within-bucket cumulative window. No
+    global sort of the fact table at any scale; size ``bucket_width`` so
+    the bucket frame stays driver-broadcastable (10^12 docs / 10^6 width
+    = 10^6 buckets).
+    """
+    from pyspark.sql import Window
+
+    d = documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+        (F.col("doc_id") / bucket_width).cast("long").alias("b"),
+    )
+    bucket_totals = d.groupBy("b").agg(F.sum("n").alias("bt"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_prefix = bucket_totals.select(
+        "b", F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("pb")
+    )
+    wd = Window.partitionBy("b").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = (F.col("pb") + F.coalesce(F.sum("n").over(wd), F.lit(0))).alias("off")
+    placed = d.join(F.broadcast(bucket_prefix), "b").select(
+        "doc_id", "n", off
+    )
+    seq = F.col("seq_id")
+    tok_start = F.greatest(seq * budget - F.col("off"), F.lit(0)) + 1
+    tok_end = F.least((seq + 1) * budget - F.col("off"), F.col("n"))
+    return (
+        placed.select(
+            "doc_id", "n", "off",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("off") / budget),
+                    F.floor((F.col("off") + F.col("n") - 1) / budget),
+                )
+            ).alias("seq_id"),
+        )
+        .select(
+            "doc_id",
+            seq.cast("long").alias("seq_id"),
+            tok_start.cast("long").alias("tok_start"),
+            tok_end.cast("long").alias("tok_end"),
+            (tok_end - tok_start + 1).cast("long").alias("n_toks"),
+        )
+    )
+
+
+PACK_GREEDY_SCHEMA = "doc_id long, part int, bin_idx long, n_toks long"
+
+
+def pack_greedy(documents: DataFrame, budget: int = 512,
+                n_parts: int = 8) -> DataFrame:
+    """No-split first-fit-next packing: within each of ``n_parts``
+    explicit partitions (``doc_id % n_parts``), walk documents in
+    ``doc_id`` order keeping a running token total; when adding a document
+    would exceed ``budget``, close the bin and start the next. A document
+    alone in a fresh bin always fits (even one longer than the budget —
+    it overflows its own bin rather than being dropped or split).
+
+    Output: (doc_id, part, bin_idx, n_toks) — bin ids are per-partition
+    (global bin key = (part, bin_idx)). The scan is inherently sequential
+    per partition, so parallelism = ``n_parts``; inside a partition the
+    fold is one numpy pass over the group's Arrow batch, not per-row
+    Python UDF dispatch. Deterministic: no RNG, ordering pinned by
+    (part, doc_id) — the catalog's DuckDB twin replays the identical
+    decisions as a recursive CTE.
+    """
+    import pandas as pd
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        ns = pdf["n_toks"].to_numpy()
+        bins = []
+        bin_idx, cum = 0, 0
+        for n in ns:  # sequential by construction (running-total reset)
+            if cum + n > budget and cum > 0:
+                bin_idx += 1
+                cum = 0
+            cum += n
+            bins.append(bin_idx)
+        pdf["bin_idx"] = bins
+        return pdf[["doc_id", "part", "bin_idx", "n_toks"]]
+
+    d = documents.select(
+        "doc_id",
+        (F.col("doc_id") % n_parts).cast("int").alias("part"),
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+    )
+    return d.groupBy("part").applyInPandas(fold, PACK_GREEDY_SCHEMA)
+
+
+def _hash_u32(seed: str):
+    """First 8 md5 hex digits of ``seed:doc_id`` as a uniform uint32 —
+    the deterministic cross-engine coin (DuckDB: ``('0x' ||
+    substring(md5(...), 1, 8))::BIGINT``)."""
+    key = F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string"))
+    return F.conv(
+        F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+
+
+def mixture_sample(documents: DataFrame, rates: dict[str, float],
+                   seed: str = "mix", default_rate: float = 0.0) -> DataFrame:
+    """Deterministic data-mixture sampling: keep a document iff
+    ``hash(seed, doc_id) < rate(source) * 2^32``, with per-source rates
+    (domains absent from ``rates`` get ``default_rate``). Reproducible
+    across engines, reruns, and cluster sizes — the decision depends only
+    on (seed, doc_id, source), never on partitioning or RNG state.
+
+    ``rates`` joins in as a broadcast dimension (a mixture spec is tiny);
+    the corpus side is one narrow filtered pass. Output: the kept rows'
+    (doc_id, lang, source).
+    """
+    spark = documents.sparkSession
+    dim = spark.createDataFrame(
+        [(s, int(min(max(r, 0.0), 1.0) * 2**32)) for s, r in sorted(rates.items())],
+        "source string, thresh long",
+    )
+    default_thresh = int(min(max(default_rate, 0.0), 1.0) * 2**32)
+    return (
+        documents.select("doc_id", "lang", "source")
+        .join(F.broadcast(dim), "source", "left")
+        .filter(_hash_u32(seed) < F.coalesce("thresh", F.lit(default_thresh)))
+        .select("doc_id", "lang", "source")
+    )

@@ -1377,6 +1377,202 @@ EXTRA_ORACLES["nquads_roundtrip"] = """
     FROM (SELECT * FROM ev UNION ALL SELECT * FROM lab)
 """
 
+# Curation trio (operators/curation.py). The PII regexes are the SAME
+# strings the Spark side compiles (common Java-regex/RE2 subset — no
+# backreferences, no lookaround), injected by concatenation because they
+# contain both '{' and '%'. DuckDB regexp_replace needs the explicit 'g'
+# flag; Spark's is global by default.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PHONE = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+
+EXTRA_ORACLES["pii_redact"] = (
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                    '@example.com from 10.2.',
+                    CAST(doc_id % 256 AS VARCHAR), '.7 call +1-555-',
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+               text, '"""
+    + _PII_EMAIL
+    + """', '<EMAIL>', 'g'), '"""
+    + _PII_IPV4
+    + """', '<IP>', 'g'), '"""
+    + _PII_PHONE
+    + """', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '"""
+    + _PII_EMAIL
+    + """')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '"""
+    + _PII_IPV4
+    + """')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '"""
+    + _PII_PHONE
+    + """')) AS BIGINT) AS n_phones
+    FROM aug
+"""
+)
+
+# Gopher-style repetition signals: per-doc mode mass of bi/trigrams via
+# unnest + GROUP BY (the relational twin of the Spark side's array-mode
+# expression); fractions rounded to 4 like the Spark side.
+EXTRA_ORACLES["repetition_stats"] = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    bg AS (
+      SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS ng
+      FROM t, (SELECT unnest(range(1, 2000)) AS i) ix WHERE i + 1 <= n),
+    tg AS (
+      SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS ng
+      FROM t, (SELECT unnest(range(1, 2000)) AS i) ix WHERE i + 2 <= n),
+    bstat AS (
+      SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 4) AS frac
+      FROM (SELECT doc_id, ng, COUNT(*) AS c FROM bg GROUP BY doc_id, ng)
+      GROUP BY doc_id),
+    tstat AS (
+      SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 4) AS frac
+      FROM (SELECT doc_id, ng, COUNT(*) AS c FROM tg GROUP BY doc_id, ng)
+      GROUP BY doc_id)
+    SELECT t.doc_id,
+           ROUND(1.0 - len(list_distinct(toks)) * 1.0 / n, 4)
+             AS dup_word_frac,
+           COALESCE(bstat.frac, 0.0) AS top_bigram_frac,
+           COALESCE(tstat.frac, 0.0) AS top_trigram_frac,
+           (COALESCE(bstat.frac, 0.0) > 0.18
+            OR ROUND(1.0 - len(list_distinct(toks)) * 1.0 / n, 4) > 0.9)
+             AS repetitive
+    FROM t
+    LEFT JOIN bstat ON t.doc_id = bstat.doc_id
+    LEFT JOIN tstat ON t.doc_id = tstat.doc_id
+"""
+
+# 4-gram decontamination: docs with doc_id % 10 == 0 are the eval set;
+# DISTINCT per-doc n-grams (mirroring the Spark side's
+# distinct-before-explode) joined against the eval fingerprints. The
+# oracle joins on raw n-gram text where Spark joins on md5(ngram) —
+# injective over these strings, so the hit sets are identical.
+EXTRA_ORACLES["decontaminate"] = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+3], ' ') AS ng
+      FROM t, (SELECT unnest(range(1, 2000)) AS i) ix
+      WHERE i + 3 <= len(toks)),
+    ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 10 = 0),
+    h AS (
+      SELECT g.doc_id, COUNT(*) AS n_hits
+      FROM g JOIN ev USING (ng)
+      WHERE g.doc_id % 10 <> 0
+      GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 10 <> 0
+"""
+
+# Training-prep quartet (operators/training_prep.py). Token counts use
+# len(string_split(...)) — identical to Spark size(split(...)) for the
+# non-empty corpus (the engines diverge only on text='': DuckDB [] vs
+# Spark ['']).
+
+# chunk_docs: size 24, overlap 8 -> stride 16; chunk_idx = (start-1)/16
+# because starts are exactly 1 + 16k.
+EXTRA_ORACLES["chunk_docs"] = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    s AS (
+      SELECT doc_id, toks, n, st
+      FROM t, UNNEST(generate_series(1, greatest(1, n - 8), 16)) AS u(st))
+    SELECT doc_id,
+           CAST((st - 1) // 16 AS BIGINT) AS chunk_idx,
+           array_to_string(toks[st:st+23], ' ') AS chunk_text,
+           CAST(least(24, n - st + 1) AS BIGINT) AS n_toks
+    FROM s
+"""
+
+# pack_boundary: budget 256. The oracle is the PLAIN single-window
+# prefix sum — the Spark side's two-phase bucketed prefix sum must
+# reproduce it exactly or the hash breaks (that is the point: bucketing
+# is an execution strategy, not a semantics change).
+EXTRA_ORACLES["pack_boundary"] = """
+    WITH d AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents),
+    o AS (
+      SELECT doc_id, n,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+      FROM d)
+    SELECT doc_id,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(greatest(seq_id * 256 - off, 0) + 1 AS BIGINT) AS tok_start,
+           CAST(least((seq_id + 1) * 256 - off, n) AS BIGINT) AS tok_end,
+           CAST(least((seq_id + 1) * 256 - off, n)
+                - greatest(seq_id * 256 - off, 0) AS BIGINT) AS n_toks
+    FROM o, UNNEST(generate_series(off // 256, (off + n - 1) // 256))
+           AS u(seq_id)
+"""
+
+# pack_firstfit: budget 128, 8 partitions. The recursive CTE replays the
+# partition-local greedy fold row by row (rn joins rn+1), the exact
+# decisions applyInPandas makes; recursion depth = max partition size.
+EXTRA_ORACLES["pack_firstfit"] = """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, CAST(doc_id % 8 AS INT) AS part,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+             row_number() OVER (PARTITION BY doc_id % 8
+                                ORDER BY doc_id) AS rn
+      FROM documents),
+    p AS (
+      SELECT part, rn, doc_id, n_toks,
+             CAST(0 AS BIGINT) AS bin_idx, n_toks AS cum
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.part, d.rn, d.doc_id, d.n_toks,
+             CASE WHEN p.cum + d.n_toks > 128
+                  THEN p.bin_idx + 1 ELSE p.bin_idx END,
+             CASE WHEN p.cum + d.n_toks > 128
+                  THEN d.n_toks ELSE p.cum + d.n_toks END
+      FROM d JOIN p ON d.part = p.part AND d.rn = p.rn + 1)
+    SELECT doc_id, part, bin_idx, n_toks FROM p
+"""
+
+
+def _mixture_sql() -> str:
+    """Generated from the SAME catalog constants the Spark entry uses, so
+    the clamped integer thresholds match bit-for-bit."""
+    from .catalog import MIXTURE_DEFAULT, MIXTURE_RATES, MIXTURE_SEED
+
+    def thresh(r: float) -> int:
+        return int(min(max(r, 0.0), 1.0) * 2**32)
+
+    vals = ", ".join(
+        f"('{s}', CAST({thresh(r)} AS BIGINT))"
+        for s, r in sorted(MIXTURE_RATES.items())
+    )
+    return f"""
+    WITH r AS (SELECT * FROM (VALUES {vals}) t(source, thresh))
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d LEFT JOIN r USING (source)
+    WHERE ('0x' || substring(
+             md5(concat('{MIXTURE_SEED}:', CAST(d.doc_id AS VARCHAR))),
+             1, 8))::BIGINT
+          < COALESCE(r.thresh, CAST({thresh(MIXTURE_DEFAULT)} AS BIGINT))
+"""
+
+
+EXTRA_ORACLES["mixture_weighted"] = _mixture_sql()
+
 
 # --- flagship oracle: the full KG pipeline's full_triples ------------------
 # The corpus is deterministic (datagen seed 42) and generated to a FIXED

@@ -1,0 +1,82 @@
+"""Unit tests for operators/curation.py — PII redaction, repetition
+stats, n-gram decontamination. The sf0.01 hash parity vs DuckDB runs in
+the CI catalog gate (test_catalog_oracle.py); these pin edge cases the
+driver corpus doesn't exercise (empty/short docs, degenerate repetition,
+self-clean eval sets)."""
+
+from __future__ import annotations
+
+from multilingual_wiki_event_pipeline_spark.operators import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_redact_pii_all_classes(spark):
+    rows = _docs(spark, [
+        (1, "mail bob.smith+x@sub.example.org now"),
+        (2, "host 192.168.0.1 and 10.0.0.255 up"),
+        (3, "call +1-555-0100 or +44-123-4567"),
+        (4, "no pii here at all"),
+    ]).sortWithinPartitions("doc_id")
+    out = {r["doc_id"]: r for r in curation.redact_pii(rows).collect()}
+    assert out[1]["redacted"] == "mail <EMAIL> now"
+    assert out[1]["n_emails"] == 1 and out[1]["n_ipv4"] == 0
+    assert out[2]["redacted"] == "host <IP> and <IP> up"
+    assert out[2]["n_ipv4"] == 2
+    assert out[3]["redacted"] == "call <PHONE> or <PHONE>"
+    assert out[3]["n_phones"] == 2
+    assert out[4]["redacted"] == "no pii here at all"
+    assert (out[4]["n_emails"], out[4]["n_ipv4"], out[4]["n_phones"]) == (0, 0, 0)
+
+
+def test_redact_pii_email_before_ip_ordering(spark):
+    # an address whose domain is dotted-numeric-ish must be consumed by
+    # the email pass, not half-eaten by the IPv4 pass
+    rows = _docs(spark, [(1, "x a@b12.cd y 1.2.3.4 z")])
+    r = curation.redact_pii(rows).collect()[0]
+    assert r["redacted"] == "x <EMAIL> y <IP> z"
+
+
+def test_repetition_stats_degenerate(spark):
+    rows = _docs(spark, [
+        (1, "spam spam spam spam"),   # one distinct token
+        (2, "one"),                   # too short for bigrams
+        (3, "a b c d"),               # all distinct
+    ])
+    # top_bigram_max=0.5: on 4-token docs every distinct bigram carries
+    # 1/3 mass, so the catalog default (0.18, sized for ~60-token docs)
+    # would flag even the all-distinct doc — thresholds are per-corpus
+    out = {r["doc_id"]: r for r in
+           curation.repetition_stats(rows, top_bigram_max=0.5).collect()}
+    assert out[1]["dup_word_frac"] == 0.75
+    assert out[1]["top_bigram_frac"] == 1.0 and out[1]["repetitive"]
+    assert out[2]["top_bigram_frac"] == 0.0
+    assert out[2]["top_trigram_frac"] == 0.0
+    assert out[3]["dup_word_frac"] == 0.0
+    assert out[3]["top_bigram_frac"] == round(1.0 / 3, 4)
+    assert not out[3]["repetitive"]
+
+
+def test_ngram_decontaminate_hits_and_misses(spark):
+    eval_set = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+    corpus = _docs(spark, [
+        (1, "x alpha beta gamma delta y"),   # shares one 4-gram
+        (2, "alpha beta gamma x delta"),     # trigram overlap only
+        (3, "short doc"),                    # < n tokens
+    ])
+    out = {r["doc_id"]: r for r in
+           curation.ngram_decontaminate(corpus, eval_set, n=4).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hits"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert not out[3]["contaminated"]
+    assert len(out) == 3  # every corpus doc gets a row
+
+
+def test_ngram_decontaminate_counts_distinct(spark):
+    # the same contaminated n-gram repeated in a doc counts once
+    eval_set = _docs(spark, [(100, "a b c d")])
+    corpus = _docs(spark, [(1, "a b c d a b c d")])
+    r = curation.ngram_decontaminate(corpus, eval_set, n=4).collect()[0]
+    assert r["n_hits"] == 1

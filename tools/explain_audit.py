@@ -32,7 +32,8 @@ AUDITED = [
     "lang_id_profile", "embed_cosine_neardup", "dedup_simhash_pairs",
     "mention_link_rank", "participant_triples", "a3_full_stats",
     "f5f6f7_crawl_filters", "ann_multiprobe", "sparql_bgp",
-    "bm25_rank",
+    "bm25_rank", "pii_redact", "repetition_stats", "decontaminate",
+    "chunk_docs", "pack_boundary", "pack_firstfit", "mixture_weighted",
 ]
 
 CHECKS = {
@@ -47,6 +48,18 @@ CHECKS = {
     "f5f6f7_crawl_filters": ["WholeStageCodegen"],
     # distributed partial top-k (no global sort, no 1-partition window)
     "bm25_rank": ["TakeOrderedAndProject", "WholeStageCodegen"],
+    # curation trio: pure per-row codegen (pii/repetition); the
+    # decontamination eval-fingerprint join must be broadcast
+    "pii_redact": ["WholeStageCodegen"],
+    "repetition_stats": ["WholeStageCodegen"],
+    "decontaminate": ["BroadcastHashJoin", "HashAggregate"],
+    # training-prep: chunking is map-only explode; the packers' joins are
+    # broadcast (bucket-prefix frame / mixture-rate dim); greedy packing
+    # runs as ONE grouped Arrow node, never row-at-a-time Python
+    "chunk_docs": ["Generate", "WholeStageCodegen"],
+    "pack_boundary": ["BroadcastHashJoin", "Window"],
+    "pack_firstfit": ["FlatMapGroupsInPandas"],
+    "mixture_weighted": ["BroadcastHashJoin", "WholeStageCodegen"],
 }
 
 # per-query plan shapes that must NOT appear: the pigeonhole-blocked
@@ -72,6 +85,16 @@ FORBIDDEN_PER = {
     # would mean the quadratic inverted-index build crept in (the 1-row
     # broadcast stats crossJoin is the allowed BroadcastNestedLoopJoin)
     "bm25_rank": ["Generate", "CartesianProduct"],
+    # corpus×eval n-gram overlap must stay a bucketed equi-join on the
+    # n-gram hash — a nested-loop node would mean the quadratic
+    # doc-pair comparison came back
+    "decontaminate": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    # chunking must never shuffle — it is per-row window arithmetic
+    "chunk_docs": ["Exchange"],
+    # the corpus side of boundary packing joins the TINY bucket-prefix
+    # frame; a sort-merge join would mean the fact table shuffled for it
+    "pack_boundary": ["SortMergeJoin", "CartesianProduct"],
+    "mixture_weighted": ["SortMergeJoin", "CartesianProduct"],
 }
 
 FORBIDDEN = re.compile(r"BatchEvalPython")  # row-at-a-time Python UDF
