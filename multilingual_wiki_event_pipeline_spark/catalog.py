@@ -932,6 +932,18 @@ def mixture_weighted(spark, sf_dir):
     )
 
 
+def vocab_build(spark, sf_dir):
+    """Corpus vocabulary with deterministic frequency-ranked ids
+    (text_analysis.build_vocab, min_count 2): the ranking is the
+    distributed zipWithIndex (range partition + per-partition local index
+    + broadcast prefix offsets) and must hash-match the oracle's plain
+    row_number — proving the distributed rank IS the global rank."""
+    from .operators import text_analysis
+
+    return text_analysis.build_vocab(_t(spark, sf_dir, "documents"),
+                                     min_count=2)
+
+
 # Fixed probe query for the bm25_rank entry — the oracle SQL is generated
 # from the SAME list, so term order (float-sum order) matches by
 # construction. Terms chosen for spread: 'spark' is mid-frequency,
@@ -1699,5 +1711,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         ntriples_roundtrip, sparql_graph, sparql_graph_text,
         nquads_roundtrip, pii_redact, repetition_stats, decontaminate,
         chunk_docs, pack_boundary, pack_firstfit, mixture_weighted,
+        vocab_build,
     ]
 }

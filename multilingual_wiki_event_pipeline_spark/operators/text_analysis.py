@@ -136,3 +136,67 @@ def fingerprint(documents: DataFrame) -> DataFrame:
         F.md5(F.array_join(toks, " ").cast("binary")).alias("fp"),
         n_shingles.cast("long").alias("n_distinct_shingles"),
     )
+
+
+def build_vocab(documents: DataFrame, min_count: int = 1) -> DataFrame:
+    """Corpus vocabulary with deterministic frequency-ranked ids — the
+    tokenizer-training / embedding-table precursor every pretraining
+    pipeline runs once per corpus.
+
+    Output: (token, n_occurrences, n_docs, token_id) where token_id is the
+    0-based rank under (n_occurrences DESC, token ASC) — a total order
+    (tokens are unique), so ids are reproducible across runs and cluster
+    sizes.
+
+    Scale shape: the corpus is touched once (map-side explode + partial
+    agg; doc-frequency is exact count(distinct doc_id) — swap in
+    approx_count_distinct for a one-pass estimate at extreme scale). The
+    RANKING never sorts the vocabulary into one partition (the bm25-audit
+    rule: no 1-partition window over data-sized frames): it is the
+    distributed zipWithIndex — ``repartitionByRange`` +
+    ``sortWithinPartitions`` on the rank key, per-partition local indexes
+    from ``monotonically_increasing_id`` (documented layout: pid << 33 |
+    row-index-within-partition, so ``id % 2^33`` IS the local 0-based
+    index), and cross-partition offsets from a broadcast prefix sum over
+    the tiny per-partition-count frame. Range boundaries are sampled, but
+    the global rank is invariant to where they land: partitions are
+    contiguous ranges of a tie-free total order.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        documents.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    # localCheckpoint pins ONE evaluation of the sampled range boundaries
+    # and the nondeterministic ids: `ordered` feeds both the offset frame
+    # and the final join, and a recomputation with re-sampled boundaries
+    # between the two would misalign them (ReuseExchange usually dedupes,
+    # but correctness must not ride on an optimizer heuristic).
+    ordered = (
+        counts.repartitionByRange(F.desc("n_occurrences"), F.asc("token"))
+        .sortWithinPartitions(F.desc("n_occurrences"), F.asc("token"))
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "local_ix", F.monotonically_increasing_id() % F.lit(2**33)
+        )
+        .localCheckpoint()
+    )
+    per_pid = ordered.groupBy("pid").agg(F.count("*").alias("pn"))
+    wp = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_pid.select(
+        "pid", F.coalesce(F.sum("pn").over(wp), F.lit(0)).alias("poff")
+    )
+    return ordered.join(F.broadcast(offsets), "pid").select(
+        "token",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (F.col("poff") + F.col("local_ix")).cast("long").alias("token_id"),
+    )

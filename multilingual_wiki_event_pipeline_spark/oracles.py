@@ -1548,6 +1548,24 @@ EXTRA_ORACLES["pack_firstfit"] = """
 """
 
 
+# vocab_build: min_count 2. The oracle ranks with a plain single window;
+# the Spark side's range-partitioned two-phase rank must reproduce it
+# exactly (tie-free total order: tokens are unique).
+EXTRA_ORACLES["vocab_build"] = """
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    c AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM t GROUP BY token)
+    SELECT token, n_occurrences, n_docs,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
+                - 1 AS BIGINT) AS token_id
+    FROM c WHERE n_occurrences >= 2
+"""
+
+
 def _mixture_sql() -> str:
     """Generated from the SAME catalog constants the Spark entry uses, so
     the clamped integer thresholds match bit-for-bit."""

@@ -34,6 +34,7 @@ AUDITED = [
     "f5f6f7_crawl_filters", "ann_multiprobe", "sparql_bgp",
     "bm25_rank", "pii_redact", "repetition_stats", "decontaminate",
     "chunk_docs", "pack_boundary", "pack_firstfit", "mixture_weighted",
+    "vocab_build",
 ]
 
 CHECKS = {
@@ -60,6 +61,12 @@ CHECKS = {
     "pack_boundary": ["BroadcastHashJoin", "Window"],
     "pack_firstfit": ["FlatMapGroupsInPandas"],
     "mixture_weighted": ["BroadcastHashJoin", "WholeStageCodegen"],
+    # the vocab rank must stay the distributed zipWithIndex: offsets join
+    # back broadcast. (The range exchange itself is invisible here — it
+    # sits behind the correctness-pinning localCheckpoint, whose plan the
+    # final explain shows as a scan; building this query runs that small
+    # eager-checkpoint job.)
+    "vocab_build": ["BroadcastHashJoin"],
 }
 
 # per-query plan shapes that must NOT appear: the pigeonhole-blocked
