@@ -1,0 +1,187 @@
+"""Cluster entry point for the LLM training-data preparation pipeline.
+
+Chains the engine's curation / dedup / packing operators end-to-end over a
+``documents(doc_id, text, lang, source, ...)`` table — the trainer-facing
+sibling of jobs/run_pipeline.py (the KG job), with the same contract:
+every stage boundary materialized to a CheckpointStore (resumable after
+failure; re-runs skip complete stages), per-partition lineage rows, and a
+counters table recording the survivor count of every gate.
+
+    spark-submit --py-files mwep_spark.zip jobs/prepare_training_data.py \
+      --input /path/documents.parquet --checkpoint /path/ckpt \
+      --output /path/prepared \
+      [--eval-set /path/eval_docs.parquet]      # n-gram decontamination
+      [--rates '{"web": 0.5, "wiki": 1.0}']      # mixture spec (JSON)
+      [--pack boundary|greedy|none] [--budget 2048] [--build-vocab]
+
+Stages (each a checkpoint boundary):
+
+1. ``s1_clean`` — quality gate (composite lexical score >= --min-quality,
+   Gopher repetition flag off) then PII redaction; text is replaced by the
+   redacted form.
+2. ``s2_dedup`` — exact dedup (keep min doc_id per content hash), MinHash
+   LSH candidates verified by exact Jaccard on candidates only, dropping
+   the LARGER id of every verified near-dup pair (deterministic greedy —
+   keeps a superset of one-per-component; full transitive canonicalization
+   is operators/canonicalize.py), then optional n-gram decontamination
+   against --eval-set.
+3. ``s3_final`` — optional deterministic mixture sampling (md5 coin, so a
+   re-run keeps the identical sample), the final corpus written
+   partitioned by source.
+4. ``packed`` — optional sequence packing manifest: ``boundary``
+   (GPT-style split-at-budget) or ``greedy`` (SFT-style no-split
+   first-fit), plus an optional frequency-ranked vocabulary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str]) -> dict[str, int]:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--checkpoint", required=True, help="checkpoint-store root")
+    ap.add_argument("--output", required=True, help="prepared-corpus output root")
+    ap.add_argument("--eval-set", default=None,
+                    help="eval/benchmark documents parquet for decontamination")
+    ap.add_argument("--rates", default=None,
+                    help='JSON mixture spec, e.g. \'{"web": 0.5}\'')
+    ap.add_argument("--mix-seed", default="mix")
+    ap.add_argument("--default-rate", type=float, default=1.0)
+    ap.add_argument("--min-quality", type=float, default=0.0)
+    ap.add_argument("--jaccard", type=float, default=0.9)
+    ap.add_argument("--decontam-n", type=int, default=8)
+    ap.add_argument("--pack", default="boundary",
+                    choices=["boundary", "greedy", "none"])
+    ap.add_argument("--budget", type=int, default=2048)
+    ap.add_argument("--build-vocab", action="store_true")
+    ap.add_argument("--vocab-min-count", type=int, default=2)
+    args = ap.parse_args(argv)
+
+    # imports AFTER spark-submit has the --py-files zip on sys.path
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    import multilingual_wiki_event_pipeline_spark as pkg
+    from multilingual_wiki_event_pipeline_spark.operators import (
+        curation,
+        text_analysis,
+        text_dedup,
+        training_prep,
+    )
+    from multilingual_wiki_event_pipeline_spark.sinks import CheckpointStore
+
+    spark = SparkSession.builder.appName("mwep-prepare-training-data").getOrCreate()
+    rates = json.loads(args.rates) if args.rates else None
+    store = CheckpointStore(
+        spark,
+        args.checkpoint,
+        fingerprint=CheckpointStore.params_fingerprint(
+            code_version=pkg.__version__,
+            input=args.input,
+            eval_set=args.eval_set,
+            rates=rates,
+            mix_seed=args.mix_seed,
+            default_rate=args.default_rate,
+            min_quality=args.min_quality,
+            jaccard=args.jaccard,
+            decontam_n=args.decontam_n,
+        ),
+    )
+    counters: dict[str, int] = {}
+
+    def count(metric: str, n: int) -> None:
+        counters[metric] = n
+        store.add_counter("curate", metric, n)
+
+    docs = spark.read.parquet(args.input)
+    count("input_docs", docs.count())
+
+    # -- stage 1: quality gate + PII redaction ------------------------------
+    # plans are built lazily; materialize() skips the compute entirely when
+    # the boundary is already complete (resume) and serves the stored frame
+    q = text_analysis.quality_score(docs).select("doc_id", "quality")
+    rep = curation.repetition_stats(docs).select("doc_id", "repetitive")
+    kept = (
+        docs.join(q, "doc_id")
+        .join(rep, "doc_id")
+        .filter((F.col("quality") >= args.min_quality) & ~F.col("repetitive"))
+    )
+    clean = store.materialize(
+        curation.redact_pii(kept)
+        .select("doc_id", F.col("redacted").alias("text"))
+        .join(kept.select("doc_id", "lang", "source"), "doc_id"),
+        "s1_clean",
+    )
+    count("after_quality_gate", clean.count())
+
+    # -- stage 2: dedup (+ optional decontamination) ------------------------
+    keepers = text_dedup.exact_dedup(clean).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    uniq = clean.join(keepers, "doc_id", "left_semi")
+    near = text_dedup.jaccard_on_candidates(
+        uniq, text_dedup.minhash_candidate_pairs(uniq),
+        threshold=args.jaccard,
+    )
+    # greedy near-dup drop: the larger id of every verified pair goes.
+    # Deterministic; keeps a superset of one-doc-per-component (full
+    # transitive canonicalization is operators/canonicalize.py).
+    losers = near.select(F.col("b_id").alias("doc_id")).distinct()
+    deduped = uniq.join(losers, "doc_id", "left_anti")
+    if args.eval_set:
+        flags = curation.ngram_decontaminate(
+            deduped, spark.read.parquet(args.eval_set), n=args.decontam_n
+        )
+        deduped = deduped.join(
+            flags.filter(~F.col("contaminated")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+    deduped = store.materialize(deduped, "s2_dedup")
+    count("after_dedup", deduped.count())
+
+    # -- stage 3: mixture sampling + final corpus ---------------------------
+    if rates is not None:
+        sample = training_prep.mixture_sample(
+            deduped, rates, seed=args.mix_seed,
+            default_rate=args.default_rate,
+        ).select("doc_id")
+        final = deduped.join(sample, "doc_id", "left_semi")
+    else:
+        final = deduped
+    final = store.materialize(final, "s3_final")
+    count("final_docs", final.count())
+    final.write.mode("overwrite").partitionBy("source").parquet(
+        f"{args.output}/corpus"
+    )
+
+    # -- stage 4: packing manifest + vocabulary -----------------------------
+    if args.pack == "boundary":
+        packed = training_prep.pack_sequences(final, budget=args.budget)
+        packed.write.mode("overwrite").parquet(f"{args.output}/packed")
+        count("train_sequences",
+              packed.agg(F.count_distinct("seq_id")).collect()[0][0])
+        count("packed_tokens",
+              packed.agg(F.sum("n_toks")).collect()[0][0])
+    elif args.pack == "greedy":
+        packed = training_prep.pack_greedy(final, budget=args.budget)
+        packed.write.mode("overwrite").parquet(f"{args.output}/packed")
+        count("train_sequences",
+              packed.select("part", "bin_idx").distinct().count())
+        count("packed_tokens",
+              packed.agg(F.sum("n_toks")).collect()[0][0])
+    if args.build_vocab:
+        vocab = text_analysis.build_vocab(
+            final, min_count=args.vocab_min_count
+        )
+        vocab.write.mode("overwrite").parquet(f"{args.output}/vocab")
+        count("vocab_size", vocab.count())
+    return counters
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

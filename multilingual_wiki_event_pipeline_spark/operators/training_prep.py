@@ -90,6 +90,8 @@ def pack_sequences(documents: DataFrame, budget: int = 512,
     """
     from pyspark.sql import Window
 
+    if budget <= 0 or bucket_width <= 0:
+        raise ValueError("require budget > 0 and bucket_width > 0")
     d = documents.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n"),
@@ -151,6 +153,9 @@ def pack_greedy(documents: DataFrame, budget: int = 512,
     decisions as a recursive CTE.
     """
     import pandas as pd
+
+    if budget <= 0 or n_parts <= 0:
+        raise ValueError("require budget > 0 and n_parts > 0")
 
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)

@@ -1,0 +1,86 @@
+"""End-to-end test of jobs/prepare_training_data.py — the trainer-facing
+pipeline (quality gate -> PII redact -> exact + near dedup ->
+decontaminate -> mixture sample -> pack -> vocab) over the sf0.001
+documents table, including checkpoint resume."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.mark.skipif(not os.path.exists(DOCS), reason="driver testdata absent")
+def test_prepare_training_data_end_to_end_and_resume(spark, tmp_path):
+    from jobs.prepare_training_data import main
+
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    eval_set = str(tmp_path / "eval.parquet")
+    # eval set: every 10th doc (same fixture shape as the decontaminate
+    # catalog entry)
+    docs = spark.read.parquet(DOCS)
+    docs.filter("doc_id % 10 = 0").write.parquet(eval_set)
+
+    argv = [
+        "--input", DOCS, "--checkpoint", ckpt, "--output", out,
+        "--eval-set", eval_set,
+        "--rates", json.dumps({"src0": 1.0, "src1": 1.0}),
+        "--default-rate", "0.5",
+        "--min-quality", "0.1", "--pack", "boundary", "--budget", "64",
+        "--build-vocab",
+    ]
+    c1 = main(argv)
+    assert c1["input_docs"] == 500
+    # every gate is a (weak) subset of the previous
+    assert (c1["input_docs"] >= c1["after_quality_gate"]
+            >= c1["after_dedup"] >= c1["final_docs"] > 0)
+    assert c1["train_sequences"] > 0 and c1["vocab_size"] > 0
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert corpus.count() == c1["final_docs"]
+    # PII redaction replaced text; the synthetic corpus has none, so text
+    # survives, but the column exists and is non-null
+    assert corpus.filter("text IS NULL").count() == 0
+    packed = spark.read.parquet(f"{out}/packed")
+    # conservation: packed tokens == total tokens of the final corpus
+    from pyspark.sql import functions as F
+
+    total = corpus.select(
+        F.sum(F.size(F.split("text", " "))).alias("s")
+    ).collect()[0]["s"]
+    assert c1["packed_tokens"] == total
+    assert packed.count() >= c1["final_docs"]
+
+    # resume: second run serves every boundary from the store and lands on
+    # identical counters (mixture sampling is an md5 coin -> identical set)
+    c2 = main(argv)
+    assert c2 == c1
+    # boundaries were complete before the rerun
+    from multilingual_wiki_event_pipeline_spark.sinks import CheckpointStore
+
+    s = CheckpointStore(spark, ckpt)
+    # fingerprint check needs the job's fingerprint; _SUCCESS presence is
+    # enough to prove the stages materialized
+    for stage in ("s1_clean", "s2_dedup", "s3_final"):
+        assert os.path.exists(os.path.join(ckpt, stage, "_SUCCESS"))
+
+
+@pytest.mark.skipif(not os.path.exists(DOCS), reason="driver testdata absent")
+def test_prepare_training_data_greedy_pack_no_mixture(spark, tmp_path):
+    from jobs.prepare_training_data import main
+
+    c = main([
+        "--input", DOCS, "--checkpoint", str(tmp_path / "ck2"),
+        "--output", str(tmp_path / "out2"), "--pack", "greedy",
+        "--budget", "128",
+    ])
+    # no mixture spec: final == deduped
+    assert c["final_docs"] == c["after_dedup"] > 0
+    assert c["train_sequences"] > 0
+    assert c["packed_tokens"] > 0

@@ -124,6 +124,36 @@ def test_pack_greedy_partitions_independent(spark):
         assert [b for _, b in got] == [0, 0, 1, 1, 2]
 
 
+def test_pack_greedy_bin_budget_invariant(spark):
+    # messy sizes: every bin with more than one doc sums <= budget; only
+    # single-doc bins may overflow (the oversized-doc rule)
+    rows = [(i, " ".join(["w"] * (1 + (i * 13) % 23))) for i in range(120)]
+    out = training_prep.pack_greedy(_docs(spark, rows), budget=16, n_parts=4)
+    per_bin = (
+        out.groupBy("part", "bin_idx")
+        .agg(F.sum("n_toks").alias("s"), F.count("*").alias("c"))
+        .collect()
+    )
+    for r in per_bin:
+        assert r["s"] <= 16 or r["c"] == 1
+    # packing is a partition of the corpus: every doc exactly once
+    assert out.count() == 120 and out.select("doc_id").distinct().count() == 120
+
+
+def test_param_validation(spark):
+    import pytest
+
+    d = _docs(spark, [])
+    with pytest.raises(ValueError):
+        training_prep.pack_sequences(d, budget=0)
+    with pytest.raises(ValueError):
+        training_prep.pack_sequences(d, budget=8, bucket_width=0)
+    with pytest.raises(ValueError):
+        training_prep.pack_greedy(d, budget=-1)
+    with pytest.raises(ValueError):
+        training_prep.pack_greedy(d, budget=8, n_parts=0)
+
+
 def test_mixture_sample_deterministic_and_rate_shaped(spark):
     rows = [(i, "x", "en", "web" if i % 2 == 0 else "books")
             for i in range(2000)]
