@@ -932,6 +932,17 @@ def mixture_weighted(spark, sf_dir):
     )
 
 
+def sample_exact(spark, sf_dir):
+    """Deterministic exact-size sample (training_prep.sample_exact_n,
+    n=100): the 100 lowest md5-coin docs — the oracle recomputes the same
+    coin and ORDER BY ... LIMIT, so the sampled set hash-matches."""
+    from .operators import training_prep
+
+    return training_prep.sample_exact_n(
+        _t(spark, sf_dir, "documents"), n=100, seed=MIXTURE_SEED
+    )
+
+
 def vocab_build(spark, sf_dir):
     """Corpus vocabulary with deterministic frequency-ranked ids
     (text_analysis.build_vocab, min_count 2): the ranking is the
@@ -1711,6 +1722,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         ntriples_roundtrip, sparql_graph, sparql_graph_text,
         nquads_roundtrip, pii_redact, repetition_stats, decontaminate,
         chunk_docs, pack_boundary, pack_firstfit, mixture_weighted,
-        vocab_build,
+        vocab_build, sample_exact,
     ]
 }

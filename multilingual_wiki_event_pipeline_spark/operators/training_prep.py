@@ -189,6 +189,30 @@ def _hash_u32(seed: str):
     ).cast("long")
 
 
+def sample_exact_n(documents: DataFrame, n: int,
+                   seed: str = "sample") -> DataFrame:
+    """Deterministic EXACT-size uniform sample: the ``n`` documents whose
+    md5 coin (same ``hash(seed, doc_id)`` as :func:`mixture_sample`) ranks
+    lowest, ties (never, md5 is injective here) on doc_id. The fixed-size
+    companion to mixture sampling — ablation corpora and eval subsets are
+    specified as "exactly N docs", which a Bernoulli rate cannot promise.
+
+    Reproducible across engines, reruns, and cluster sizes; the plan is a
+    distributed partial top-k (Spark's TakeOrdered / sortWithinPartitions
+    + limit machinery — per-partition heaps, no global sort of the
+    corpus). Output: (doc_id, lang, source) of the sampled docs.
+    """
+    if n <= 0:
+        raise ValueError("require n > 0")
+    return (
+        documents.select("doc_id", "lang", "source",
+                         _hash_u32(seed).alias("__coin"))
+        .orderBy("__coin", "doc_id")
+        .limit(n)
+        .drop("__coin")
+    )
+
+
 def mixture_sample(documents: DataFrame, rates: dict[str, float],
                    seed: str = "mix", default_rate: float = 0.0) -> DataFrame:
     """Deterministic data-mixture sampling: keep a document iff

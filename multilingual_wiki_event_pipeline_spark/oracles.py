@@ -1592,6 +1592,23 @@ def _mixture_sql() -> str:
 EXTRA_ORACLES["mixture_weighted"] = _mixture_sql()
 
 
+def _sample_exact_sql(n: int = 100) -> str:
+    """Same md5 coin as the Spark side; the compare hash is row-order
+    insensitive, so ORDER BY only has to pick the same N rows."""
+    from .catalog import MIXTURE_SEED
+
+    return f"""
+    SELECT doc_id, lang, source FROM documents
+    ORDER BY ('0x' || substring(
+        md5(concat('{MIXTURE_SEED}:', CAST(doc_id AS VARCHAR))),
+        1, 8))::BIGINT, doc_id
+    LIMIT {n}
+"""
+
+
+EXTRA_ORACLES["sample_exact"] = _sample_exact_sql()
+
+
 # --- flagship oracle: the full KG pipeline's full_triples ------------------
 # The corpus is deterministic (datagen seed 42) and generated to a FIXED
 # dir (catalog.ensure_fixed_corpus), so DuckDB reads the SAME parquet the

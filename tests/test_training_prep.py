@@ -179,6 +179,31 @@ def test_mixture_sample_deterministic_and_rate_shaped(spark):
         sorted(r["doc_id"] for r in kept.collect())
 
 
+def test_sample_exact_n(spark):
+    import pytest
+
+    d = spark.createDataFrame(
+        [(i, "x", "en", "web") for i in range(500)],
+        "doc_id long, text string, lang string, source string",
+    )
+    s1 = training_prep.sample_exact_n(d, 50, seed="s")
+    assert s1.count() == 50
+    # deterministic and seed-sensitive
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    assert ids1 == sorted(
+        r["doc_id"] for r in training_prep.sample_exact_n(d, 50, seed="s").collect()
+    )
+    assert ids1 != sorted(
+        r["doc_id"] for r in training_prep.sample_exact_n(d, 50, seed="t").collect()
+    )
+    # nested: the N-sample is a prefix of the (N+k)-sample (same coin order)
+    ids2 = sorted(r["doc_id"] for r in
+                  training_prep.sample_exact_n(d, 80, seed="s").collect())
+    assert set(ids1) <= set(ids2)
+    with pytest.raises(ValueError):
+        training_prep.sample_exact_n(d, 0)
+
+
 def test_mixture_sample_default_rate(spark):
     d = spark.createDataFrame(
         [(i, "x", "en", "unlisted") for i in range(400)],

@@ -34,7 +34,7 @@ AUDITED = [
     "f5f6f7_crawl_filters", "ann_multiprobe", "sparql_bgp",
     "bm25_rank", "pii_redact", "repetition_stats", "decontaminate",
     "chunk_docs", "pack_boundary", "pack_firstfit", "mixture_weighted",
-    "vocab_build",
+    "vocab_build", "sample_exact",
 ]
 
 CHECKS = {
@@ -67,6 +67,9 @@ CHECKS = {
     # final explain shows as a scan; building this query runs that small
     # eager-checkpoint job.)
     "vocab_build": ["BroadcastHashJoin"],
+    # exact-size sampling must stay a distributed partial top-k, like
+    # bm25_rank — never a global sort
+    "sample_exact": ["TakeOrderedAndProject"],
 }
 
 # per-query plan shapes that must NOT appear: the pigeonhole-blocked
