@@ -52,31 +52,42 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 from multilingual_wiki_event_pipeline_spark import datagen  # noqa: E402
 from sentinel import (  # noqa: E402
-    REJECT_MAX_RATIO, REJECT_P75_RATIO, SENTINEL_PERIOD_SEC, SentinelSampler,
-    calibrate, calibrate_busy, contamination, sweep_stale_scratch,
+    REJECT_BW_RATIO, REJECT_MAX_RATIO, REJECT_P75_RATIO, SENTINEL_PERIOD_SEC,
+    SentinelSampler, bandwidth_wall, calibrate, calibrate_bandwidth,
+    calibrate_busy, contamination, sweep_stale_scratch,
 )
 
 
 def run_rep(cpus: int, corpus_dir: str, payload: str | None,
-            floor: float) -> dict:
-    """One worker subprocess under sentinel sampling."""
+            floor: float, bw_floor: float) -> dict:
+    """One worker subprocess under sentinel sampling. The CPU sentinel
+    samples every ~20 s mid-rep; the memory-bandwidth sentinel samples at
+    the rep's boundaries (job quiescent — see sentinel.py), and a rep is
+    accepted only if BOTH are clean."""
     subprocess.run(["sync"], check=False)  # level the page-cache field
     env = dict(os.environ)
     if payload:
         env["MWEP_PAYLOAD"] = payload
+    bw0 = bandwidth_wall()
     with SentinelSampler() as sampler:
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "_scaling_worker.py"),
              str(cpus), corpus_dir],
             capture_output=True, text=True, timeout=7200, env=env,
         )
+    bw1 = bandwidth_wall()
     if proc.returncode != 0:
         sys.stderr.write(proc.stderr[-4000:])
         raise SystemExit(f"worker local[{cpus}] failed")
     r = json.loads(proc.stdout.strip().splitlines()[-1])
+    bw_ratio = round(max(bw0, bw1) / bw_floor, 3)
+    cpu = contamination(sampler.walls, floor)
     r["sentinel"] = {
         "walls_sec": [round(w, 3) for w in sampler.walls],
-        **contamination(sampler.walls, floor),
+        **cpu,
+        "bw_walls_sec": [round(bw0, 3), round(bw1, 3)],
+        "bw_ratio": bw_ratio,
+        "accepted": cpu["accepted"] and bw_ratio <= REJECT_BW_RATIO,
     }
     return r
 
@@ -135,6 +146,8 @@ def main() -> None:
     )
     floor = calibrate()
     print(f"sentinel floor: {floor:.3f}s", flush=True)
+    bw_floor = calibrate_bandwidth()
+    print(f"bandwidth floor: {bw_floor:.3f}s", flush=True)
     # levels that saturate the machine get the busy floor (see
     # calibrate_busy): there the measured job itself slows the sampler
     nproc = os.cpu_count() or 32
@@ -161,7 +174,7 @@ def main() -> None:
                 if n_ok >= args.reps or attempts[c] >= max_attempts:
                     continue
                 attempts[c] += 1
-                r = run_rep(c, corpus_dir, args.payload, floor_for[c])
+                r = run_rep(c, corpus_dir, args.payload, floor_for[c], bw_floor)
                 reps[c].append(r)
                 s = r["sentinel"]
                 print(
@@ -192,6 +205,8 @@ def main() -> None:
             "busy_floor_levels": saturating,
             "sentinel_period_sec": SENTINEL_PERIOD_SEC,
             "reject_p75_ratio": REJECT_P75_RATIO,
+            "bw_floor_sec": round(bw_floor, 3),
+            "reject_bw_ratio": REJECT_BW_RATIO,
             "reject_max_ratio": REJECT_MAX_RATIO,
             "interleaved": True,
             "reps_wanted": args.reps,

@@ -50,6 +50,39 @@ def calibrate(n: int = 5) -> float:
     return min(sentinel_wall() for _ in range(n))
 
 
+# --- memory-bandwidth sentinel (round 5) -----------------------------------
+# The sha256 sentinel's 4 MiB working set is cache-resident, so it is BLIND
+# to DRAM-bandwidth contention — measured this round: four identical
+# fresh-JVM batteries of the same 4-core stage read best-accepted walls of
+# 36.9 / 38.2 / 52.9 s with every CPU-sentinel sample green. A large memcpy
+# (2 x 128 MiB buffers, far past LLC) tracks exactly that resource. Sampled
+# at rep BOUNDARIES only (the job is quiescent, so the reading is the
+# host's, not the job's own) — valid for the same reason boundary CPU
+# samples are: the measured noise episodes last minutes, reps are bracketed
+# within them.
+BW_MB = 128
+BW_ROUNDS = 24  # ~0.3-0.5 s per sample on a clean host
+REJECT_BW_RATIO = 1.5
+_BW_SRC: bytearray | None = None
+_BW_DST: bytearray | None = None
+
+
+def bandwidth_wall() -> float:
+    """One timed run of the fixed memcpy bandwidth sentinel."""
+    global _BW_SRC, _BW_DST
+    if _BW_SRC is None:
+        _BW_SRC = bytearray(b"\xa5" * (BW_MB << 20))
+        _BW_DST = bytearray(BW_MB << 20)
+    t0 = time.perf_counter()
+    for _ in range(BW_ROUNDS):
+        _BW_DST[:] = _BW_SRC
+    return time.perf_counter() - t0
+
+
+def calibrate_bandwidth(n: int = 5) -> float:
+    return min(bandwidth_wall() for _ in range(n))
+
+
 def _spin(seconds: float) -> None:
     """Full-core synthetic load for busy-floor calibration (subprocess
     target — plain sha256 loop, same work profile as the sentinel)."""
