@@ -943,6 +943,21 @@ def sample_exact(spark, sf_dir):
     )
 
 
+def dup_spans(spark, sf_dir):
+    """ExactSubstr-style duplicate-span statistics
+    (text_dedup.duplicate_span_stats, n=4): per-document count/fraction
+    of 4-token windows whose exact text occurs more than once anywhere
+    in the corpus (Lee et al. 2022 substring-level dedup, the granularity
+    the document-level minhash/simhash entries cannot see). n=4 matches
+    the decontaminate entry: the ~20-word synthetic vocabulary makes
+    4-gram birthday collisions common enough for a non-trivial profile."""
+    from .operators import text_dedup
+
+    return text_dedup.duplicate_span_stats(
+        _t(spark, sf_dir, "documents"), n=4
+    )
+
+
 def vocab_build(spark, sf_dir):
     """Corpus vocabulary with deterministic frequency-ranked ids
     (text_analysis.build_vocab, min_count 2): the ranking is the
@@ -1707,9 +1722,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # - ann_lsh_bucketed (r5, for asof_join_events) — single-probe LSH is
 #   ann_multiprobe's degenerate case (same seeded projections, probe
 #   fan-out of 1); its recall tier stays measured in BENCH/BASELINE.md.
-# graph_lpa and multimodal_resize were born here (the 50-row window was
-# already full when they landed); same CI hash-gate as the rotated
-# entries.
+# graph_lpa, multimodal_resize, and every later-round addition (sparql_*,
+# graph_*, retrieval, curation, training-prep, dup_spans) were born here
+# (the 50-row window was already full when they landed); same CI
+# hash-gate as the rotated entries.
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     f.__name__: f
     for f in [
@@ -1722,6 +1738,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         ntriples_roundtrip, sparql_graph, sparql_graph_text,
         nquads_roundtrip, pii_redact, repetition_stats, decontaminate,
         chunk_docs, pack_boundary, pack_firstfit, mixture_weighted,
-        vocab_build, sample_exact,
+        vocab_build, sample_exact, dup_spans,
     ]
 }

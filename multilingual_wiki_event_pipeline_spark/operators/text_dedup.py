@@ -310,3 +310,75 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
         )
         .distinct()  # a pair may agree on several blocks
     )
+
+
+def duplicate_span_stats(documents: DataFrame, n: int = 8) -> DataFrame:
+    """ExactSubstr-style duplicate-span statistics (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better").
+
+    The dedup family above works at DOCUMENT granularity; pretraining
+    corpora also carry repeated SUBSTRINGS inside otherwise-unique
+    documents (boilerplate, licenses, quoted passages). The paper's
+    ExactSubstr pass finds every length-n token window whose exact text
+    occurs more than once anywhere in the corpus (including twice in the
+    same document). This operator reports, per document, how much of it
+    is such duplicated material: ``doc_id, n_windows, n_dup_windows,
+    dup_frac`` (docs shorter than n tokens have no windows and are
+    omitted — they cannot contain a duplicated span).
+
+    Plan (the suffix-array of the paper is a single-machine structure;
+    this is its shuffle-native equivalent):
+
+    1. map-side: tokenize, explode each doc into its rolling n-token
+       window digests — md5 over the window text, so the corpus-wide
+       equality test is an equi-key, never a string-payload shuffle;
+    2. ``groupBy(doc_id, h)`` partial+final hash agg (windows repeated
+       WITHIN a doc collapse map-side before the shuffle);
+    3. ``groupBy(h)`` partial agg for corpus-wide occurrence totals —
+       boilerplate mega-windows (the skew risk) partial-aggregate on the
+       map side, so a window occurring 10^9 times arrives at one reducer
+       as per-partition partials, not 10^9 rows;
+    4. equi-join the per-doc counts back on ``h`` and re-aggregate by
+       doc. Both inputs are already hash-partitioned outputs; at 100 TB
+       this is the one unavoidable big-big shuffle join and it is on a
+       high-cardinality uniform key (md5).
+
+    Nothing is quadratic: no self-join on documents, no window-pair
+    enumeration; cost is O(total windows) map-side + two hash aggs +
+    one equi-join. Cross-engine note: md5 is injective in practice over
+    window texts, so the DuckDB oracle can join on the raw n-gram string
+    (same argument as curation.ngram_decontaminate).
+    """
+    toks = F.split(F.col("text"), " ")
+    windows = (
+        documents
+        .filter(F.size(toks) >= n)  # sequence(1, k<=0) would step down
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+                )
+            ).alias("h"),
+        )
+    )
+    per_doc = windows.groupBy("doc_id", "h").agg(F.count("*").alias("c_doc"))
+    totals = per_doc.groupBy("h").agg(F.sum("c_doc").alias("c_tot"))
+    dup = F.when(F.col("c_tot") >= 2, F.col("c_doc")).otherwise(F.lit(0))
+    return (
+        per_doc.join(totals, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_doc").alias("n_windows"),
+            F.sum(dup).alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(
+                F.col("n_dup_windows") / F.col("n_windows"), 6
+            ).alias("dup_frac"),
+        )
+    )

@@ -1609,6 +1609,33 @@ def _sample_exact_sql(n: int = 100) -> str:
 EXTRA_ORACLES["sample_exact"] = _sample_exact_sql()
 
 
+# ExactSubstr duplicate-span stats (text_dedup.duplicate_span_stats, n=4):
+# per-doc 4-token windows duplicated anywhere in the corpus (including
+# within the same doc). The oracle counts on the raw window text where
+# Spark counts on md5(window) — injective over these strings, same
+# argument as the decontaminate oracle. toks[i:i+3] is DuckDB's inclusive
+# 4-element slice, the twin of Spark slice(toks, i, 4); docs shorter than
+# 4 tokens produce no windows and are omitted in both engines.
+EXTRA_ORACLES["dup_spans"] = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    w AS (
+      SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS ng
+      FROM t, (SELECT unnest(range(1, 2000)) AS i) ix
+      WHERE i + 3 <= len(toks)),
+    c AS (SELECT doc_id, ng, COUNT(*) AS c_doc FROM w GROUP BY 1, 2),
+    tot AS (SELECT ng, SUM(c_doc) AS c_tot FROM c GROUP BY 1)
+    SELECT c.doc_id,
+           CAST(SUM(c.c_doc) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN tot.c_tot >= 2 THEN c.c_doc ELSE 0 END)
+                AS BIGINT) AS n_dup_windows,
+           ROUND(CAST(SUM(CASE WHEN tot.c_tot >= 2 THEN c.c_doc ELSE 0 END)
+                      AS DOUBLE) / SUM(c.c_doc), 6) AS dup_frac
+    FROM c JOIN tot USING (ng)
+    GROUP BY c.doc_id
+"""
+
+
 # --- flagship oracle: the full KG pipeline's full_triples ------------------
 # The corpus is deterministic (datagen seed 42) and generated to a FIXED
 # dir (catalog.ensure_fixed_corpus), so DuckDB reads the SAME parquet the

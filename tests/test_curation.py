@@ -80,3 +80,74 @@ def test_ngram_decontaminate_counts_distinct(spark):
     corpus = _docs(spark, [(1, "a b c d a b c d")])
     r = curation.ngram_decontaminate(corpus, eval_set, n=4).collect()[0]
     assert r["n_hits"] == 1
+
+
+def test_duplicate_span_stats_semantics(spark):
+    """ExactSubstr semantics: a window is duplicated when its exact text
+    occurs >1 time corpus-wide, INCLUDING twice within one document;
+    docs shorter than n tokens are omitted (no windows to classify)."""
+    from multilingual_wiki_event_pipeline_spark.operators import text_dedup
+
+    rows = _docs(spark, [
+        # docs 1 and 2 share the 3-gram "x y z"; their other windows are
+        # unique ("a x y" / "b x y", "y z a" / "y z b")
+        (1, "a x y z a"),
+        (2, "b x y z b"),
+        # doc 3 repeats "p q r" internally: windows at pos 1 and 4
+        (3, "p q r p q r"),
+        # doc 4 is all-unique windows
+        (4, "u v w t s"),
+        # doc 5 is too short for any 3-token window
+        (5, "m n"),
+    ])
+    out = {
+        r["doc_id"]: r
+        for r in text_dedup.duplicate_span_stats(rows, n=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}  # doc 5 omitted
+    assert (out[1]["n_windows"], out[1]["n_dup_windows"]) == (3, 1)
+    assert (out[2]["n_windows"], out[2]["n_dup_windows"]) == (3, 1)
+    # doc 3: windows p-q-r, q-r-p, r-p-q, p-q-r -> the two "p q r"
+    # occurrences are duplicates of EACH OTHER (within-doc)
+    assert (out[3]["n_windows"], out[3]["n_dup_windows"]) == (4, 2)
+    assert (out[4]["n_windows"], out[4]["n_dup_windows"]) == (3, 0)
+    assert out[3]["dup_frac"] == 0.5
+    assert out[4]["dup_frac"] == 0.0
+
+
+def test_duplicate_span_stats_vs_bruteforce(spark):
+    """Seeded random corpus vs a brute-force Python model of ExactSubstr:
+    per-doc window/dup counts must match exactly for n in {2, 5}."""
+    import random
+    from collections import Counter
+
+    from multilingual_wiki_event_pipeline_spark.operators import text_dedup
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(6)]  # tiny vocab -> dense collisions
+    corpus = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(40)
+    ]
+    for n in (2, 5):
+        grams: dict[int, list[str]] = {}
+        for doc_id, text in corpus:
+            toks = text.split(" ") if text else [""]
+            grams[doc_id] = [
+                " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+            ]
+        totals = Counter(g for gs in grams.values() for g in gs)
+        expect = {
+            doc_id: (
+                len(gs),
+                sum(1 for g in gs if totals[g] >= 2),
+            )
+            for doc_id, gs in grams.items() if gs
+        }
+        out = {
+            r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+            for r in text_dedup.duplicate_span_stats(
+                _docs(spark, corpus), n=n
+            ).collect()
+        }
+        assert out == expect

@@ -34,7 +34,7 @@ AUDITED = [
     "f5f6f7_crawl_filters", "ann_multiprobe", "sparql_bgp",
     "bm25_rank", "pii_redact", "repetition_stats", "decontaminate",
     "chunk_docs", "pack_boundary", "pack_firstfit", "mixture_weighted",
-    "vocab_build", "sample_exact",
+    "vocab_build", "sample_exact", "dup_spans",
 ]
 
 CHECKS = {
@@ -105,6 +105,10 @@ FORBIDDEN_PER = {
     # frame; a sort-merge join would mean the fact table shuffled for it
     "pack_boundary": ["SortMergeJoin", "CartesianProduct"],
     "mixture_weighted": ["SortMergeJoin", "CartesianProduct"],
+    # the duplicate-span corpus-total join must stay an equi-join on the
+    # md5 window key — a nested-loop node would mean window-pair
+    # enumeration (the quadratic shape the operator exists to avoid)
+    "dup_spans": ["BroadcastNestedLoopJoin", "CartesianProduct"],
 }
 
 FORBIDDEN = re.compile(r"BatchEvalPython")  # row-at-a-time Python UDF
