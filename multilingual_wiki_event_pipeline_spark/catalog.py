@@ -958,6 +958,19 @@ def dup_spans(spark, sf_dir):
     )
 
 
+def dup_span_removal(spark, sf_dir):
+    """ExactSubstr removal (text_dedup.remove_duplicate_spans, n=4): the
+    transform tier of dup_spans — every token covered by a non-first
+    occurrence of a duplicated 4-token window is removed; the globally
+    first (min (doc_id,pos)) occurrence keeps its copy. Oracle rebuilds
+    the same winner election from the scalar occurrence key."""
+    from .operators import text_dedup
+
+    return text_dedup.remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), n=4
+    )
+
+
 def vocab_build(spark, sf_dir):
     """Corpus vocabulary with deterministic frequency-ranked ids
     (text_analysis.build_vocab, min_count 2): the ranking is the
@@ -1738,6 +1751,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         ntriples_roundtrip, sparql_graph, sparql_graph_text,
         nquads_roundtrip, pii_redact, repetition_stats, decontaminate,
         chunk_docs, pack_boundary, pack_firstfit, mixture_weighted,
-        vocab_build, sample_exact, dup_spans,
+        vocab_build, sample_exact, dup_spans, dup_span_removal,
     ]
 }

@@ -382,3 +382,88 @@ def duplicate_span_stats(documents: DataFrame, n: int = 8) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_duplicate_spans(documents: DataFrame, n: int = 8,
+                           key_mult: int = 1 << 20) -> DataFrame:
+    """ExactSubstr removal (the transform tier of
+    ``duplicate_span_stats``): rewrite each document with every token
+    removed that is covered by a NON-FIRST occurrence of a duplicated
+    n-token window. "First" is global and deterministic: the minimum
+    ``(doc_id, pos)`` occurrence of each window text is the winner and
+    keeps its tokens (Lee et al. 2022 keep-one-copy semantics; overlap
+    policy: a token covered by any losing occurrence is removed even if
+    a winning occurrence also covers it — deterministic and
+    oracle-checkable, matching the paper's byte-range deletion spirit).
+
+    Output: ``doc_id, clean_text, n_removed_tokens``. Inter-token
+    whitespace is normalized to single spaces (the tokenizer contract
+    everywhere in this module); docs shorter than n tokens pass through
+    with 0 removals.
+
+    Plan: the stats plan's two hash aggs fuse into ONE ``groupBy(h)``
+    computing (count, min-occurrence-key) with map-side partials — the
+    winner election never shuffles raw occurrences twice; losers explode
+    to at most n covered positions each (bounded fan-out), collapse into
+    a per-doc ``collect_set``, and one left equi-join rewrites the text
+    with a positional array ``filter``. Occurrence keys are
+    ``doc_id * key_mult + pos`` so the winner is one scalar ``MIN``;
+    a guard raises if any doc reaches ``key_mult`` tokens (raise the
+    parameter for mega-documents).
+    """
+    toks = F.split(F.col("text"), " ")
+    base = documents.select("doc_id", "text")
+    occ = (
+        base.filter(F.size(toks) >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice(toks, i, n))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", "w.pos", "w.h")
+        .withColumn(
+            "k",
+            F.when(
+                F.col("pos") < key_mult,
+                F.col("doc_id") * F.lit(key_mult) + F.col("pos"),
+            ).otherwise(
+                F.raise_error(F.lit(
+                    "remove_duplicate_spans: document exceeds key_mult "
+                    "tokens; raise key_mult"
+                ))
+            ),
+        )
+    )
+    winners = occ.groupBy("h").agg(
+        F.count("*").alias("c_tot"), F.min("k").alias("k_win")
+    )
+    covered = (
+        occ.join(winners, "h")
+        .filter((F.col("c_tot") >= 2) & (F.col("k") != F.col("k_win")))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("tp"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("tp").alias("cov"))
+    )
+    cov = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    return base.join(covered, "doc_id", "left").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.filter(toks, lambda _x, i: ~F.array_contains(cov, i + 1)),
+        ).alias("clean_text"),
+        F.size(cov).cast("long").alias("n_removed_tokens"),
+    )

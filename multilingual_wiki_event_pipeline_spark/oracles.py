@@ -1636,6 +1636,47 @@ EXTRA_ORACLES["dup_spans"] = """
 """
 
 
+# ExactSubstr removal (text_dedup.remove_duplicate_spans, n=4,
+# key_mult=2^20): winner election on the same scalar occurrence key
+# doc_id*2^20+pos the Spark side uses; kept tokens re-joined in position
+# order (string_agg ORDER BY i) — both engines normalize inter-token
+# whitespace to single spaces, and the sf0.01 corpus is single-spaced.
+# Docs with no kept tokens (fully covered) yield '' via COALESCE.
+EXTRA_ORACLES["dup_span_removal"] = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    o AS (
+      SELECT doc_id, i AS pos, array_to_string(toks[i:i+3], ' ') AS ng,
+             doc_id * 1048576 + i AS k
+      FROM t, (SELECT unnest(range(1, 2000)) AS i) ix
+      WHERE i + 3 <= len(toks)),
+    win AS (
+      SELECT ng, COUNT(*) AS c_tot, MIN(k) AS k_win FROM o GROUP BY 1),
+    cov AS (
+      SELECT DISTINCT o.doc_id, o.pos + d AS tp
+      FROM o JOIN win USING (ng),
+           (SELECT unnest(range(0, 4)) AS d) dd
+      WHERE win.c_tot >= 2 AND o.k <> win.k_win),
+    kept AS (
+      SELECT t.doc_id, i, toks[i] AS tok
+      FROM t, (SELECT unnest(range(1, 2000)) AS i) ix
+      WHERE i <= len(toks)
+        AND NOT EXISTS (SELECT 1 FROM cov
+                        WHERE cov.doc_id = t.doc_id AND cov.tp = i)),
+    clean AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+      FROM kept GROUP BY doc_id),
+    nrem AS (
+      SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(clean.clean_text, '') AS clean_text,
+           CAST(COALESCE(nrem.n, 0) AS BIGINT) AS n_removed_tokens
+    FROM t
+    LEFT JOIN clean ON t.doc_id = clean.doc_id
+    LEFT JOIN nrem ON t.doc_id = nrem.doc_id
+"""
+
+
 # --- flagship oracle: the full KG pipeline's full_triples ------------------
 # The corpus is deterministic (datagen seed 42) and generated to a FIXED
 # dir (catalog.ensure_fixed_corpus), so DuckDB reads the SAME parquet the

@@ -151,3 +151,75 @@ def test_duplicate_span_stats_vs_bruteforce(spark):
             ).collect()
         }
         assert out == expect
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    """Winner election and overlap policy: the globally-first (min
+    (doc_id,pos)) occurrence of a duplicated window keeps its tokens;
+    every token covered by a losing occurrence is removed; short docs
+    pass through untouched."""
+    from multilingual_wiki_event_pipeline_spark.operators import text_dedup
+
+    rows = _docs(spark, [
+        (1, "a x y z a"),      # "x y z" winner (doc 1, pos 2)
+        (2, "b x y z b"),      # loser: x y z removed -> "b b"
+        (3, "p q r p q r"),    # within-doc: pos-1 "p q r" wins, pos-4 loses
+        (4, "m n"),            # too short: passthrough
+    ])
+    out = {
+        r["doc_id"]: r
+        for r in text_dedup.remove_duplicate_spans(rows, n=3).collect()
+    }
+    assert out[1]["clean_text"] == "a x y z a"
+    assert out[1]["n_removed_tokens"] == 0
+    assert out[2]["clean_text"] == "b b"
+    assert out[2]["n_removed_tokens"] == 3
+    # doc 3: losing occurrence covers positions 4-6 only ("q r p"/"r p q"
+    # are unique, "p q r"@4 loses to @1)
+    assert out[3]["clean_text"] == "p q r"
+    assert out[3]["n_removed_tokens"] == 3
+    assert out[4]["clean_text"] == "m n"
+    assert out[4]["n_removed_tokens"] == 0
+
+
+def test_remove_duplicate_spans_vs_bruteforce(spark):
+    """Seeded random corpus vs a brute-force Python model of the winner
+    election + covered-token removal."""
+    import random
+    from collections import defaultdict
+
+    from multilingual_wiki_event_pipeline_spark.operators import text_dedup
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(5)]
+    corpus = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14))))
+        for i in range(40)
+    ]
+    n = 3
+    occs = defaultdict(list)  # ng -> [(doc_id, pos1based)]
+    toks_of = {}
+    for doc_id, text in corpus:
+        toks = text.split(" ") if text else [""]
+        toks_of[doc_id] = toks
+        for p in range(len(toks) - n + 1):
+            occs[" ".join(toks[p:p + n])].append((doc_id, p + 1))
+    covered = defaultdict(set)
+    for ng, lst in occs.items():
+        if len(lst) >= 2:
+            win = min(lst)
+            for doc_id, p in lst:
+                if (doc_id, p) != win:
+                    covered[doc_id].update(range(p, p + n))
+    expect = {}
+    for doc_id, toks in toks_of.items():
+        keep = [t for i, t in enumerate(toks, 1)
+                if i not in covered[doc_id]]
+        expect[doc_id] = (" ".join(keep), len(covered[doc_id]))
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+        for r in text_dedup.remove_duplicate_spans(
+            _docs(spark, corpus), n=n
+        ).collect()
+    }
+    assert out == expect

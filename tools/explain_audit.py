@@ -34,7 +34,7 @@ AUDITED = [
     "f5f6f7_crawl_filters", "ann_multiprobe", "sparql_bgp",
     "bm25_rank", "pii_redact", "repetition_stats", "decontaminate",
     "chunk_docs", "pack_boundary", "pack_firstfit", "mixture_weighted",
-    "vocab_build", "sample_exact", "dup_spans",
+    "vocab_build", "sample_exact", "dup_spans", "dup_span_removal",
 ]
 
 CHECKS = {
@@ -109,6 +109,7 @@ FORBIDDEN_PER = {
     # md5 window key — a nested-loop node would mean window-pair
     # enumeration (the quadratic shape the operator exists to avoid)
     "dup_spans": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    "dup_span_removal": ["BroadcastNestedLoopJoin", "CartesianProduct"],
 }
 
 FORBIDDEN = re.compile(r"BatchEvalPython")  # row-at-a-time Python UDF
