@@ -23,8 +23,11 @@ Stages (each a checkpoint boundary):
    LSH candidates verified by exact Jaccard on candidates only, dropping
    the LARGER id of every verified near-dup pair (deterministic greedy —
    keeps a superset of one-per-component; full transitive canonicalization
-   is operators/canonicalize.py), then optional n-gram decontamination
-   against --eval-set.
+   is operators/canonicalize.py), then optional ExactSubstr span removal
+   (``--exactsubstr-n N``: tokens covered by non-first occurrences of
+   duplicated N-token windows are deleted, Lee et al. 2022; docs emptied
+   by the rewrite are dropped), then optional n-gram decontamination
+   against --eval-set (checked against the post-rewrite text).
 3. ``s3_final`` — optional deterministic mixture sampling (md5 coin, so a
    re-run keeps the identical sample), the final corpus written
    partitioned by source.
@@ -54,6 +57,9 @@ def main(argv: list[str]) -> dict[str, int]:
     ap.add_argument("--min-quality", type=float, default=0.0)
     ap.add_argument("--jaccard", type=float, default=0.9)
     ap.add_argument("--decontam-n", type=int, default=8)
+    ap.add_argument("--exactsubstr-n", type=int, default=0,
+                    help="remove spans covered by non-first occurrences of "
+                         "duplicated N-token windows (0 = off)")
     ap.add_argument("--pack", default="boundary",
                     choices=["boundary", "greedy", "none"])
     ap.add_argument("--budget", type=int, default=2048)
@@ -89,6 +95,7 @@ def main(argv: list[str]) -> dict[str, int]:
             min_quality=args.min_quality,
             jaccard=args.jaccard,
             decontam_n=args.decontam_n,
+            exactsubstr_n=args.exactsubstr_n,
         ),
     )
     counters: dict[str, int] = {}
@@ -132,6 +139,19 @@ def main(argv: list[str]) -> dict[str, int]:
     # transitive canonicalization is operators/canonicalize.py).
     losers = near.select(F.col("b_id").alias("doc_id")).distinct()
     deduped = uniq.join(losers, "doc_id", "left_anti")
+    if args.exactsubstr_n:
+        rewritten = text_dedup.remove_duplicate_spans(
+            deduped, n=args.exactsubstr_n
+        )
+        count(
+            "exactsubstr_removed_tokens",
+            rewritten.agg(F.sum("n_removed_tokens")).collect()[0][0] or 0,
+        )
+        deduped = deduped.select("doc_id", "lang", "source").join(
+            rewritten.filter(F.length("clean_text") > 0)
+            .select("doc_id", F.col("clean_text").alias("text")),
+            "doc_id",
+        )
     if args.eval_set:
         flags = curation.ngram_decontaminate(
             deduped, spark.read.parquet(args.eval_set), n=args.decontam_n

@@ -84,3 +84,33 @@ def test_prepare_training_data_greedy_pack_no_mixture(spark, tmp_path):
     assert c["final_docs"] == c["after_dedup"] > 0
     assert c["train_sequences"] > 0
     assert c["packed_tokens"] > 0
+
+
+@pytest.mark.skipif(not os.path.exists(DOCS), reason="driver testdata absent")
+def test_prepare_training_data_exactsubstr_stage(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from jobs.prepare_training_data import main
+
+    c = main([
+        "--input", DOCS, "--checkpoint", str(tmp_path / "ck3"),
+        "--output", str(tmp_path / "out3"), "--pack", "none",
+        "--exactsubstr-n", "4",
+    ])
+    # the ~20-word synthetic vocabulary guarantees duplicated 4-grams
+    assert c["exactsubstr_removed_tokens"] > 0
+    assert c["final_docs"] > 0
+    corpus = spark.read.parquet(str(tmp_path / "out3") + "/corpus")
+    # no emptied docs survive, and the rewrite preserved the schema
+    assert corpus.filter("text = '' OR text IS NULL").count() == 0
+    assert {"doc_id", "text", "lang", "source"} <= set(corpus.columns)
+    # conservation: tokens removed == tokens(after_dedup pre-rewrite
+    # survivors) - tokens(rewritten survivors) cannot be asserted without
+    # re-running the stage; assert instead the corpus shrank vs input
+    n_in = spark.read.parquet(DOCS).select(
+        F.sum(F.size(F.split("text", " ")))
+    ).collect()[0][0]
+    n_out = corpus.select(
+        F.sum(F.size(F.split("text", " ")))
+    ).collect()[0][0]
+    assert n_out < n_in
