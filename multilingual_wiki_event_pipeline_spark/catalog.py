@@ -983,6 +983,29 @@ def vocab_build(spark, sf_dir):
                                      min_count=2)
 
 
+def dedup_neardup_keep(spark, sf_dir):
+    """NearDup document dedup end-to-end (text_dedup.neardup_keep,
+    Jaccard >= 0.9): MinHash-LSH candidates -> exact Jaccard on candidates
+    -> connected components -> one surviving canonical doc per cluster
+    with its cluster size — the keep-one materialization tier above
+    canonicalize_components' cluster labels. Oracle replays the identical
+    candidates+verify+closure pipeline and the same min-doc_id election."""
+    from .operators import text_dedup
+
+    return text_dedup.neardup_keep(_t(spark, sf_dir, "documents"), 0.9)
+
+
+def unigram_quality(spark, sf_dir):
+    """CCNet-style unigram-LM quality scoring (curation.unigram_logprob):
+    mean negative log-probability of each document's tokens under the
+    corpus's own unigram distribution — the perplexity-bucket curation
+    signal. Per-token nll is integer micro-nats so the per-doc sum is
+    exact and the DuckDB twin hash-matches bit-for-bit."""
+    from .operators import curation
+
+    return curation.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 # Fixed probe query for the bm25_rank entry — the oracle SQL is generated
 # from the SAME list, so term order (float-sum order) matches by
 # construction. Terms chosen for spread: 'spark' is mid-frequency,
@@ -1752,5 +1775,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         nquads_roundtrip, pii_redact, repetition_stats, decontaminate,
         chunk_docs, pack_boundary, pack_firstfit, mixture_weighted,
         vocab_build, sample_exact, dup_spans, dup_span_removal,
+        dedup_neardup_keep, unigram_quality,
     ]
 }

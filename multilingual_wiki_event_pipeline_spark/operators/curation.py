@@ -173,3 +173,63 @@ def ngram_decontaminate(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def unigram_logprob(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020 rank web text by
+    LM perplexity to cut quality tiers; the unigram LM over the corpus's
+    own token distribution is the training-free, engine-portable floor of
+    that signal): score each document by the mean negative log-probability
+    of its token stream. Low = typical/fluent for this corpus, high =
+    rare-token salad — the standard perplexity-bucket signal for
+    pretraining-data curation.
+
+    Output: ``(doc_id, n_tokens, sum_nll_micro, avg_nll)`` — per-token nll
+    in integer MICRO-nats (``round(ln(total/count) * 1e6)`` as BIGINT), the
+    per-doc sum exact over integers, ``avg_nll = round(sum/n/1e6, 6)``.
+
+    Cross-engine determinism (the DuckDB-oracle contract): float summation
+    order never appears — the only float ops are one IEEE division, one
+    ``ln``, and one final division of two exact integers, all
+    order-independent, so the hash matches bit-for-bit.
+
+    Scale shape: the token explode is map-side; the vocabulary is one
+    partial+final count shuffle (map-side combine collapses repeats before
+    the exchange); scoring joins per-(doc,token) COUNTS to the vocabulary —
+    never per-occurrence rows — so stop-word skew reaches the join as one
+    row per document per token, and AQE's skew-join split handles residual
+    heavy hitters. Nothing super-linear, no UDF, whole-stage codegen
+    throughout.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(text_col, " "), lambda x: x != "")
+        ).alias("token"),
+    )
+    per_doc = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("c"))
+    vocab = per_doc.groupBy("token").agg(F.sum("c").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    nll_micro = F.round(
+        F.log(F.col("total").cast("double") / F.col("cnt").cast("double"))
+        * F.lit(1e6)
+    ).cast("long")
+    return (
+        per_doc.join(vocab, "token")
+        .join(F.broadcast(total))
+        .select("doc_id", "c", nll_micro.alias("nll_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("nll_micro")).alias("sum_nll_micro"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("sum_nll_micro").cast("long").alias("sum_nll_micro"),
+            F.round(
+                F.col("sum_nll_micro") / F.col("n_tokens") / F.lit(1e6), 6
+            ).alias("avg_nll"),
+        )
+    )

@@ -467,3 +467,49 @@ def remove_duplicate_spans(documents: DataFrame, n: int = 8,
         ).alias("clean_text"),
         F.size(cov).cast("long").alias("n_removed_tokens"),
     )
+
+
+def neardup_keep(documents: DataFrame, threshold: float = 0.9,
+                 **lsh_kw) -> DataFrame:
+    """NearDup document-level dedup end-to-end (Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" §4.2, the
+    document-granularity sibling of the ExactSubstr pair above): MinHash-LSH
+    candidates -> exact Jaccard verified on candidates only -> connected
+    components over the verified similarity graph -> keep ONE canonical
+    document per near-duplicate cluster. The cluster label IS the survivor
+    (component = min doc_id, canonicalize.connected_components' contract),
+    so winner election costs nothing beyond the CC itself.
+
+    Output: one row per SURVIVING document — ``(doc_id, n_members)`` where
+    ``n_members`` is the size of the cluster the survivor represents
+    (1 for documents with no near-duplicate). A corpus materialization is
+    ``documents.join(result, "doc_id")`` (left-semi).
+
+    Scale shape: the token self-join never appears (candidates come from
+    the bucketed LSH equi-join, O(collisions)); exact Jaccard touches
+    candidates only; CC iterates over the verified edge set — empirically
+    a small fraction of the corpus — with localCheckpoint lineage hygiene;
+    the survival filter is one LEFT ANTI join of corpus ids against the
+    losing-vertex set (duplicates), which AQE broadcasts whenever the
+    duplicate population fits and shuffle-joins otherwise. Nothing is
+    quadratic in corpus size.
+    """
+    from .canonicalize import connected_components
+
+    cand = minhash_candidate_pairs(documents, **lsh_kw)
+    edges = jaccard_on_candidates(documents, cand, threshold)
+    comp = connected_components(edges, src="a_id", dst="b_id")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"))
+    losers = comp.filter(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias("doc_id"))
+    return (
+        documents.select("doc_id")
+        .join(losers, "doc_id", "left_anti")
+        .join(sizes.select(F.col("component").alias("doc_id"), "n_members"),
+              "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.coalesce("n_members", F.lit(1)).cast("long").alias("n_members"),
+        )
+    )

@@ -1800,6 +1800,82 @@ def _kg_pipeline_sql(corpus_dir: str) -> str:
     """
 
 
+# NearDup keep-one (Lee et al. 2022 document-level dedup): same
+# candidates -> verify -> closure chain as canonicalize_components, then
+# the min-doc_id survivor election + cluster sizes. Singletons (docs in no
+# verified cluster) survive with n_members = 1.
+EXTRA_ORACLES["dedup_neardup_keep"] = f"""
+    WITH RECURSIVE {_MINHASH_BANDS},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id),
+    cand_lang AS (
+      SELECT c.a_id, c.b_id FROM cand c
+      JOIN documents da ON da.doc_id = c.a_id
+      JOIN documents db ON db.doc_id = c.b_id
+      WHERE da.lang = db.lang),
+    lang_tokens AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM lang_tokens GROUP BY doc_id),
+    shared AS (
+      SELECT c.a_id, c.b_id, COUNT(*) AS shared
+      FROM cand_lang c
+      JOIN lang_tokens ta ON ta.doc_id = c.a_id
+      JOIN lang_tokens tb ON tb.doc_id = c.b_id AND tb.token = ta.token
+      GROUP BY c.a_id, c.b_id),
+    pairs AS (
+      SELECT a_id, b_id FROM shared
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+      WHERE shared / (sa.n + sb.n - shared) >= 0.9),
+    sym AS (SELECT a_id AS v, b_id AS w FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+    reach AS (
+      SELECT v, v AS r FROM (SELECT DISTINCT v FROM sym)
+      UNION
+      SELECT s.v, rr.r FROM sym s JOIN reach rr ON s.w = rr.v),
+    comp AS (SELECT v AS vertex, MIN(r) AS component FROM reach GROUP BY v),
+    csizes AS (SELECT component, COUNT(*) AS n_members
+               FROM comp GROUP BY component)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(s.n_members, 1) AS BIGINT) AS n_members
+    FROM documents d
+    LEFT JOIN csizes s ON s.component = d.doc_id
+    WHERE NOT EXISTS (SELECT 1 FROM comp c
+                      WHERE c.vertex = d.doc_id AND c.vertex <> c.component)
+"""
+
+# Unigram-LM quality twin: the only float ops are one IEEE division, one
+# ln, and the final exact-integer division — no float summation order
+# anywhere, so the hash matches the Spark plan bit-for-bit.
+EXTRA_ORACLES["unigram_quality"] = """
+    WITH tok AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''),
+    per_doc AS (
+      SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token),
+    vocab AS (SELECT token, SUM(c) AS cnt FROM per_doc GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS total FROM vocab),
+    scored AS (
+      SELECT p.doc_id, p.c,
+             CAST(ROUND(ln(CAST(t.total AS DOUBLE) / CAST(v.cnt AS DOUBLE))
+                        * 1e6) AS BIGINT) AS nll_micro
+      FROM per_doc p JOIN vocab v USING (token) CROSS JOIN tot t)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(c * nll_micro) AS BIGINT) AS sum_nll_micro,
+           ROUND(SUM(c * nll_micro) / SUM(c) / 1e6, 6) AS avg_nll
+    FROM scored GROUP BY doc_id
+"""
+
+
 def flagship_oracle() -> dict[str, str]:
     """kg_pipeline_triples oracle over the fixed corpus — generated lazily
     so importing this module stays side-effect free until SQL is requested."""

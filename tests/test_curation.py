@@ -223,3 +223,72 @@ def test_remove_duplicate_spans_vs_bruteforce(spark):
         ).collect()
     }
     assert out == expect
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    # corpus: 6 tokens total — a:3, b:2, c:1
+    rows = _docs(spark, [
+        (1, "a a b"),
+        (2, "a b c"),
+    ])
+    out = {r["doc_id"]: r for r in curation.unigram_logprob(rows).collect()}
+
+    def micro(cnt):
+        return round(math.log(6.0 / cnt) * 1e6)
+
+    # doc 1: 2*nll(a) + 1*nll(b); doc 2: nll(a) + nll(b) + nll(c)
+    s1 = 2 * micro(3) + micro(2)
+    s2 = micro(3) + micro(2) + micro(1)
+    assert out[1]["n_tokens"] == 3 and out[1]["sum_nll_micro"] == s1
+    assert out[2]["n_tokens"] == 3 and out[2]["sum_nll_micro"] == s2
+    assert out[1]["avg_nll"] == round(s1 / 3 / 1e6, 6)
+    # the rare-token doc scores strictly worse (higher mean nll)
+    assert out[2]["avg_nll"] > out[1]["avg_nll"]
+
+
+def test_unigram_logprob_repeated_tokens_weighting(spark):
+    # occurrences (not distinct tokens) weight the sum: "a a a a" counts
+    # nll(a) four times, and a uniform single-token corpus scores 0
+    rows = _docs(spark, [(1, "a a a a")])
+    r = curation.unigram_logprob(rows).collect()[0]
+    assert r["n_tokens"] == 4
+    assert r["sum_nll_micro"] == 0 and r["avg_nll"] == 0.0
+
+
+def test_neardup_keep_clusters_and_singletons(spark):
+    from multilingual_wiki_event_pipeline_spark.operators import text_dedup
+
+    # docs 1/2/3 are near-identical (Jaccard 1.0 token sets, shared
+    # 3-shingles), doc 10 unique, doc 11 unique
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = spark.createDataFrame(
+        [
+            (1, base, "en"),
+            (2, base, "en"),
+            (3, base, "en"),
+            (10, "one two three four five six seven eight", "en"),
+            (11, "red green blue cyan magenta yellow black white", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r["n_members"]
+           for r in text_dedup.neardup_keep(rows, 0.9).collect()}
+    # min doc_id of the cluster survives carrying its size; losers gone
+    assert out == {1: 3, 10: 1, 11: 1}
+
+
+def test_neardup_keep_language_partition(spark):
+    from multilingual_wiki_event_pipeline_spark.operators import text_dedup
+
+    # identical text in different languages is NOT a near-duplicate
+    # (jaccard_on_candidates enforces same-language semantics)
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = spark.createDataFrame(
+        [(1, base, "en"), (2, base, "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r["n_members"]
+           for r in text_dedup.neardup_keep(rows, 0.9).collect()}
+    assert out == {1: 1, 2: 1}

@@ -35,6 +35,7 @@ AUDITED = [
     "bm25_rank", "pii_redact", "repetition_stats", "decontaminate",
     "chunk_docs", "pack_boundary", "pack_firstfit", "mixture_weighted",
     "vocab_build", "sample_exact", "dup_spans", "dup_span_removal",
+    "unigram_quality",
 ]
 
 CHECKS = {
@@ -70,6 +71,9 @@ CHECKS = {
     # exact-size sampling must stay a distributed partial top-k, like
     # bm25_rank — never a global sort
     "sample_exact": ["TakeOrderedAndProject"],
+    # unigram scoring is agg + equi-join + agg, all codegen'd; the 1-row
+    # corpus total joins broadcast
+    "unigram_quality": ["HashAggregate", "WholeStageCodegen"],
 }
 
 # per-query plan shapes that must NOT appear: the pigeonhole-blocked
@@ -110,6 +114,9 @@ FORBIDDEN_PER = {
     # enumeration (the quadratic shape the operator exists to avoid)
     "dup_spans": ["BroadcastNestedLoopJoin", "CartesianProduct"],
     "dup_span_removal": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    # the occurrence->vocab join must stay an equi-join on token (the
+    # 1-row corpus-total crossJoin is the allowed broadcast nested loop)
+    "unigram_quality": ["CartesianProduct", "SortMergeJoin"],
 }
 
 FORBIDDEN = re.compile(r"BatchEvalPython")  # row-at-a-time Python UDF
