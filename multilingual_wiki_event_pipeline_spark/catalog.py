@@ -1006,6 +1006,37 @@ def unigram_quality(spark, sf_dir):
     return curation.unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def sample_stratified(spark, sf_dir):
+    """Per-stratum exact-size sampling (training_prep.sample_stratified,
+    10 docs per source): the 10 lowest-md5-coin docs within each source
+    (the sf0.01 strata hold 25, so the cap binds) —
+    the per-source-cap sampler mixture specs actually state. The salted
+    two-phase per-group top-k must hash-match the oracle's plain QUALIFY
+    row_number, proving the skew-safe salting is execution-only."""
+    from .operators import training_prep
+
+    return training_prep.sample_stratified(
+        _t(spark, sf_dir, "documents"), 10, seed=MIXTURE_SEED)
+
+
+def hll_token_distinct(spark, sf_dir):
+    """HyperLogLog distinct-token estimate per language
+    (text_analysis.hll_distinct, m=64): the cardinality-sketch tier for
+    100 TB columns — one max-agg over 64 registers per group instead of a
+    full distinct shuffle. Fully deterministic (integer register path,
+    exact dyadic indicator sum), so the estimate — and its reported error
+    vs the exact count — hash-matches the DuckDB twin bit-for-bit."""
+    from .operators import text_analysis
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != ""))
+         .alias("token"),
+    )
+    return text_analysis.hll_distinct(toks, "lang", "token")
+
+
 # Fixed probe query for the bm25_rank entry — the oracle SQL is generated
 # from the SAME list, so term order (float-sum order) matches by
 # construction. Terms chosen for spread: 'spark' is mid-frequency,
@@ -1775,6 +1806,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         nquads_roundtrip, pii_redact, repetition_stats, decontaminate,
         chunk_docs, pack_boundary, pack_firstfit, mixture_weighted,
         vocab_build, sample_exact, dup_spans, dup_span_removal,
-        dedup_neardup_keep, unigram_quality,
+        dedup_neardup_keep, unigram_quality, sample_stratified,
+        hll_token_distinct,
     ]
 }

@@ -200,3 +200,89 @@ def build_vocab(documents: DataFrame, min_count: int = 1) -> DataFrame:
         F.col("n_docs").cast("long").alias("n_docs"),
         (F.col("poff") + F.col("local_ix")).cast("long").alias("token_id"),
     )
+
+
+def hll_distinct(rows: DataFrame, group_col: str, value_col: str,
+                 p: int = 6) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007), built
+    fully deterministically so the DuckDB oracle hash-matches — the
+    cardinality-estimation tier for 100 TB columns where exact
+    COUNT(DISTINCT) means a full shuffle of every distinct value: the
+    sketch is one partial+final ``max`` aggregation over ``m = 2**p``
+    registers per group (map-side combine collapses everything; the
+    exchange carries ≤ m rows per group, independent of data volume).
+
+    Mechanics (all integer until the final estimate): a 60-bit uniform
+    hash from the first 15 md5 hex digits; bucket = ``h % m``; register
+    value = position of the leading 1-bit in the remaining 54-bit word
+    (``K - bitlen + 1``, bitlen exact via the base-2 string — no float
+    log2 anywhere); the indicator sum is ``Σ 2**(SCALE - M_j)`` over
+    occupied registers plus ``2**SCALE`` per empty register — dyadic
+    integers, so the sum is EXACT and order-free. The only float ops are
+    the one final alpha·m²·2^SCALE / S division and, in the small-range
+    branch (E ≤ 2.5·m with empty registers), Flajolet's linear counting
+    ``m·ln(m/V)`` — both single order-independent operations.
+
+    Output per group: ``(group, est_distinct, exact_distinct, rel_err)``
+    with the estimate rounded to 6 decimals (exact_distinct is computed
+    alongside for the error report; at scale you would drop it — the
+    sketch is the point).
+
+    Only p=6 (m=64, alpha=0.709) is supported: Flajolet's alpha constants
+    are per-m, and the exactness argument for the indicator sum is sized
+    to 64 registers.
+    """
+    if p != 6:
+        raise ValueError("hll_distinct: only p=6 (m=64) is supported")
+    m = 64
+    alpha = 0.709  # Flajolet et al. 2007, alpha_64
+    K = 54         # bits in the register word (60-bit hash minus p=6)
+    SCALE = K + 2  # 2**(SCALE - M) stays a positive integer for M <= K+1
+    h60 = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    keyed = rows.select(F.col(group_col).alias("g"),
+                       F.col(value_col).alias("v"), h60.alias("h"))
+    bucketed = keyed.select(
+        "g",
+        F.expr("h % 64").alias("bucket"),
+        F.expr("h div 64").alias("w"),
+    )
+    # leading-1 position: M = K - bitlen(w) + 1; w = 0 -> all K bits zero
+    # -> M = K + 1. bitlen via length(base-2 string): exact integer path.
+    bitlen = F.length(F.conv(F.col("w"), 10, 2))
+    mreg = F.when(F.col("w") == 0, F.lit(K + 1)).otherwise(
+        F.lit(K) - bitlen + F.lit(1))
+    regs = (
+        bucketed.select("g", "bucket", mreg.alias("M"))
+        .groupBy("g", "bucket")
+        .agg(F.max("M").alias("M"))
+    )
+    per_group = regs.groupBy("g").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {SCALE} - M)"))
+         .alias("s_occ"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    exact = keyed.groupBy("g").agg(
+        F.countDistinct("v").alias("exact_distinct"))
+    s_total = (F.col("s_occ")
+               + (F.lit(m) - F.col("n_occ"))
+               * F.lit(1 << SCALE).cast("long"))
+    e_raw = F.lit(alpha * m * m * float(1 << SCALE)) / s_total
+    n_empty = F.lit(m) - F.col("n_occ")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (n_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / n_empty),
+    ).otherwise(e_raw)
+    return (
+        per_group.join(exact, "g")
+        .select(
+            F.col("g").alias(group_col),
+            F.round(est, 6).alias("est_distinct"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.round(
+                (F.round(est, 6) - F.col("exact_distinct"))
+                / F.col("exact_distinct"), 6
+            ).alias("rel_err"),
+        )
+    )

@@ -237,3 +237,44 @@ def mixture_sample(documents: DataFrame, rates: dict[str, float],
         .filter(_hash_u32(seed) < F.coalesce("thresh", F.lit(default_thresh)))
         .select("doc_id", "lang", "source")
     )
+
+
+def sample_stratified(documents: DataFrame, n_per_group: int,
+                      group_col: str = "source", seed: str = "strat",
+                      n_salt: int = 8) -> DataFrame:
+    """Deterministic EXACT-size-per-stratum sample: the ``n_per_group``
+    documents with the lowest md5 coin (same ``hash(seed, doc_id)`` family
+    as :func:`mixture_sample`) within each ``group_col`` value, ties on
+    doc_id. The per-source-cap companion to :func:`sample_exact_n` —
+    mixture specs are often stated as "at most N docs per source", which
+    neither a Bernoulli rate nor a global top-N can promise. Groups
+    smaller than ``n_per_group`` return whole.
+
+    Skew-safe per-group top-k (a hot source must not serialize onto one
+    window partition): phase 1 ranks within ``(group, salt)`` — the
+    deterministic salt ``doc_id % n_salt`` splits each stratum across
+    ``n_salt`` window partitions and keeps only each shard's local top-n;
+    phase 2 re-ranks the surviving ≤ n_salt·n rows per group, a
+    negligible window. The result is identical to the plain per-group
+    row_number (the DuckDB oracle's QUALIFY), so the hash gate proves the
+    salting is execution-only. Output: (doc_id, lang, source).
+    """
+    from pyspark.sql import Window
+
+    if n_per_group <= 0:
+        raise ValueError("require n_per_group > 0")
+    coined = documents.select(
+        "doc_id", "lang", "source",
+        _hash_u32(seed).alias("__coin"),
+        F.pmod(F.col("doc_id"), F.lit(n_salt)).alias("__salt"),
+    )
+    w_local = Window.partitionBy(group_col, "__salt").orderBy(
+        "__coin", "doc_id")
+    w_group = Window.partitionBy(group_col).orderBy("__coin", "doc_id")
+    return (
+        coined.withColumn("__r", F.row_number().over(w_local))
+        .filter(F.col("__r") <= n_per_group)
+        .withColumn("__r", F.row_number().over(w_group))
+        .filter(F.col("__r") <= n_per_group)
+        .select("doc_id", "lang", "source")
+    )

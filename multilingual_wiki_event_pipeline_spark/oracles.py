@@ -1876,6 +1876,73 @@ EXTRA_ORACLES["unigram_quality"] = """
 """
 
 
+def _sample_stratified_sql(n: int = 10) -> str:
+    """Plain per-group QUALIFY twin of the salted two-phase per-group
+    top-k — hash equality proves the salting is execution-only."""
+    from .catalog import MIXTURE_SEED
+
+    return f"""
+    SELECT doc_id, lang, source FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY source
+        ORDER BY ('0x' || substring(
+            md5(concat('{MIXTURE_SEED}:', CAST(doc_id AS VARCHAR))),
+            1, 8))::BIGINT, doc_id) <= {n}
+"""
+
+
+EXTRA_ORACLES["sample_stratified"] = _sample_stratified_sql()
+
+
+def _hll_sql() -> str:
+    """HyperLogLog twin (m=64): identical integer register path — 60-bit
+    md5 hash, bucket = h % 64, register = 54 - bitlen + 1 via the base-2
+    string (no float log2), indicator sum exact over dyadic BIGINTs; the
+    alpha*m^2*2^SCALE constant is the SAME Python double the Spark plan
+    embeds, emitted by repr."""
+    alpha, m, scale, k = 0.709, 64, 56, 54
+    numer = repr(alpha * m * m * float(1 << scale))
+    return f"""
+    WITH tok AS (
+      SELECT lang, token FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''),
+    keyed AS (
+      SELECT lang AS g, token AS v,
+             ('0x' || substring(md5(token), 1, 15))::BIGINT AS h
+      FROM tok),
+    regs AS (
+      SELECT g, h % {m} AS bucket,
+             MAX(CASE WHEN h // {m} = 0 THEN {k + 1}
+                      ELSE {k} - length(bin(h // {m})) + 1 END) AS M
+      FROM keyed GROUP BY g, h % {m}),
+    pg AS (
+      SELECT g, SUM((1::BIGINT) << ({scale} - M)) AS s_occ,
+             COUNT(*) AS n_occ
+      FROM regs GROUP BY g),
+    ex AS (SELECT g, COUNT(DISTINCT v) AS exact_distinct
+           FROM keyed GROUP BY g),
+    fin AS (
+      SELECT g,
+             CASE WHEN {numer} / (s_occ + ({m} - n_occ) * ((1::BIGINT) << {scale}))
+                       <= {2.5 * m!r}
+                   AND ({m} - n_occ) > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / ({m} - n_occ))
+                  ELSE {numer} / (s_occ + ({m} - n_occ) * ((1::BIGINT) << {scale}))
+             END AS est
+      FROM pg)
+    SELECT f.g AS lang, ROUND(f.est, 6) AS est_distinct,
+           CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+           ROUND((ROUND(f.est, 6) - e.exact_distinct) / e.exact_distinct,
+                 6) AS rel_err
+    FROM fin f JOIN ex e USING (g)
+"""
+
+
+EXTRA_ORACLES["hll_token_distinct"] = _hll_sql()
+
+
 def flagship_oracle() -> dict[str, str]:
     """kg_pipeline_triples oracle over the fixed corpus — generated lazily
     so importing this module stays side-effect free until SQL is requested."""

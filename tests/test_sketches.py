@@ -1,0 +1,65 @@
+"""Unit tests for the HyperLogLog distinct sketch (text_analysis.
+hll_distinct) and the stratified sampler (training_prep.sample_stratified).
+The sf0.01 hash parity vs DuckDB runs in the CI catalog gate; these pin
+the estimator's error envelope, the linear-counting branch, and the
+salting-is-execution-only property the oracle hash can't isolate."""
+
+from __future__ import annotations
+
+import pytest
+
+from multilingual_wiki_event_pipeline_spark.operators import (
+    text_analysis, training_prep,
+)
+
+
+def test_hll_rejects_unsupported_precision(spark):
+    df = spark.createDataFrame([("a", "x")], "g string, v string")
+    with pytest.raises(ValueError):
+        text_analysis.hll_distinct(df, "g", "v", p=10)
+
+
+def test_hll_small_cardinality_linear_counting(spark):
+    # 3 distinct values -> far below 2.5*m with empty registers: the
+    # linear-counting branch fires and lands near the exact count
+    rows = [("g1", f"tok{i % 3}") for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = text_analysis.hll_distinct(df, "g", "v").collect()[0]
+    assert out["exact_distinct"] == 3
+    assert abs(out["est_distinct"] - 3) <= 1
+    # repeats must not move the sketch: same values once each
+    once = spark.createDataFrame(
+        [("g1", f"tok{i}") for i in range(3)], "g string, v string")
+    out2 = text_analysis.hll_distinct(once, "g", "v").collect()[0]
+    assert out2["est_distinct"] == out["est_distinct"]
+
+
+def test_hll_error_envelope_at_1000(spark):
+    # m=64 -> theoretical std error 1.04/sqrt(64) = 13%; allow 3 sigma
+    rows = [("g1", f"value_{i}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = text_analysis.hll_distinct(df, "g", "v").collect()[0]
+    assert out["exact_distinct"] == 1000
+    assert abs(out["rel_err"]) < 0.39
+
+
+def test_sample_stratified_salting_is_execution_only(spark):
+    rows = [(i, "en", f"src{i % 4}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    picked = {
+        salt: sorted(r["doc_id"] for r in training_prep.sample_stratified(
+            df, 5, n_salt=salt).collect())
+        for salt in (1, 8)
+    }
+    # the salted two-phase top-k and the unsalted plain window pick the
+    # SAME rows — salting changes execution, never the result
+    assert picked[1] == picked[8]
+    assert len(picked[1]) == 20  # 4 strata x 5
+
+
+def test_sample_stratified_small_groups_return_whole(spark):
+    rows = [(1, "en", "a"), (2, "en", "a"), (3, "en", "b")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    out = sorted(r["doc_id"] for r in
+                 training_prep.sample_stratified(df, 5).collect())
+    assert out == [1, 2, 3]

@@ -35,7 +35,7 @@ AUDITED = [
     "bm25_rank", "pii_redact", "repetition_stats", "decontaminate",
     "chunk_docs", "pack_boundary", "pack_firstfit", "mixture_weighted",
     "vocab_build", "sample_exact", "dup_spans", "dup_span_removal",
-    "unigram_quality",
+    "unigram_quality", "sample_stratified", "hll_token_distinct",
 ]
 
 CHECKS = {
@@ -74,6 +74,10 @@ CHECKS = {
     # unigram scoring is agg + equi-join + agg, all codegen'd; the 1-row
     # corpus total joins broadcast
     "unigram_quality": ["HashAggregate", "WholeStageCodegen"],
+    # per-group top-k must stay the salted two-phase windows
+    "sample_stratified": ["Window", "WholeStageCodegen"],
+    # the sketch is partial+final max-agg over registers
+    "hll_token_distinct": ["HashAggregate", "WholeStageCodegen"],
 }
 
 # per-query plan shapes that must NOT appear: the pigeonhole-blocked
@@ -117,6 +121,8 @@ FORBIDDEN_PER = {
     # the occurrence->vocab join must stay an equi-join on token (the
     # 1-row corpus-total crossJoin is the allowed broadcast nested loop)
     "unigram_quality": ["CartesianProduct", "SortMergeJoin"],
+    # registers->exact join is an equi-join on the group key
+    "hll_token_distinct": ["CartesianProduct", "BroadcastNestedLoopJoin"],
 }
 
 FORBIDDEN = re.compile(r"BatchEvalPython")  # row-at-a-time Python UDF
