@@ -1037,6 +1037,25 @@ def hll_token_distinct(spark, sf_dir):
     return text_analysis.hll_distinct(toks, "lang", "token")
 
 
+def cms_hot_tokens(spark, sf_dir):
+    """Count-Min-sketch heavy hitters (text_analysis.cms_heavy_hitters,
+    d=4 x w=512, top-20): the hot-key detector every skew treatment
+    needs — est/exact/overestimate per candidate token, all exact
+    integers, the deterministic-tie-break cut hash-matched against the
+    DuckDB twin. Candidates are occurrence-sampled on (doc_id, token)
+    coins so true heavies are caught w.h.p."""
+    from .operators import text_analysis
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != ""))
+         .alias("token"),
+    )
+    return text_analysis.cms_heavy_hitters(
+        toks, "token", sample_key_cols=("doc_id",))
+
+
 # Fixed probe query for the bm25_rank entry — the oracle SQL is generated
 # from the SAME list, so term order (float-sum order) matches by
 # construction. Terms chosen for spread: 'spark' is mid-frequency,
@@ -1807,6 +1826,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         chunk_docs, pack_boundary, pack_firstfit, mixture_weighted,
         vocab_build, sample_exact, dup_spans, dup_span_removal,
         dedup_neardup_keep, unigram_quality, sample_stratified,
-        hll_token_distinct,
+        hll_token_distinct, cms_hot_tokens,
     ]
 }

@@ -286,3 +286,103 @@ def hll_distinct(rows: DataFrame, group_col: str, value_col: str,
             ).alias("rel_err"),
         )
     )
+
+
+def cms_heavy_hitters(rows: DataFrame, value_col: str, d: int = 4,
+                      w: int = 512, k: int = 20,
+                      sample_rate: float = 0.25,
+                      sample_key_cols: tuple[str, ...] = (),
+                      seed: str = "cms") -> DataFrame:
+    """Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005) —
+    the mergeable frequency sketch behind hot-key detection, which is the
+    prerequisite for every explicit skew treatment in this repo (salting,
+    AQE skew-join hints, hub caps): at 100 TB you cannot afford an exact
+    value-frequency shuffle just to learn which keys are hot.
+
+    Sketch: ``d`` salted-md5 hash rows x ``w`` buckets; an occurrence
+    increments one bucket per row; a value's point estimate is the MIN of
+    its ``d`` bucket totals (always an OVERestimate — one-sided error
+    eps = e/w with prob 1-(1/2)^d). The sketch aggregation exchanges at
+    most ``d*w`` cells regardless of data volume and the cell table
+    broadcasts everywhere it is consumed.
+
+    Candidates (CMS answers point queries; the heavy-hitter scan needs a
+    candidate set): values holding any occurrence whose deterministic md5
+    coin over ``(seed, *sample_key_cols, value)`` lands under
+    ``sample_rate`` — a value with n occurrences of distinct sampling
+    keys is missed with prob (1-rate)^n, i.e. true heavies are caught
+    w.h.p. while the candidate set stays ~rate-sized. Pass
+    ``sample_key_cols`` (e.g. ``("doc_id",)``) so repeated occurrences
+    carry distinct coins.
+
+    Output: the top ``k`` candidates by ``(est_count DESC, value ASC)``
+    (the tie-break makes the cut deterministic) with the exact count and
+    the one-sided overestimate — every number an exact integer, so the
+    DuckDB twin hash-matches bit-for-bit.
+    """
+    if d < 1 or w < 1 or k < 1:
+        raise ValueError("require d, w, k >= 1")
+
+    def _u32(col):
+        return F.conv(
+            F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10
+        ).cast("long")
+
+    v = F.col(value_col).cast("string")
+    occ = rows.select(
+        v.alias("v"),
+        *[F.col(c).cast("string").alias(c) for c in sample_key_cols],
+    )
+    pairs = occ.select(
+        "v",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                (_u32(F.concat(F.lit(f"{seed}:h{j}:"), F.col("v")))
+                 % F.lit(w)).alias("bucket"),
+            )
+            for j in range(d)
+        ])).alias("jb"),
+    ).select("v", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+    cms = pairs.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cell"))
+
+    coin_key = F.concat_ws(
+        ":", F.lit(seed), *[F.col(c) for c in sample_key_cols], F.col("v"))
+    thresh = int(min(max(sample_rate, 0.0), 1.0) * 2**32)
+    cand = (
+        occ.filter(_u32(coin_key) < F.lit(thresh))
+        .select("v").distinct()
+    )
+    cand_keys = cand.select(
+        "v",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                (_u32(F.concat(F.lit(f"{seed}:h{j}:"), F.col("v")))
+                 % F.lit(w)).alias("bucket"),
+            )
+            for j in range(d)
+        ])).alias("jb"),
+    ).select("v", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+    est = (
+        cand_keys.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("v")
+        .agg(F.min("cell").alias("est_count"))
+    )
+    exact = (
+        occ.join(F.broadcast(cand), "v")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        est.join(exact, "v")
+        .select(
+            F.col("v").alias(value_col),
+            F.col("est_count").cast("long").alias("est_count"),
+            F.col("exact_count").cast("long").alias("exact_count"),
+            (F.col("est_count") - F.col("exact_count"))
+            .cast("long").alias("overestimate"),
+        )
+        .orderBy(F.col("est_count").desc(), value_col)
+        .limit(k)
+    )

@@ -1943,6 +1943,55 @@ def _hll_sql() -> str:
 EXTRA_ORACLES["hll_token_distinct"] = _hll_sql()
 
 
+def _cms_sql(d: int = 4, w: int = 512, k: int = 20,
+             sample_rate: float = 0.25, seed: str = "cms") -> str:
+    """Count-Min twin: identical salted-md5 row hashes, identical
+    (seed, doc_id, token) candidate coin, all-integer cells/estimates,
+    same (est DESC, token ASC) deterministic cut."""
+    thresh = int(min(max(sample_rate, 0.0), 1.0) * 2**32)
+    js = ", ".join(f"({j})" for j in range(d))
+    return f"""
+    WITH occ AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, token AS v FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''),
+    pairs AS (
+      SELECT v, j,
+             ('0x' || substring(md5('{seed}:h' || CAST(j AS VARCHAR)
+                                    || ':' || v), 1, 8))::BIGINT % {w}
+               AS bucket
+      FROM occ CROSS JOIN (VALUES {js}) t(j)),
+    cms AS (SELECT j, bucket, COUNT(*) AS cell
+            FROM pairs GROUP BY j, bucket),
+    cand AS (
+      SELECT DISTINCT v FROM occ
+      WHERE ('0x' || substring(
+               md5(concat_ws(':', '{seed}', doc_id, v)), 1, 8))::BIGINT
+            < {thresh}),
+    ck AS (
+      SELECT v, j,
+             ('0x' || substring(md5('{seed}:h' || CAST(j AS VARCHAR)
+                                    || ':' || v), 1, 8))::BIGINT % {w}
+               AS bucket
+      FROM cand CROSS JOIN (VALUES {js}) t(j)),
+    est AS (
+      SELECT ck.v, MIN(cms.cell) AS est_count
+      FROM ck JOIN cms USING (j, bucket) GROUP BY ck.v),
+    ex AS (
+      SELECT occ.v, COUNT(*) AS exact_count
+      FROM occ JOIN cand USING (v) GROUP BY occ.v)
+    SELECT e.v AS token, CAST(e.est_count AS BIGINT) AS est_count,
+           CAST(x.exact_count AS BIGINT) AS exact_count,
+           CAST(e.est_count - x.exact_count AS BIGINT) AS overestimate
+    FROM est e JOIN ex x USING (v)
+    ORDER BY est_count DESC, token LIMIT {k}
+"""
+
+
+EXTRA_ORACLES["cms_hot_tokens"] = _cms_sql()
+
+
 def flagship_oracle() -> dict[str, str]:
     """kg_pipeline_triples oracle over the fixed corpus — generated lazily
     so importing this module stays side-effect free until SQL is requested."""

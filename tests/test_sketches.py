@@ -63,3 +63,28 @@ def test_sample_stratified_small_groups_return_whole(spark):
     out = sorted(r["doc_id"] for r in
                  training_prep.sample_stratified(df, 5).collect())
     assert out == [1, 2, 3]
+
+
+def test_cms_overestimates_never_under(spark):
+    # skewed stream: 'hot' 60x, tail values once each
+    rows = ([(i, "hot") for i in range(60)]
+            + [(100 + i, f"cold{i}") for i in range(30)])
+    df = spark.createDataFrame(rows, "doc_id long, token string")
+    out = text_analysis.cms_heavy_hitters(
+        df, "token", k=50, sample_key_cols=("doc_id",)).collect()
+    assert out, "no candidates sampled"
+    by_tok = {r["token"]: r for r in out}
+    # one-sided error: the estimate never undercounts
+    assert all(r["overestimate"] >= 0 for r in out)
+    # the heavy value is caught (60 distinct doc coins at rate .25:
+    # miss prob (3/4)^60 ~ 3e-8) and ranks first
+    assert "hot" in by_tok and by_tok["hot"]["exact_count"] == 60
+    assert out[0]["token"] == "hot"
+    # d=4 x w=512 over ~31 distinct values: collisions essentially nil
+    assert by_tok["hot"]["est_count"] == 60
+
+
+def test_cms_param_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, token string")
+    with pytest.raises(ValueError):
+        text_analysis.cms_heavy_hitters(df, "token", d=0)

@@ -36,6 +36,7 @@ AUDITED = [
     "chunk_docs", "pack_boundary", "pack_firstfit", "mixture_weighted",
     "vocab_build", "sample_exact", "dup_spans", "dup_span_removal",
     "unigram_quality", "sample_stratified", "hll_token_distinct",
+    "cms_hot_tokens",
 ]
 
 CHECKS = {
@@ -123,6 +124,9 @@ FORBIDDEN_PER = {
     "unigram_quality": ["CartesianProduct", "SortMergeJoin"],
     # registers->exact join is an equi-join on the group key
     "hll_token_distinct": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    # candidate->cell lookups and candidate->exact counts are broadcast
+    # equi-joins; the cut is a distributed partial top-k
+    "cms_hot_tokens": ["CartesianProduct", "SortMergeJoin"],
 }
 
 FORBIDDEN = re.compile(r"BatchEvalPython")  # row-at-a-time Python UDF
