@@ -1056,6 +1056,24 @@ def cms_hot_tokens(spark, sf_dir):
         toks, "token", sample_key_cols=("doc_id",))
 
 
+def quantile_doclen(spark, sf_dir):
+    """Power-of-two histogram quantile sketch
+    (text_analysis.log2_histogram_quantiles): p50/p90/p99 of per-document
+    token counts per language without a global sort — the exchange
+    carries ≤ 63 buckets per group regardless of corpus size. Estimate,
+    exact (computed alongside for the error report) and rel_err all
+    hash-match the DuckDB twin bit-for-bit."""
+    from .operators import text_analysis
+
+    d = _t(spark, sf_dir, "documents")
+    lens = d.select(
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+         .alias("n_tokens"),
+    )
+    return text_analysis.log2_histogram_quantiles(lens, "lang", "n_tokens")
+
+
 # Fixed probe query for the bm25_rank entry — the oracle SQL is generated
 # from the SAME list, so term order (float-sum order) matches by
 # construction. Terms chosen for spread: 'spark' is mid-frequency,
@@ -1826,6 +1844,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         chunk_docs, pack_boundary, pack_firstfit, mixture_weighted,
         vocab_build, sample_exact, dup_spans, dup_span_removal,
         dedup_neardup_keep, unigram_quality, sample_stratified,
-        hll_token_distinct, cms_hot_tokens,
+        hll_token_distinct, cms_hot_tokens, quantile_doclen,
     ]
 }

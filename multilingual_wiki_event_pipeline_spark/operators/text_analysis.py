@@ -386,3 +386,92 @@ def cms_heavy_hitters(rows: DataFrame, value_col: str, d: int = 4,
         .orderBy(F.col("est_count").desc(), value_col)
         .limit(k)
     )
+
+
+def log2_histogram_quantiles(rows: DataFrame, group_col: str,
+                             value_col: str,
+                             qs: tuple[float, ...] = (0.5, 0.9, 0.99)
+                             ) -> DataFrame:
+    """Quantile telemetry without a global sort: a power-of-two-bucket
+    histogram sketch (the integer-exact cousin of DDSketch's log buckets;
+    Masson et al. VLDB'19 fix relative error by gamma-log bucketing —
+    base 2 makes the bucket index ``bitlen(value)``, a pure integer path).
+    Unlike rank-based sketches (GK, t-digest) the histogram is insertion-
+    order- and partitioning-independent, so the result is reproducible
+    across cluster sizes and hash-matches the DuckDB twin bit-for-bit.
+
+    For each group and each q in ``qs``: the reported quantile is the
+    upper bound ``2^b - 1`` of the first bucket whose cumulative count
+    reaches ``ceil(q * N)`` — a guaranteed OVERestimate of the true
+    q-quantile by at most 2x (relative), exact for values that are
+    ``2^b - 1``. Positive BIGINT values only (raises on <= 0 — the
+    telemetry domain is counts/lengths/latencies).
+
+    Scale shape: one partial+final count per (group, bucket) — the
+    exchange carries at most 63 buckets per group regardless of data
+    volume; the quantile extraction is a window cumsum over those ≤ 63
+    rows per group. The exact quantile is computed alongside for the
+    error report via an in-group rank (percentile_disc semantics: the
+    smallest value whose rank reaches ceil(q*N)) — at 100 TB you would
+    drop that column; the sketch is the point.
+
+    Output: one row per (group, q): ``(group, q, est, exact, rel_err)``.
+    """
+    from pyspark.sql import Window
+
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError("require quantiles in (0, 1]")
+    v = F.col(value_col).cast("long")
+    guarded = rows.select(
+        F.col(group_col).alias("g"),
+        F.when(v > 0, v).otherwise(
+            F.raise_error(F.concat(
+                F.lit("log2_histogram_quantiles: non-positive value "),
+                v.cast("string")))).alias("v"),
+    )
+    # bucket b = bitlen(v): v in [2^(b-1), 2^b - 1]
+    hist = (
+        guarded.select("g", F.length(F.conv(F.col("v"), 10, 2)).alias("b"))
+        .groupBy("g", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wc = Window.partitionBy("g").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(wc)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("g")))
+    qdim = F.broadcast(rows.sparkSession.createDataFrame(
+        [(float(q),) for q in sorted(qs)], "q double"))
+    # first bucket whose cumulative count reaches ceil(q*N)
+    est = (
+        cum.join(qdim)
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("g", "q")
+        .agg(F.min("b").alias("b"))
+        .select("g", "q", F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) "
+            "- CAST(1 AS BIGINT)").alias("est"))
+    )
+    # ties on v need no tie-break: whatever order equal values take, the
+    # smallest v whose rank reaches ceil(q*N) is the sorted multiset's
+    # position-ceil(q*N) element
+    wr = Window.partitionBy("g").orderBy("v")
+    ranked = guarded.withColumn(
+        "rank", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+    exact = (
+        ranked.join(qdim)
+        .filter(F.col("rank") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("g", "q")
+        .agg(F.min("v").alias("exact"))
+    )
+    return (
+        est.join(exact, ["g", "q"])
+        .select(
+            F.col("g").alias(group_col),
+            F.col("q"),
+            F.col("est").cast("long").alias("est"),
+            F.col("exact").cast("long").alias("exact"),
+            F.round((F.col("est") - F.col("exact")) / F.col("exact"), 6)
+             .alias("rel_err"),
+        )
+    )

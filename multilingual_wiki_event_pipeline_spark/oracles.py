@@ -1992,6 +1992,42 @@ def _cms_sql(d: int = 4, w: int = 512, k: int = 20,
 EXTRA_ORACLES["cms_hot_tokens"] = _cms_sql()
 
 
+# Power-of-two histogram quantile twin: identical integer bucket path
+# (bitlen via bin()), identical ceil(q*N) double arithmetic, identical
+# first-bucket / smallest-ranked-value extraction.
+EXTRA_ORACLES["quantile_doclen"] = """
+    WITH vals AS (
+      SELECT lang AS g,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS v
+      FROM documents),
+    hist AS (
+      SELECT g, length(bin(v)) AS b, COUNT(*) AS c
+      FROM vals GROUP BY g, length(bin(v))),
+    cum AS (
+      SELECT g, b, SUM(c) OVER (PARTITION BY g ORDER BY b) AS cum,
+             SUM(c) OVER (PARTITION BY g) AS n
+      FROM hist),
+    qs AS (SELECT * FROM (VALUES (0.5::DOUBLE), (0.9::DOUBLE),
+                                 (0.99::DOUBLE)) t(q)),
+    est AS (
+      SELECT g, q, MIN(b) AS b FROM cum CROSS JOIN qs
+      WHERE cum >= CEIL(q * n) GROUP BY g, q),
+    ranked AS (
+      SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rank,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM vals),
+    ex AS (
+      SELECT g, q, MIN(v) AS exact FROM ranked CROSS JOIN qs
+      WHERE rank >= CEIL(q * n) GROUP BY g, q)
+    SELECT e.g AS lang, e.q AS q,
+           CAST(((1::BIGINT) << e.b) - 1 AS BIGINT) AS est,
+           CAST(x.exact AS BIGINT) AS exact,
+           ROUND((((1::BIGINT) << e.b) - 1 - x.exact) / x.exact, 6)
+             AS rel_err
+    FROM est e JOIN ex x USING (g, q)
+"""
+
+
 def flagship_oracle() -> dict[str, str]:
     """kg_pipeline_triples oracle over the fixed corpus — generated lazily
     so importing this module stays side-effect free until SQL is requested."""

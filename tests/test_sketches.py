@@ -88,3 +88,29 @@ def test_cms_param_validation(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, token string")
     with pytest.raises(ValueError):
         text_analysis.cms_heavy_hitters(df, "token", d=0)
+
+
+def test_log2_quantiles_semantics(spark):
+    # group of 1..100: p50 exact = 50 -> bucket bitlen(50)=6 -> est 63;
+    # p99 exact = 99 -> bitlen 7 -> est 127; q=1.0 -> max
+    rows = [("g", i) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["q"]: r for r in text_analysis.log2_histogram_quantiles(
+        df, "g", "v", qs=(0.5, 0.99, 1.0)).collect()}
+    assert (out[0.5]["exact"], out[0.5]["est"]) == (50, 63)
+    assert (out[0.99]["exact"], out[0.99]["est"]) == (99, 127)
+    assert (out[1.0]["exact"], out[1.0]["est"]) == (100, 127)
+    # one-sided: est >= exact, within the 2x relative-error guarantee
+    for r in out.values():
+        assert r["exact"] <= r["est"] < 2 * r["exact"]
+
+
+def test_log2_quantiles_rejects_nonpositive(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame([("g", 0)], "g string, v long")
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        text_analysis.log2_histogram_quantiles(df, "g", "v").collect()
+    with pytest.raises(ValueError):
+        text_analysis.log2_histogram_quantiles(df, "g", "v", qs=(0.0,))

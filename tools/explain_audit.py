@@ -36,7 +36,7 @@ AUDITED = [
     "chunk_docs", "pack_boundary", "pack_firstfit", "mixture_weighted",
     "vocab_build", "sample_exact", "dup_spans", "dup_span_removal",
     "unigram_quality", "sample_stratified", "hll_token_distinct",
-    "cms_hot_tokens",
+    "cms_hot_tokens", "quantile_doclen",
 ]
 
 CHECKS = {
@@ -127,6 +127,9 @@ FORBIDDEN_PER = {
     # candidate->cell lookups and candidate->exact counts are broadcast
     # equi-joins; the cut is a distributed partial top-k
     "cms_hot_tokens": ["CartesianProduct", "SortMergeJoin"],
+    # bucket histogram + window cumsum; the q-dim crossJoin is the
+    # allowed broadcast against a 3-row frame — never a cartesian
+    "quantile_doclen": ["CartesianProduct"],
 }
 
 FORBIDDEN = re.compile(r"BatchEvalPython")  # row-at-a-time Python UDF
