@@ -65,6 +65,11 @@ def main(argv: list[str]) -> dict[str, int]:
     ap.add_argument("--budget", type=int, default=2048)
     ap.add_argument("--build-vocab", action="store_true")
     ap.add_argument("--vocab-min-count", type=int, default=2)
+    ap.add_argument("--telemetry", action="store_true",
+                    help="write corpus-health sketches over the final "
+                         "corpus under <output>/telemetry: per-source HLL "
+                         "distinct-token estimates, Count-Min hot tokens, "
+                         "and doc-length quantiles (p50/p90/p99)")
     args = ap.parse_args(argv)
 
     # imports AFTER spark-submit has the --py-files zip on sys.path
@@ -200,6 +205,32 @@ def main(argv: list[str]) -> dict[str, int]:
         )
         vocab.write.mode("overwrite").parquet(f"{args.output}/vocab")
         count("vocab_size", vocab.count())
+
+    # -- stage 5 (optional): corpus-health telemetry ------------------------
+    # the trainer-facing report card: all three sketches are deterministic
+    # and exchange O(registers/cells/buckets) per group, never O(data)
+    if args.telemetry:
+        toks = final.select(
+            "source", "doc_id",
+            F.explode(F.filter(F.split("text", " "), lambda x: x != ""))
+             .alias("token"),
+        )
+        text_analysis.hll_distinct(toks, "source", "token").write.mode(
+            "overwrite").parquet(f"{args.output}/telemetry/distinct_tokens")
+        hot = text_analysis.cms_heavy_hitters(
+            toks, "token", sample_key_cols=("doc_id",))
+        hot.write.mode("overwrite").parquet(
+            f"{args.output}/telemetry/hot_tokens")
+        lens = final.select(
+            "source",
+            F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+             .alias("n_tokens"),
+        ).filter(F.col("n_tokens") > 0)
+        text_analysis.log2_histogram_quantiles(
+            lens, "source", "n_tokens"
+        ).write.mode("overwrite").parquet(
+            f"{args.output}/telemetry/doclen_quantiles")
+        count("telemetry_hot_tokens", hot.count())
     return counters
 
 

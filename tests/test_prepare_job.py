@@ -114,3 +114,26 @@ def test_prepare_training_data_exactsubstr_stage(spark, tmp_path):
         F.sum(F.size(F.split("text", " ")))
     ).collect()[0][0]
     assert n_out < n_in
+
+
+@pytest.mark.skipif(not os.path.exists(DOCS), reason="driver testdata absent")
+def test_prepare_training_data_telemetry_stage(spark, tmp_path):
+    from jobs.prepare_training_data import main
+
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    c = main([
+        "--input", DOCS, "--checkpoint", ckpt, "--output", out,
+        "--pack", "none", "--telemetry",
+    ])
+    assert c["telemetry_hot_tokens"] > 0
+    dt = spark.read.parquet(f"{out}/telemetry/distinct_tokens")
+    # one row per surviving source; estimate within the m=64 HLL envelope
+    rows = dt.collect()
+    assert rows and all(
+        abs(r["rel_err"]) < 0.5 and r["exact_distinct"] > 0 for r in rows)
+    hot = spark.read.parquet(f"{out}/telemetry/hot_tokens")
+    assert hot.filter("overestimate < 0").count() == 0
+    ql = spark.read.parquet(f"{out}/telemetry/doclen_quantiles")
+    # p50/p90/p99 per source, one-sided within 2x
+    assert ql.count() == 3 * dt.count()
+    assert ql.filter("est < exact OR est >= 2 * exact").count() == 0
