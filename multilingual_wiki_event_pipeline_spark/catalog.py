@@ -1074,6 +1074,20 @@ def quantile_doclen(spark, sf_dir):
     return text_analysis.log2_histogram_quantiles(lens, "lang", "n_tokens")
 
 
+def bloom_semijoin(spark, sf_dir):
+    """Bloom semi-join reduction report (operators/bloom.py): a 4096-bit
+    k=5 filter over the selective dimension (parts with p_size <= 5, ~10%)
+    probes every lineitem row; the one-row report accounts exactly —
+    n_pass >= n_member always (no false negatives), n_false_pos is the
+    sketch's price. All-integer md5 bit mechanics, so the DuckDB twin
+    hash-matches bit-for-bit."""
+    from .operators import bloom
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    li = _t(spark, sf_dir, "lineitem")
+    return bloom.bloom_semijoin_report(li, "l_partkey", part, "p_partkey")
+
+
 # Fixed probe query for the bm25_rank entry — the oracle SQL is generated
 # from the SAME list, so term order (float-sum order) matches by
 # construction. Terms chosen for spread: 'spark' is mid-frequency,
@@ -1845,5 +1859,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         vocab_build, sample_exact, dup_spans, dup_span_removal,
         dedup_neardup_keep, unigram_quality, sample_stratified,
         hll_token_distinct, cms_hot_tokens, quantile_doclen,
+        bloom_semijoin,
     ]
 }

@@ -2028,6 +2028,49 @@ EXTRA_ORACLES["quantile_doclen"] = """
 """
 
 
+# Bloom semi-join twin: identical salted-md5 bit positions, identical
+# bit_or word fold and all-k-bits mask test — one all-BIGINT report row.
+EXTRA_ORACLES["bloom_semijoin"] = """
+    WITH dimk AS (
+      SELECT DISTINCT p_partkey AS dk FROM part WHERE p_size <= 5),
+    js AS (SELECT * FROM (VALUES (0), (1), (2), (3), (4)) t(i)),
+    bpos AS (
+      SELECT ('0x' || substring(
+               md5('bloom:h' || CAST(i AS VARCHAR) || ':'
+                   || CAST(dk AS VARCHAR)), 1, 8))::BIGINT % 4096 AS pos
+      FROM dimk CROSS JOIN js),
+    bloom AS (
+      SELECT pos // 32 AS word_idx,
+             bit_or((1::BIGINT) << CAST(pos % 32 AS INT)) AS word
+      FROM bpos GROUP BY pos // 32),
+    fkeys AS (SELECT DISTINCT l_partkey AS fk FROM lineitem),
+    fpos AS (
+      SELECT fk, ('0x' || substring(
+               md5('bloom:h' || CAST(i AS VARCHAR) || ':'
+                   || CAST(fk AS VARCHAR)), 1, 8))::BIGINT % 4096 AS pos
+      FROM fkeys CROSS JOIN js),
+    probe AS (
+      SELECT fk, bool_and(
+               (COALESCE(b.word, 0)
+                & ((1::BIGINT) << CAST(f.pos % 32 AS INT))) <> 0)
+               AS bloom_pass
+      FROM fpos f LEFT JOIN bloom b ON b.word_idx = f.pos // 32
+      GROUP BY fk),
+    flagged AS (
+      SELECT p.bloom_pass, (d.dk IS NOT NULL) AS m
+      FROM lineitem l
+      JOIN probe p ON p.fk = l.l_partkey
+      LEFT JOIN dimk d ON d.dk = l.l_partkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_fact,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_member,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT m THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos
+    FROM flagged
+"""
+
+
 def flagship_oracle() -> dict[str, str]:
     """kg_pipeline_triples oracle over the fixed corpus — generated lazily
     so importing this module stays side-effect free until SQL is requested."""

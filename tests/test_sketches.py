@@ -114,3 +114,42 @@ def test_log2_quantiles_rejects_nonpositive(spark):
         text_analysis.log2_histogram_quantiles(df, "g", "v").collect()
     with pytest.raises(ValueError):
         text_analysis.log2_histogram_quantiles(df, "g", "v", qs=(0.0,))
+
+
+def test_bloom_no_false_negatives_and_low_fpr(spark):
+    from multilingual_wiki_event_pipeline_spark.operators import bloom
+
+    dim = spark.createDataFrame(
+        [(f"key{i}",) for i in range(100)], "k string")
+    filt = bloom.bloom_build(dim, "k")
+    # the filter is tiny: at most m_bits/32 words
+    assert filt.count() <= 4096 // 32
+    members = bloom.bloom_probe(dim, "k", filt)
+    assert members.filter("NOT bloom_pass").count() == 0  # no false negs
+    probe = spark.createDataFrame(
+        [(f"other{i}",) for i in range(1000)], "k string")
+    fp = bloom.bloom_probe(probe, "k", filt).filter("bloom_pass").count()
+    # theory at n=100, m=4096, k=5: ~2e-5; give it lots of slack
+    assert fp < 50
+
+
+def test_bloom_report_accounting(spark):
+    from multilingual_wiki_event_pipeline_spark.operators import bloom
+
+    dim = spark.createDataFrame([("a",), ("b",)], "dk string")
+    facts = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("x",), ("y",)], "fk string")
+    r = bloom.bloom_semijoin_report(facts, "fk", dim, "dk").collect()[0]
+    assert r["n_fact"] == 5 and r["n_member"] == 3
+    assert r["n_pass"] >= r["n_member"]
+    assert r["n_false_pos"] == r["n_pass"] - r["n_member"]
+
+
+def test_bloom_param_validation(spark):
+    from multilingual_wiki_event_pipeline_spark.operators import bloom
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        bloom.bloom_build(df, "k", m_bits=100)
+    with pytest.raises(ValueError):
+        bloom.bloom_probe(df, "k", df, k=0)

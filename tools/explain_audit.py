@@ -36,7 +36,7 @@ AUDITED = [
     "chunk_docs", "pack_boundary", "pack_firstfit", "mixture_weighted",
     "vocab_build", "sample_exact", "dup_spans", "dup_span_removal",
     "unigram_quality", "sample_stratified", "hll_token_distinct",
-    "cms_hot_tokens", "quantile_doclen",
+    "cms_hot_tokens", "quantile_doclen", "bloom_semijoin",
 ]
 
 CHECKS = {
@@ -130,6 +130,9 @@ FORBIDDEN_PER = {
     # bucket histogram + window cumsum; the q-dim crossJoin is the
     # allowed broadcast against a 3-row frame — never a cartesian
     "quantile_doclen": ["CartesianProduct"],
+    # bloom probe joins the tiny word table broadcast; a sort-merge here
+    # would mean the fact side shuffled for a <=128-row filter
+    "bloom_semijoin": ["CartesianProduct", "SortMergeJoin"],
 }
 
 FORBIDDEN = re.compile(r"BatchEvalPython")  # row-at-a-time Python UDF
