@@ -40,6 +40,12 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--salt-buckets", type=int, default=64)
     ap.add_argument("--seed-mode", default="by_incident",
                     choices=["by_incident", "by_participant"])
+    ap.add_argument("--skew-report", action="store_true",
+                    help="write the skew telemetry the partitioning "
+                         "strategy depends on under <output>/skew: "
+                         "turns-per-conversation quantiles (mega-"
+                         "conversation detection) and Count-Min hot "
+                         "incident types")
     args = ap.parse_args(argv)
 
     # imports AFTER spark-submit has the --py-files zip on sys.path
@@ -101,6 +107,32 @@ def main(argv: list[str]) -> None:
         store.add_counter("sink", layer, n)
     store.add_counter("sink", "full_triples", o.full_triples.count())
     store.add_counter("sink", "pilot_triples", o.pilot_triples.count())
+
+    # optional: the skew report the north-rule partitioning strategy is
+    # tuned against — mega-conversations (turns-per-conv p50/p90/p99, a
+    # bounded histogram exchange) and hot incident types (Count-Min, a
+    # <= d*w-cell exchange); both deterministic, both O(sketch) not O(data)
+    if args.skew_report:
+        from pyspark.sql import functions as F
+
+        from multilingual_wiki_event_pipeline_spark.operators import (
+            text_analysis,
+        )
+
+        conv_sizes = (
+            t.transcripts.groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n_turns"))
+            .select(F.lit("all").alias("corpus"), "n_turns")
+        )
+        text_analysis.log2_histogram_quantiles(
+            conv_sizes, "corpus", "n_turns"
+        ).write.mode("overwrite").parquet(
+            f"{args.output}/skew/conv_size_quantiles")
+        text_analysis.cms_heavy_hitters(
+            t.incidents.select("incident_id", "incident_type"),
+            "incident_type", sample_key_cols=("incident_id",),
+        ).write.mode("overwrite").parquet(
+            f"{args.output}/skew/hot_incident_types")
 
 
 if __name__ == "__main__":

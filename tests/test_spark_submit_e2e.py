@@ -52,6 +52,7 @@ def test_spark_submit_py_files_pipeline(corpus_dir, tmp_path):
         "--checkpoint", str(ckpt),
         "--output", str(out),
         "--salt-buckets", "4",
+        "--skew-report",
     ]
     # scratch cwd + stripped PYTHONPATH: the zip is the only import route
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
@@ -87,3 +88,17 @@ def test_spark_submit_py_files_pipeline(corpus_dir, tmp_path):
     assert lineage > 0
     sink_metrics = dict(counters)
     assert sink_metrics.get("full_triples", 0) == n_full
+    # --skew-report wrote both telemetry tables: conversation-size
+    # quantiles (one-sided within 2x) and CMS hot incident types (one-
+    # sided overestimates)
+    q = con.sql(
+        f"SELECT * FROM '{out}/skew/conv_size_quantiles/*.parquet'"
+    ).fetchall()
+    assert len(q) == 3
+    assert all(est >= exact and est < 2 * exact
+               for (_g, _q, est, exact, _err) in q)
+    hot = con.sql(
+        f"SELECT est_count, exact_count FROM "
+        f"'{out}/skew/hot_incident_types/*.parquet'"
+    ).fetchall()
+    assert hot and all(e >= x for e, x in hot)
