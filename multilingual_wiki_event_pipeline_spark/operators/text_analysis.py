@@ -232,18 +232,47 @@ def hll_distinct(rows: DataFrame, group_col: str, value_col: str,
     are per-m, and the exactness argument for the indicator sum is sized
     to 64 registers.
     """
+    exact = (
+        rows.select(F.col(group_col).alias("g"),
+                    F.col(value_col).alias("v"))
+        .groupBy("g")
+        .agg(F.countDistinct("v").alias("exact_distinct"))
+    )
+    est = hll_estimate(hll_registers(rows, group_col, value_col, p=p))
+    return (
+        est.join(exact, "g")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("est_distinct"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.round(
+                (F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"), 6
+            ).alias("rel_err"),
+        )
+    )
+
+
+_HLL_M, _HLL_ALPHA, _HLL_K = 64, 0.709, 54  # Flajolet alpha_64; 60-6 bits
+_HLL_SCALE = _HLL_K + 2  # 2**(SCALE-M) stays a positive BIGINT for M<=K+1
+
+
+def hll_registers(rows: DataFrame, group_col: str, value_col: str,
+                  p: int = 6) -> DataFrame:
+    """The sketch state itself: ``(g, bucket, M)`` max-registers per group
+    — the MERGEABLE representation. Registers of disjoint (or overlapping
+    — max is idempotent) row sets union via :func:`hll_merge` into the
+    registers of the combined set EXACTLY, which is what lets a 100 TB
+    sketch build per-partition/per-day and fold up without ever seeing
+    the data twice (and why a resumable pipeline can checkpoint it)."""
     if p != 6:
-        raise ValueError("hll_distinct: only p=6 (m=64) is supported")
-    m = 64
-    alpha = 0.709  # Flajolet et al. 2007, alpha_64
-    K = 54         # bits in the register word (60-bit hash minus p=6)
-    SCALE = K + 2  # 2**(SCALE - M) stays a positive integer for M <= K+1
+        raise ValueError("hll: only p=6 (m=64) is supported")
     h60 = F.conv(
         F.substring(F.md5(F.col(value_col).cast("binary")), 1, 15), 16, 10
     ).cast("long")
-    keyed = rows.select(F.col(group_col).alias("g"),
-                       F.col(value_col).alias("v"), h60.alias("h"))
-    bucketed = keyed.select(
+    bucketed = rows.select(
+        F.col(group_col).alias("g"), h60.alias("h")
+    ).select(
         "g",
         F.expr("h % 64").alias("bucket"),
         F.expr("h div 64").alias("w"),
@@ -251,41 +280,48 @@ def hll_distinct(rows: DataFrame, group_col: str, value_col: str,
     # leading-1 position: M = K - bitlen(w) + 1; w = 0 -> all K bits zero
     # -> M = K + 1. bitlen via length(base-2 string): exact integer path.
     bitlen = F.length(F.conv(F.col("w"), 10, 2))
-    mreg = F.when(F.col("w") == 0, F.lit(K + 1)).otherwise(
-        F.lit(K) - bitlen + F.lit(1))
-    regs = (
+    mreg = F.when(F.col("w") == 0, F.lit(_HLL_K + 1)).otherwise(
+        F.lit(_HLL_K) - bitlen + F.lit(1))
+    return (
         bucketed.select("g", "bucket", mreg.alias("M"))
         .groupBy("g", "bucket")
         .agg(F.max("M").alias("M"))
     )
-    per_group = regs.groupBy("g").agg(
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {SCALE} - M)"))
+
+
+def hll_merge(*register_frames: DataFrame) -> DataFrame:
+    """Fold any number of register frames into one sketch: union + max per
+    (g, bucket). Exact — hll_estimate(merge(regs(A), regs(B))) equals
+    hll_estimate(regs(A ∪ B)) bit-for-bit (pinned by test)."""
+    if not register_frames:
+        raise ValueError("hll_merge: need at least one register frame")
+    out = register_frames[0]
+    for f in register_frames[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("g", "bucket").agg(F.max("M").alias("M"))
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """(g, est_distinct) from a register frame: the exact dyadic indicator
+    sum, the single alpha*m^2*2^SCALE / S division, and Flajolet's
+    linear-counting small-range branch — the only floats are two
+    order-independent ops, so the estimate is reproducible bit-for-bit."""
+    m, alpha, scale = _HLL_M, _HLL_ALPHA, _HLL_SCALE
+    per_group = registers.groupBy("g").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - M)"))
          .alias("s_occ"),
         F.count(F.lit(1)).alias("n_occ"),
     )
-    exact = keyed.groupBy("g").agg(
-        F.countDistinct("v").alias("exact_distinct"))
     s_total = (F.col("s_occ")
                + (F.lit(m) - F.col("n_occ"))
-               * F.lit(1 << SCALE).cast("long"))
-    e_raw = F.lit(alpha * m * m * float(1 << SCALE)) / s_total
+               * F.lit(1 << scale).cast("long"))
+    e_raw = F.lit(alpha * m * m * float(1 << scale)) / s_total
     n_empty = F.lit(m) - F.col("n_occ")
     est = F.when(
         (e_raw <= F.lit(2.5 * m)) & (n_empty > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / n_empty),
     ).otherwise(e_raw)
-    return (
-        per_group.join(exact, "g")
-        .select(
-            F.col("g").alias(group_col),
-            F.round(est, 6).alias("est_distinct"),
-            F.col("exact_distinct").cast("long").alias("exact_distinct"),
-            F.round(
-                (F.round(est, 6) - F.col("exact_distinct"))
-                / F.col("exact_distinct"), 6
-            ).alias("rel_err"),
-        )
-    )
+    return per_group.select("g", F.round(est, 6).alias("est_distinct"))
 
 
 def cms_heavy_hitters(rows: DataFrame, value_col: str, d: int = 4,

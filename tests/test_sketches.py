@@ -153,3 +153,23 @@ def test_bloom_param_validation(spark):
         bloom.bloom_build(df, "k", m_bits=100)
     with pytest.raises(ValueError):
         bloom.bloom_probe(df, "k", df, k=0)
+
+
+def test_hll_registers_merge_exactly(spark):
+    # mergeability: sketch(A) ⊕ sketch(B) == sketch(A ∪ B), including
+    # overlap (max is idempotent) — the per-partition/per-day fold-up
+    a = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(200)], "g string, v string")
+    b = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(150, 400)], "g string, v string")
+    whole = a.unionByName(b)
+    merged = text_analysis.hll_merge(
+        text_analysis.hll_registers(a, "g", "v"),
+        text_analysis.hll_registers(b, "g", "v"),
+    )
+    est_merged = text_analysis.hll_estimate(merged).collect()[0]
+    est_whole = text_analysis.hll_estimate(
+        text_analysis.hll_registers(whole, "g", "v")).collect()[0]
+    assert est_merged["est_distinct"] == est_whole["est_distinct"]
+    with pytest.raises(ValueError):
+        text_analysis.hll_merge()
