@@ -989,7 +989,10 @@ def dedup_neardup_keep(spark, sf_dir):
     -> connected components -> one surviving canonical doc per cluster
     with its cluster size — the keep-one materialization tier above
     canonicalize_components' cluster labels. Oracle replays the identical
-    candidates+verify+closure pipeline and the same min-doc_id election."""
+    candidates+verify+closure pipeline and the same min-doc_id election.
+    Recall semantics: candidates are 3-word-shingle MinHash (order-
+    sensitive); dedup_prefix_pairs is the lossless 1-gram-set
+    alternative (see its docstring for the measured gap)."""
     from .operators import text_dedup
 
     return text_dedup.neardup_keep(_t(spark, sf_dir, "documents"), 0.9)
@@ -1072,6 +1075,19 @@ def quantile_doclen(spark, sf_dir):
          .alias("n_tokens"),
     )
     return text_analysis.log2_histogram_quantiles(lens, "lang", "n_tokens")
+
+
+def dedup_prefix_pairs(spark, sf_dir):
+    """Exact prefix-filtered near-dup pairs
+    (text_dedup.prefix_filter_pairs, Jaccard >= 0.9): the LOSSLESS
+    candidate path — every qualifying pair is found (no LSH band
+    misses), candidates come from an equi-join on the rare-first ~10%
+    prefix of each token set. Same output contract as
+    dedup_minhash_pairs' verified tier."""
+    from .operators import text_dedup
+
+    return text_dedup.prefix_filter_pairs(
+        _t(spark, sf_dir, "documents"), 0.9)
 
 
 def bloom_semijoin(spark, sf_dir):
@@ -1859,6 +1875,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         vocab_build, sample_exact, dup_spans, dup_span_removal,
         dedup_neardup_keep, unigram_quality, sample_stratified,
         hll_token_distinct, cms_hot_tokens, quantile_doclen,
-        bloom_semijoin,
+        bloom_semijoin, dedup_prefix_pairs,
     ]
 }

@@ -2071,6 +2071,51 @@ EXTRA_ORACLES["bloom_semijoin"] = """
 """
 
 
+# Prefix-filter exact near-dup twin: same rare-first (df, token) global
+# order, same |x| - ceil(t|x|) + 1 prefix, same verify chain as the
+# canonicalize oracle.
+EXTRA_ORACLES["dedup_prefix_pairs"] = """
+    WITH lang_tokens AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''),
+    freq AS (SELECT token, COUNT(*) AS df FROM lang_tokens GROUP BY token),
+    ranked AS (
+      SELECT doc_id, token,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY df, token) AS rank,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM lang_tokens JOIN freq USING (token)),
+    prefix AS (
+      SELECT doc_id, token FROM ranked
+      WHERE rank <= n - CEIL(0.9 * n) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM prefix a JOIN prefix b
+        ON a.token = b.token AND a.doc_id < b.doc_id),
+    cand_lang AS (
+      SELECT c.a_id, c.b_id FROM cand c
+      JOIN documents da ON da.doc_id = c.a_id
+      JOIN documents db ON db.doc_id = c.b_id
+      WHERE da.lang = db.lang),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM lang_tokens
+              GROUP BY doc_id),
+    shared AS (
+      SELECT c.a_id, c.b_id, COUNT(*) AS shared
+      FROM cand_lang c
+      JOIN lang_tokens ta ON ta.doc_id = c.a_id
+      JOIN lang_tokens tb ON tb.doc_id = c.b_id AND tb.token = ta.token
+      GROUP BY c.a_id, c.b_id)
+    SELECT a_id, b_id,
+           ROUND(shared / (sa.n + sb.n - shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE shared / (sa.n + sb.n - shared) >= 0.9
+"""
+
+
 def flagship_oracle() -> dict[str, str]:
     """kg_pipeline_triples oracle over the fixed corpus — generated lazily
     so importing this module stays side-effect free until SQL is requested."""

@@ -292,3 +292,45 @@ def test_neardup_keep_language_partition(spark):
     out = {r["doc_id"]: r["n_members"]
            for r in text_dedup.neardup_keep(rows, 0.9).collect()}
     assert out == {1: 1, 2: 1}
+
+
+def test_prefix_filter_pairs_is_exact(spark):
+    """Prefix filtering is LOSSLESS: its verified pairs equal the full
+    quadratic token self-join's pairs — no LSH-style band misses."""
+    import os
+
+    from multilingual_wiki_event_pipeline_spark.operators import text_dedup
+
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    if not os.path.exists(docs_path):
+        import pytest as _pytest
+
+        _pytest.skip("driver testdata absent")
+    docs = spark.read.parquet(docs_path)
+    exact = {(r["a_id"], r["b_id"])
+             for r in text_dedup.jaccard_pairs(docs, 0.9).collect()}
+    pf = {(r["a_id"], r["b_id"])
+          for r in text_dedup.prefix_filter_pairs(docs, 0.9).collect()}
+    assert pf == exact and exact  # equal AND non-trivial on this corpus
+
+
+def test_prefix_filter_pairs_threshold_one(spark):
+    from multilingual_wiki_event_pipeline_spark.operators import text_dedup
+
+    # identical token SETS (order/multiplicity differ) at t=1.0: the
+    # prefix is exactly the single rarest token, and the pair still shows
+    rows = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en"),
+            (2, "gamma alpha beta beta", "en"),
+            (3, "alpha beta delta", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = [(r["a_id"], r["b_id"], r["jaccard"])
+           for r in text_dedup.prefix_filter_pairs(rows, 1.0).collect()]
+    assert out == [(1, 2, 1.0)]
+    import pytest
+
+    with pytest.raises(ValueError):
+        text_dedup.prefix_filter_pairs(rows, 0.0)
