@@ -207,16 +207,24 @@ def main(argv: list[str]) -> dict[str, int]:
         count("vocab_size", vocab.count())
 
     # -- stage 5 (optional): corpus-health telemetry ------------------------
-    # the trainer-facing report card: all three sketches are deterministic
-    # and exchange O(registers/cells/buckets) per group, never O(data)
+    # the trainer-facing report card, SKETCH-ONLY variants throughout so
+    # the sketch exchanges stay O(registers/buckets) per group, never
+    # O(data): HLL registers + estimate (no exact countDistinct), the
+    # exact-free quantile histogram (no in-group rank). CMS's exact
+    # counts cover only its <= k-row candidate output. The exact-included
+    # report variants (hll_distinct / with_exact=True) are for validation
+    # runs, not production telemetry.
     if args.telemetry:
         toks = final.select(
             "source", "doc_id",
             F.explode(F.filter(F.split("text", " "), lambda x: x != ""))
              .alias("token"),
         )
-        text_analysis.hll_distinct(toks, "source", "token").write.mode(
-            "overwrite").parquet(f"{args.output}/telemetry/distinct_tokens")
+        regs = text_analysis.hll_registers(toks, "source", "token")
+        text_analysis.hll_estimate(regs).select(
+            F.col("g").alias("source"), "est_distinct"
+        ).write.mode("overwrite").parquet(
+            f"{args.output}/telemetry/distinct_tokens")
         hot = text_analysis.cms_heavy_hitters(
             toks, "token", sample_key_cols=("doc_id",))
         hot.write.mode("overwrite").parquet(
@@ -227,7 +235,7 @@ def main(argv: list[str]) -> dict[str, int]:
              .alias("n_tokens"),
         ).filter(F.col("n_tokens") > 0)
         text_analysis.log2_histogram_quantiles(
-            lens, "source", "n_tokens"
+            lens, "source", "n_tokens", with_exact=False
         ).write.mode("overwrite").parquet(
             f"{args.output}/telemetry/doclen_quantiles")
         count("telemetry_hot_tokens", hot.count())

@@ -110,8 +110,9 @@ def main(argv: list[str]) -> None:
 
     # optional: the skew report the north-rule partitioning strategy is
     # tuned against — mega-conversations (turns-per-conv p50/p90/p99, a
-    # bounded histogram exchange) and hot incident types (Count-Min, a
-    # <= d*w-cell exchange); both deterministic, both O(sketch) not O(data)
+    # bounded histogram exchange, sketch-only so no in-group rank) and hot
+    # incident types (Count-Min, a <= d*w-cell exchange); deterministic,
+    # O(sketch) not O(data) beyond the one conv_id count aggregation
     if args.skew_report:
         from pyspark.sql import functions as F
 
@@ -125,7 +126,7 @@ def main(argv: list[str]) -> None:
             .select(F.lit("all").alias("corpus"), "n_turns")
         )
         text_analysis.log2_histogram_quantiles(
-            conv_sizes, "corpus", "n_turns"
+            conv_sizes, "corpus", "n_turns", with_exact=False
         ).write.mode("overwrite").parquet(
             f"{args.output}/skew/conv_size_quantiles")
         text_analysis.cms_heavy_hitters(

@@ -1073,7 +1073,7 @@ def quantile_doclen(spark, sf_dir):
         "lang",
         F.size(F.filter(F.split("text", " "), lambda x: x != ""))
          .alias("n_tokens"),
-    )
+    ).filter(F.col("n_tokens") > 0)  # operator raises on <= 0 by contract
     return text_analysis.log2_histogram_quantiles(lens, "lang", "n_tokens")
 
 

@@ -24,36 +24,42 @@ for the 100 TB case.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_u32
 
-def _u32(col, salt: str):
-    """First 8 md5 hex digits of ``salt + value`` as a uniform uint32 —
-    the same cross-engine coin family as training_prep/text_analysis."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), col).cast("binary")), 1, 8),
-        16, 10,
-    ).cast("long")
+
+def _validate(m_bits: int, k: int) -> None:
+    if m_bits % 32 != 0 or m_bits <= 0 or k < 1:
+        raise ValueError("require m_bits > 0 divisible by 32 and k >= 1")
+
+
+def _word_and_bit(key: Column, i: int, m_bits: int, seed: str
+                  ) -> tuple[Column, Column]:
+    """(word_idx, bit) of hash row ``i`` for one key value — the single
+    definition both build and probe use (and the oracles mirror)."""
+    pos = md5_u32(F.concat(F.lit(f"{seed}:h{i}:"), key)) % F.lit(m_bits)
+    return (
+        (pos.cast("long") / F.lit(32)).cast("long"),
+        F.pmod(pos, F.lit(32)).cast("int"),
+    )
 
 
 def bloom_build(keys: DataFrame, key_col: str, m_bits: int = 4096,
                 k: int = 5, seed: str = "bloom") -> DataFrame:
     """Fold a key column into a Bloom bit array: ``(word_idx, word)`` rows
-    (64 bits per word, ``m_bits // 64`` rows max) via one explode of the
+    (32 bits per word, ``m_bits // 32`` rows max) via one explode of the
     k hash positions and a single ``bit_or`` aggregation — map-side
-    partial, the exchange carries at most ``m_bits/64`` rows total.
+    partial, the exchange carries at most ``m_bits/32`` rows total.
     """
-    if m_bits % 64 != 0 or m_bits <= 0 or k < 1:
-        raise ValueError("require m_bits > 0 divisible by 64 and k >= 1")
+    _validate(m_bits, k)
     v = F.col(key_col).cast("string")
     pos_structs = []
     for i in range(k):
-        pos = _u32(v, f"{seed}:h{i}:") % F.lit(m_bits)
+        word_idx, bit = _word_and_bit(v, i, m_bits, seed)
         pos_structs.append(F.struct(
-            (pos.cast("long") / F.lit(32)).cast("long").alias("word_idx"),
-            F.pmod(pos, F.lit(32)).cast("int").alias("bit"),
-        ))
+            word_idx.alias("word_idx"), bit.alias("bit")))
     exploded = keys.select(F.explode(F.array(*pos_structs)).alias("p"))
     return (
         exploded.select(
@@ -69,43 +75,40 @@ def bloom_probe(facts: DataFrame, key_col: str, bloom: DataFrame,
                 m_bits: int = 4096, k: int = 5,
                 seed: str = "bloom") -> DataFrame:
     """Mark each fact row with ``bloom_pass``: true iff ALL k bits of its
-    key are set in the filter. The bloom frame broadcasts (≤ m_bits/64
-    rows); the probe is one explode + broadcast equi-join on word_idx +
-    bool_and per row key — nothing shuffles but the (tiny) filter.
+    key are set in the filter. MAP-SIDE: the k bit tests are k broadcast
+    equi-joins of the ≤ m_bits/32-row word table against per-row word
+    indexes — the fact table itself never shuffles and never aggregates
+    (no groupBy on the key, no join of facts against a derived frame).
 
     No false negatives: a key that was in the build set always passes.
+    A NULL key cannot be a member of anything, so it probes to
+    ``bloom_pass = false`` (never dropped — every input row survives).
     """
-    if m_bits % 64 != 0 or m_bits <= 0 or k < 1:
-        raise ValueError("require m_bits > 0 divisible by 64 and k >= 1")
+    _validate(m_bits, k)
     v = F.col(key_col).cast("string")
-    pos_structs = []
+    out = facts
+    tests = []
     for i in range(k):
-        pos = _u32(v, f"{seed}:h{i}:") % F.lit(m_bits)
-        pos_structs.append(F.struct(
-            (pos.cast("long") / F.lit(32)).cast("long").alias("word_idx"),
-            F.pmod(pos, F.lit(32)).cast("int").alias("bit"),
-        ))
-    keyed = facts.select(
-        F.col(key_col).alias("__k"),
-        F.explode(F.array(*pos_structs)).alias("p"),
-    ).select(
-        "__k",
-        F.col("p.word_idx").alias("word_idx"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), p.bit)").alias("mask"),
-    )
-    hits = (
-        keyed.join(F.broadcast(bloom), "word_idx", "left")
-        .select(
-            "__k",
-            (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask"))
-             != 0).alias("bit_set"),
+        word_idx, bit = _word_and_bit(v, i, m_bits, seed)
+        w, b, wd = f"__bw{i}", f"__bb{i}", f"__bword{i}"
+        side = F.broadcast(bloom.select(
+            F.col("word_idx").alias(w), F.col("word").alias(wd)))
+        out = (
+            out.withColumn(w, word_idx).withColumn(b, bit)
+            .join(side, w, "left")
         )
-        .groupBy("__k")
-        .agg(F.bool_and("bit_set").alias("bloom_pass"))
-    )
-    return facts.join(
-        hits.select(F.col("__k").alias(key_col), "bloom_pass"), key_col
-    )
+        tests.append(
+            (F.coalesce(F.col(wd), F.lit(0)).bitwiseAND(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {b})")) != 0)
+        )
+    all_set = tests[0]
+    for t in tests[1:]:
+        all_set = all_set & t
+    helper = [c for i in range(k)
+              for c in (f"__bw{i}", f"__bb{i}", f"__bword{i}")]
+    return out.withColumn(
+        "bloom_pass", F.coalesce(all_set, F.lit(False))
+    ).drop(*helper)
 
 
 def bloom_semijoin_report(facts: DataFrame, fact_key: str,

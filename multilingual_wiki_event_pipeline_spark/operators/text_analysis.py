@@ -270,7 +270,10 @@ def hll_registers(rows: DataFrame, group_col: str, value_col: str,
     h60 = F.conv(
         F.substring(F.md5(F.col(value_col).cast("binary")), 1, 15), 16, 10
     ).cast("long")
-    bucketed = rows.select(
+    # NULL values are not elements of the set (countDistinct ignores
+    # them); without this filter a NULL would fabricate a (g, NULL, NULL)
+    # register that inflates n_occ without contributing to the sum
+    bucketed = rows.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("g"), h60.alias("h")
     ).select(
         "g",
@@ -358,11 +361,19 @@ def cms_heavy_hitters(rows: DataFrame, value_col: str, d: int = 4,
     """
     if d < 1 or w < 1 or k < 1:
         raise ValueError("require d, w, k >= 1")
+    from ..functions.hashing import md5_u32 as _u32
 
-    def _u32(col):
-        return F.conv(
-            F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10
-        ).cast("long")
+    def _hash_positions(col):
+        """The d (j, bucket) structs for one value — single definition
+        for both the sketch build and the candidate lookups."""
+        return F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                (_u32(F.concat(F.lit(f"{seed}:h{j}:"), col))
+                 % F.lit(w)).alias("bucket"),
+            )
+            for j in range(d)
+        ])
 
     v = F.col(value_col).cast("string")
     occ = rows.select(
@@ -370,15 +381,7 @@ def cms_heavy_hitters(rows: DataFrame, value_col: str, d: int = 4,
         *[F.col(c).cast("string").alias(c) for c in sample_key_cols],
     )
     pairs = occ.select(
-        "v",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(j).alias("j"),
-                (_u32(F.concat(F.lit(f"{seed}:h{j}:"), F.col("v")))
-                 % F.lit(w)).alias("bucket"),
-            )
-            for j in range(d)
-        ])).alias("jb"),
+        "v", F.explode(_hash_positions(F.col("v"))).alias("jb"),
     ).select("v", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
     cms = pairs.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cell"))
 
@@ -390,15 +393,7 @@ def cms_heavy_hitters(rows: DataFrame, value_col: str, d: int = 4,
         .select("v").distinct()
     )
     cand_keys = cand.select(
-        "v",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(j).alias("j"),
-                (_u32(F.concat(F.lit(f"{seed}:h{j}:"), F.col("v")))
-                 % F.lit(w)).alias("bucket"),
-            )
-            for j in range(d)
-        ])).alias("jb"),
+        "v", F.explode(_hash_positions(F.col("v"))).alias("jb"),
     ).select("v", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
     est = (
         cand_keys.join(F.broadcast(cms), ["j", "bucket"])
@@ -426,8 +421,8 @@ def cms_heavy_hitters(rows: DataFrame, value_col: str, d: int = 4,
 
 def log2_histogram_quantiles(rows: DataFrame, group_col: str,
                              value_col: str,
-                             qs: tuple[float, ...] = (0.5, 0.9, 0.99)
-                             ) -> DataFrame:
+                             qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                             with_exact: bool = True) -> DataFrame:
     """Quantile telemetry without a global sort: a power-of-two-bucket
     histogram sketch (the integer-exact cousin of DDSketch's log buckets;
     Masson et al. VLDB'19 fix relative error by gamma-log bucketing —
@@ -451,7 +446,12 @@ def log2_histogram_quantiles(rows: DataFrame, group_col: str,
     smallest value whose rank reaches ceil(q*N)) — at 100 TB you would
     drop that column; the sketch is the point.
 
-    Output: one row per (group, q): ``(group, q, est, exact, rel_err)``.
+    Output: one row per (group, q): ``(group, q, est, exact, rel_err)``
+    — or just ``(group, q, est)`` with ``with_exact=False``, the
+    sketch-only variant whose whole cost is the bounded histogram (the
+    exact column's in-group row_number rank is the one O(data·log) piece,
+    priced for error reports at validation scale, not for production
+    telemetry).
     """
     from pyspark.sql import Window
 
@@ -487,6 +487,11 @@ def log2_histogram_quantiles(rows: DataFrame, group_col: str,
             "shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) "
             "- CAST(1 AS BIGINT)").alias("est"))
     )
+    if not with_exact:
+        return est.select(
+            F.col("g").alias(group_col), "q",
+            F.col("est").cast("long").alias("est"),
+        )
     # ties on v need no tie-break: whatever order equal values take, the
     # smallest v whose rank reaches ceil(q*N) is the sorted multiset's
     # position-ceil(q*N) element

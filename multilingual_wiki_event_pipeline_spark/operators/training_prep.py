@@ -183,10 +183,10 @@ def _hash_u32(seed: str):
     """First 8 md5 hex digits of ``seed:doc_id`` as a uniform uint32 —
     the deterministic cross-engine coin (DuckDB: ``('0x' ||
     substring(md5(...), 1, 8))::BIGINT``)."""
-    key = F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string"))
-    return F.conv(
-        F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10
-    ).cast("long")
+    from ..functions.hashing import md5_u32
+
+    return md5_u32(
+        F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string")))
 
 
 def sample_exact_n(documents: DataFrame, n: int,

@@ -1997,9 +1997,11 @@ EXTRA_ORACLES["cms_hot_tokens"] = _cms_sql()
 # first-bucket / smallest-ranked-value extraction.
 EXTRA_ORACLES["quantile_doclen"] = """
     WITH vals AS (
-      SELECT lang AS g,
-             len(list_filter(string_split(text, ' '), x -> x <> '')) AS v
-      FROM documents),
+      SELECT g, v FROM (
+        SELECT lang AS g,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS v
+        FROM documents
+      ) WHERE v > 0),
     hist AS (
       SELECT g, length(bin(v)) AS b, COUNT(*) AS c
       FROM vals GROUP BY g, length(bin(v))),

@@ -48,4 +48,3 @@ def test_collection_stats_battery(spark, corpus_dir, corpus):
     # non-vacuous: distributions have entries, moments are finite
     assert "=" in got["langset_dist"] and "=" in got["direct_types_top10"]
     assert got["num_incidents"] > 0 and got["prim_var"] is not None
-

@@ -127,13 +127,15 @@ def test_prepare_training_data_telemetry_stage(spark, tmp_path):
     ])
     assert c["telemetry_hot_tokens"] > 0
     dt = spark.read.parquet(f"{out}/telemetry/distinct_tokens")
-    # one row per surviving source; estimate within the m=64 HLL envelope
+    # one row per surviving source; sketch-only output (production shape)
     rows = dt.collect()
-    assert rows and all(
-        abs(r["rel_err"]) < 0.5 and r["exact_distinct"] > 0 for r in rows)
+    assert rows and all(r["est_distinct"] > 0 for r in rows)
+    assert set(dt.columns) == {"source", "est_distinct"}
     hot = spark.read.parquet(f"{out}/telemetry/hot_tokens")
     assert hot.filter("overestimate < 0").count() == 0
     ql = spark.read.parquet(f"{out}/telemetry/doclen_quantiles")
-    # p50/p90/p99 per source, one-sided within 2x
+    # p50/p90/p99 per source, sketch-only; every doc has >= 1 token so
+    # every estimate is a positive 2^b - 1
     assert ql.count() == 3 * dt.count()
-    assert ql.filter("est < exact OR est >= 2 * exact").count() == 0
+    assert set(ql.columns) == {"source", "q", "est"}
+    assert ql.filter("est < 1").count() == 0

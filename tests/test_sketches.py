@@ -173,3 +173,17 @@ def test_hll_registers_merge_exactly(spark):
     assert est_merged["est_distinct"] == est_whole["est_distinct"]
     with pytest.raises(ValueError):
         text_analysis.hll_merge()
+
+
+def test_bloom_probe_null_keys_fail_closed(spark):
+    from multilingual_wiki_event_pipeline_spark.operators import bloom
+
+    dim = spark.createDataFrame([("a",)], "dk string")
+    facts = spark.createDataFrame([("a",), (None,)], "fk string")
+    filt = bloom.bloom_build(dim, "dk")
+    out = {r["fk"]: r["bloom_pass"]
+           for r in bloom.bloom_probe(facts, "fk", filt).collect()}
+    # NULL keys survive (never dropped) and probe to false
+    assert out == {"a": True, None: False}
+    r = bloom.bloom_semijoin_report(facts, "fk", dim, "dk").collect()[0]
+    assert (r["n_fact"], r["n_pass"], r["n_member"]) == (2, 1, 1)
