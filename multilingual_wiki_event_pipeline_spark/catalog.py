@@ -1306,6 +1306,46 @@ def graph_pagerank(spark, sf_dir):
                           all_nodes_receive=True)
 
 
+def graph_ppr(spark, sf_dir):
+    """Personalized PageRank (graph.personalized_pagerank, 5 iterations):
+    teleport mass returns only to the seed cohort — customers of nation 0
+    — so ranks measure proximity to that cohort through the
+    customer↔supplier co-transaction graph (the entity-centric relevance
+    a KG serves). Same BIGINT fixed-point discipline as graph_pagerank;
+    the unrolled-CTE oracle matches bit-for-bit."""
+    from .operators import graph
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    seeds = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") == 0
+    ).select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    return graph.personalized_pagerank(
+        graph.symmetrize(pairs), seeds, n_iters=5)
+
+
+def rollup_stats(spark, sf_dir):
+    """Grouping-sets aggregation (the A/O-family member not yet shown):
+    ROLLUP over (lang, source) computes per-(lang, source) doc counts +
+    token sums, per-lang subtotals, and the grand total in ONE aggregate
+    pass — Spark expands the grouping sets inside a single HashAggregate
+    instead of self-unioning three scans; the oracle is DuckDB's
+    GROUP BY ROLLUP verbatim (NULL-filled subtotal rows match)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.rollup("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        ).cast("long").alias("n_tokens"),
+    )
+
+
 def sparql_union(spark, sf_dir):
     """SPARQL UNION over the K3 triple store (operators/bgp.bgp_union):
     month-end 'error' events (with timestamp) ∪ all 'signup' events
@@ -1875,6 +1915,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         vocab_build, sample_exact, dup_spans, dup_span_removal,
         dedup_neardup_keep, unigram_quality, sample_stratified,
         hll_token_distinct, cms_hot_tokens, quantile_doclen,
-        bloom_semijoin, dedup_prefix_pairs,
+        bloom_semijoin, dedup_prefix_pairs, graph_ppr, rollup_stats,
     ]
 }

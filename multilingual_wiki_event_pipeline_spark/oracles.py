@@ -2118,6 +2118,68 @@ EXTRA_ORACLES["dedup_prefix_pairs"] = """
 """
 
 
+def _ppr_sql(n_iters: int = 5, scale: int = 10**12) -> str:
+    """Unrolled-CTE twin of graph.personalized_pagerank: same graph as
+    _pagerank_sql, seeds = nation-0 customers, teleport mass CASE-gated
+    to the seed flag — all BIGINT // arithmetic, bit-for-bit."""
+    base = (f"(sf.s * 15 * ({scale} // (SELECT n_seeds FROM ns))) // 100")
+    iters = ",\n".join(
+        f"""
+        r{i} AS (
+          SELECT sf.node,
+                 CAST({base} + (85 * COALESCE(m.in_mass, 0)) // 100
+                      AS BIGINT) AS rank_e12
+          FROM sflag sf LEFT JOIN (
+            SELECT e.dst, SUM(r.rank_e12 // e.outdeg) AS in_mass
+            FROM e JOIN r{i - 1} r ON r.node = e.src GROUP BY e.dst
+          ) m ON m.dst = sf.node
+        )"""
+        for i in range(1, n_iters + 1)
+    )
+    return f"""
+        WITH pairs AS (
+          SELECT DISTINCT concat('c', CAST(o_custkey AS VARCHAR)) AS src,
+                          concat('s', CAST(l_suppkey AS VARCHAR)) AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        edges AS (SELECT src, dst FROM pairs
+                  UNION ALL
+                  SELECT dst, src FROM pairs),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+                FROM edges GROUP BY src),
+        e AS (SELECT edges.src, edges.dst, deg.outdeg
+              FROM edges JOIN deg USING (src)),
+        nodes AS (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM edges
+                   UNION ALL SELECT dst FROM edges)),
+        seeds AS (SELECT DISTINCT concat('c', CAST(c_custkey AS VARCHAR))
+                    AS node
+                  FROM customer WHERE c_nationkey = 0),
+        sflag AS (SELECT n.node,
+                         CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS s
+                  FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+        ns AS (SELECT CAST(SUM(s) AS BIGINT) AS n_seeds FROM sflag),
+        r0 AS (SELECT node,
+                      CAST(s * ({scale} // (SELECT n_seeds FROM ns))
+                           AS BIGINT) AS rank_e12
+               FROM sflag),
+        {iters}
+        SELECT node, rank_e12 FROM r{n_iters}
+    """
+
+
+EXTRA_ORACLES["graph_ppr"] = _ppr_sql()
+
+
+# Grouping-sets twin: DuckDB GROUP BY ROLLUP NULL-fills subtotal rows
+# exactly like Spark's rollup().
+EXTRA_ORACLES["rollup_stats"] = """
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(list_filter(string_split(text, ' '),
+                                    x -> x <> ''))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+
 def flagship_oracle() -> dict[str, str]:
     """kg_pipeline_triples oracle over the fixed corpus — generated lazily
     so importing this module stays side-effect free until SQL is requested."""

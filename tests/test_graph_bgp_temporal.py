@@ -988,3 +988,44 @@ def test_asof_keeps_all_left_columns_and_rows(asof_frames):
     )
     assert out.count() == left.count()
     assert set(out.columns) == {"probe_id", "k", "t", "extra", "asof"}
+
+
+def _ppr_dict(spark, edges, seeds, n_iters):
+    e = spark.createDataFrame(edges, "src string, dst string")
+    s = spark.createDataFrame([(x,) for x in seeds], "node string")
+    return {
+        r["node"]: r["rank_e12"]
+        for r in graph.personalized_pagerank(e, s, n_iters=n_iters).collect()
+    }
+
+
+def test_ppr_one_iteration_hand_computed(spark):
+    # a -> b, b -> a, c -> a; seed = {a}: all initial mass on a
+    ranks = _ppr_dict(
+        spark, [("a", "b"), ("b", "a"), ("c", "a")], ["a"], n_iters=1)
+    S = graph.SCALE
+    # r0: a=S, b=0, c=0. round 1: a gets base + 85% of (b->a 0 + c->a 0);
+    # b gets 85% of a's full mass; c gets nothing (non-seed, no in-edge)
+    assert ranks["a"] == (15 * S) // 100
+    assert ranks["b"] == (85 * S) // 100
+    assert ranks["c"] == 0
+
+
+def test_ppr_proximity_orders_by_distance_from_seed(spark):
+    # chain seeded at one end. A path is bipartite, so synchronous
+    # iteration oscillates between the two parity classes — the robust
+    # invariant at finite rounds is decay WITHIN a parity class (the
+    # full ordering only holds at the stationary limit)
+    chain = [("n0", "n1"), ("n1", "n2"), ("n2", "n3"), ("n3", "n4")]
+    edges = chain + [(b, a) for a, b in chain]
+    ranks = _ppr_dict(spark, edges, ["n0"], n_iters=6)
+    assert ranks["n0"] > ranks["n2"] > ranks["n4"]   # even distances
+    assert ranks["n1"] > ranks["n3"]                 # odd distances
+
+
+def test_ppr_seeds_outside_graph_ignored(spark):
+    ranks = _ppr_dict(spark, [("a", "b"), ("b", "a")], ["a", "ghost"],
+                      n_iters=2)
+    # only 'a' survives the semi-join: teleport unit is SCALE div 1
+    assert set(ranks) == {"a", "b"}
+    assert ranks["a"] > ranks["b"] > 0

@@ -37,7 +37,7 @@ AUDITED = [
     "vocab_build", "sample_exact", "dup_spans", "dup_span_removal",
     "unigram_quality", "sample_stratified", "hll_token_distinct",
     "cms_hot_tokens", "quantile_doclen", "bloom_semijoin",
-    "dedup_prefix_pairs",
+    "dedup_prefix_pairs", "rollup_stats",
 ]
 
 CHECKS = {
@@ -134,6 +134,9 @@ FORBIDDEN_PER = {
     # bloom probe joins the tiny word table broadcast; a sort-merge here
     # would mean the fact side shuffled for a <=128-row filter
     "bloom_semijoin": ["CartesianProduct", "SortMergeJoin"],
+    # grouping sets must expand inside ONE aggregate — a Union node would
+    # mean the three-scan self-union came back
+    "rollup_stats": ["Union", "CartesianProduct"],
 }
 
 FORBIDDEN = re.compile(r"BatchEvalPython")  # row-at-a-time Python UDF
