@@ -1346,6 +1346,28 @@ def rollup_stats(spark, sf_dir):
     )
 
 
+PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def pivot_lang_matrix(spark, sf_dir):
+    """Pivot (the reshape family): source × language doc-count matrix via
+    groupBy(source).pivot(lang, [explicit values]).count() — the explicit
+    value list keeps the schema static (no extra distinct-scan job) and
+    matches the oracle's conditional-aggregation spelling column for
+    column. The inverse unpivot/melt roundtrip is pinned by unit test."""
+    d = _t(spark, sf_dir, "documents")
+    p = (
+        d.groupBy("source")
+        .pivot("lang", PIVOT_LANGS)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "source",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+          for c in PIVOT_LANGS],
+    )
+
+
 def sparql_union(spark, sf_dir):
     """SPARQL UNION over the K3 triple store (operators/bgp.bgp_union):
     month-end 'error' events (with timestamp) ∪ all 'signup' events
@@ -1916,5 +1938,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         dedup_neardup_keep, unigram_quality, sample_stratified,
         hll_token_distinct, cms_hot_tokens, quantile_doclen,
         bloom_semijoin, dedup_prefix_pairs, graph_ppr, rollup_stats,
+        pivot_lang_matrix,
     ]
 }

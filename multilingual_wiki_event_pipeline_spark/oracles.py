@@ -2180,6 +2180,25 @@ EXTRA_ORACLES["rollup_stats"] = """
 """
 
 
+def _pivot_sql() -> str:
+    """Conditional-aggregation twin of the pivot entry — generated from
+    the same PIVOT_LANGS list so the column set matches by construction."""
+    from .catalog import PIVOT_LANGS
+
+    cols = ",\n           ".join(
+        f"CAST(COUNT(*) FILTER (lang = '{v}') AS BIGINT) AS \"{v}\""
+        for v in PIVOT_LANGS
+    )
+    return f"""
+    SELECT source,
+           {cols}
+    FROM documents GROUP BY source
+"""
+
+
+EXTRA_ORACLES["pivot_lang_matrix"] = _pivot_sql()
+
+
 def flagship_oracle() -> dict[str, str]:
     """kg_pipeline_triples oracle over the fixed corpus — generated lazily
     so importing this module stays side-effect free until SQL is requested."""

@@ -187,3 +187,31 @@ def test_bloom_probe_null_keys_fail_closed(spark):
     assert out == {"a": True, None: False}
     r = bloom.bloom_semijoin_report(facts, "fk", dim, "dk").collect()[0]
     assert (r["n_fact"], r["n_pass"], r["n_member"]) == (2, 1, 1)
+
+
+def test_pivot_unpivot_roundtrip(spark):
+    # the reshape pair: unpivot(pivot(x)) recovers the long-form counts
+    import os
+
+    import pytest as _pytest
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        _pytest.skip("driver testdata absent")
+    from multilingual_wiki_event_pipeline_spark.catalog import (
+        PIVOT_LANGS, pivot_lang_matrix,
+    )
+    from pyspark.sql import functions as F
+
+    wide = pivot_lang_matrix(spark, sf)
+    long = (
+        wide.unpivot("source", PIVOT_LANGS, "lang", "n_docs")
+        .filter(F.col("n_docs") > 0)
+    )
+    direct = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    assert sorted(map(tuple, long.collect())) == \
+        sorted(map(tuple, direct.collect()))

@@ -37,7 +37,7 @@ AUDITED = [
     "vocab_build", "sample_exact", "dup_spans", "dup_span_removal",
     "unigram_quality", "sample_stratified", "hll_token_distinct",
     "cms_hot_tokens", "quantile_doclen", "bloom_semijoin",
-    "dedup_prefix_pairs", "rollup_stats",
+    "dedup_prefix_pairs", "rollup_stats", "pivot_lang_matrix",
 ]
 
 CHECKS = {
