@@ -1368,6 +1368,26 @@ def pivot_lang_matrix(spark, sf_dir):
     )
 
 
+def zorder_layout(spark, sf_dir):
+    """Z-order layout keys (functions/layout.morton_interleave): the
+    Morton key over (c_nationkey, floor(c_acctbal) bucketed to 16 bits)
+    per customer — the Delta/Iceberg OPTIMIZE-ZORDER clustering key that
+    lets min/max file stats prune BOTH dimensions of a range-partitioned
+    layout. Pure unrolled bit arithmetic; the oracle recomputes the
+    identical interleave, so keys match bit-for-bit (the reproducibility
+    a layout key needs or compaction re-clusters forever)."""
+    from .functions.layout import morton_interleave
+
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        morton_interleave(
+            F.col("c_nationkey"),
+            F.floor(F.col("c_acctbal")).cast("long"),
+        ).alias("zkey"),
+    )
+
+
 def sparql_union(spark, sf_dir):
     """SPARQL UNION over the K3 triple store (operators/bgp.bgp_union):
     month-end 'error' events (with timestamp) ∪ all 'signup' events
@@ -1938,6 +1958,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         dedup_neardup_keep, unigram_quality, sample_stratified,
         hll_token_distinct, cms_hot_tokens, quantile_doclen,
         bloom_semijoin, dedup_prefix_pairs, graph_ppr, rollup_stats,
-        pivot_lang_matrix,
+        pivot_lang_matrix, zorder_layout,
     ]
 }

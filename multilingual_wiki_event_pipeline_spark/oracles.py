@@ -2199,6 +2199,27 @@ def _pivot_sql() -> str:
 EXTRA_ORACLES["pivot_lang_matrix"] = _pivot_sql()
 
 
+def _zorder_sql(bits: int = 16) -> str:
+    """Unrolled Morton-interleave twin. DuckDB's % keeps the sign, so the
+    mask mirrors Spark's pmod as ((v % m) + m) % m."""
+    m = 1 << bits
+    terms = " + ".join(
+        f"(((x >> {j}) & 1) << {2 * j}) + (((y >> {j}) & 1) << {2 * j + 1})"
+        for j in range(bits)
+    )
+    return f"""
+    WITH d AS (
+      SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+             ((CAST(c_nationkey AS BIGINT) % {m}) + {m}) % {m} AS x,
+             ((CAST(FLOOR(c_acctbal) AS BIGINT) % {m}) + {m}) % {m} AS y
+      FROM customer)
+    SELECT c_custkey, CAST({terms} AS BIGINT) AS zkey FROM d
+"""
+
+
+EXTRA_ORACLES["zorder_layout"] = _zorder_sql()
+
+
 def flagship_oracle() -> dict[str, str]:
     """kg_pipeline_triples oracle over the fixed corpus — generated lazily
     so importing this module stays side-effect free until SQL is requested."""

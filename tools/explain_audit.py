@@ -38,6 +38,7 @@ AUDITED = [
     "unigram_quality", "sample_stratified", "hll_token_distinct",
     "cms_hot_tokens", "quantile_doclen", "bloom_semijoin",
     "dedup_prefix_pairs", "rollup_stats", "pivot_lang_matrix",
+    "zorder_layout",
 ]
 
 CHECKS = {
@@ -137,6 +138,9 @@ FORBIDDEN_PER = {
     # grouping sets must expand inside ONE aggregate — a Union node would
     # mean the three-scan self-union came back
     "rollup_stats": ["Union", "CartesianProduct"],
+    # the layout key is straight-line per-row arithmetic — any Exchange
+    # would mean the key computation started shuffling
+    "zorder_layout": ["Exchange", "CartesianProduct"],
 }
 
 FORBIDDEN = re.compile(r"BatchEvalPython")  # row-at-a-time Python UDF
