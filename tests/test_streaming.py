@@ -519,3 +519,40 @@ def test_sparql_over_streamed_store(spark, corpus_dir, tmp_path):
     assert sorted((r.s, r.o) for r in got) == want and want
     assert sparql_query(store, f"ASK {{ ?s <{pred}> ?o }}") is True
     assert sparql_query(store, "ASK { ?s <urn:no-such> ?o }") is False
+
+
+def test_streaming_hll_register_log_is_batching_invariant(
+        spark, corpus_dir, tmp_path):
+    """The distinct-token estimate folded from per-batch register appends
+    equals the whole-corpus sketch estimate, no matter how the stream was
+    batched — and a replayed batch changes nothing (max is idempotent)."""
+    from pyspark.sql import functions as F
+
+    from multilingual_wiki_event_pipeline_spark.operators.text_analysis import (
+        hll_estimate, hll_registers,
+    )
+    from multilingual_wiki_event_pipeline_spark.streaming import telemetry
+
+    turns = spark.read.parquet(f"{corpus_dir}/transcripts.parquet")
+    toks = turns.select(
+        "role",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != ""))
+         .alias("token"),
+    )
+    out = str(tmp_path / "telemetry")
+    # simulate three micro-batches by conv_id hash + one REPLAY of batch 0
+    for bid in (0, 1, 2, 0):
+        batch = turns.filter(F.crc32(F.col("conv_id")) % 3 == bid % 3)
+        btoks = batch.select(
+            "role",
+            F.explode(F.filter(F.split("text", " "), lambda x: x != ""))
+             .alias("token"),
+        )
+        telemetry.append_batch_registers(btoks, bid, out, "role", "token")
+    streamed = {r["g"]: r["est_distinct"]
+                for r in telemetry.read_distinct_estimate(spark, out)
+                .collect()}
+    whole = {r["g"]: r["est_distinct"]
+             for r in hll_estimate(
+                 hll_registers(toks, "role", "token")).collect()}
+    assert streamed == whole and whole
