@@ -376,9 +376,12 @@ def cms_heavy_hitters(rows: DataFrame, value_col: str, d: int = 4,
         ])
 
     v = F.col(value_col).cast("string")
+    # sample-key columns get a private prefix so a caller's column named
+    # "v" (or any clash with the value alias) cannot collide
     occ = rows.select(
         v.alias("v"),
-        *[F.col(c).cast("string").alias(c) for c in sample_key_cols],
+        *[F.col(c).cast("string").alias(f"__sk_{c}")
+          for c in sample_key_cols],
     )
     pairs = occ.select(
         "v", F.explode(_hash_positions(F.col("v"))).alias("jb"),
@@ -386,7 +389,8 @@ def cms_heavy_hitters(rows: DataFrame, value_col: str, d: int = 4,
     cms = pairs.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cell"))
 
     coin_key = F.concat_ws(
-        ":", F.lit(seed), *[F.col(c) for c in sample_key_cols], F.col("v"))
+        ":", F.lit(seed), *[F.col(f"__sk_{c}") for c in sample_key_cols],
+        F.col("v"))
     thresh = int(min(max(sample_rate, 0.0), 1.0) * 2**32)
     cand = (
         occ.filter(_u32(coin_key) < F.lit(thresh))
