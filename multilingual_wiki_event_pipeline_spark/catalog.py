@@ -1388,6 +1388,26 @@ def zorder_layout(spark, sf_dir):
     )
 
 
+def kmv_lang_overlap(spark, sf_dir):
+    """KMV / theta-sketch set-operation estimates
+    (text_analysis.kmv_overlap, k=16): estimated union size, Jaccard and
+    intersection of the en-vs-de token sets from two 16-hash sketches —
+    the overlap question HLL cannot answer (HLL unions, never
+    intersects). Exact figures computed alongside for the error report;
+    deterministic integer hashes + identical expression trees make the
+    estimates hash-match the DuckDB twin."""
+    from .operators import text_analysis
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != ""))
+         .alias("token"),
+    )
+    return text_analysis.kmv_overlap(toks, "lang", "token", "en", "de",
+                                     k=16)
+
+
 def sparql_union(spark, sf_dir):
     """SPARQL UNION over the K3 triple store (operators/bgp.bgp_union):
     month-end 'error' events (with timestamp) ∪ all 'signup' events
@@ -1958,6 +1978,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         dedup_neardup_keep, unigram_quality, sample_stratified,
         hll_token_distinct, cms_hot_tokens, quantile_doclen,
         bloom_semijoin, dedup_prefix_pairs, graph_ppr, rollup_stats,
-        pivot_lang_matrix, zorder_layout,
+        pivot_lang_matrix, zorder_layout, kmv_lang_overlap,
     ]
 }

@@ -520,3 +520,118 @@ def log2_histogram_quantiles(rows: DataFrame, group_col: str,
              .alias("rel_err"),
         )
     )
+
+
+def kmv_registers(rows: DataFrame, group_col: str, value_col: str,
+                  k: int = 64, n_salt: int = 8) -> DataFrame:
+    """K-minimum-values sketch state (Bar-Yossef et al. RANDOM'02; the
+    theta-sketch family): per group, the k SMALLEST 60-bit md5 hashes of
+    the distinct values — ``(g, h, rank)``. Unlike HLL registers, KMV
+    sketches support SET OPERATIONS: the k smallest of a union's hashes
+    are computable from the two sketches alone, and membership of a
+    union-sketch hash in each side's sketch estimates the intersection
+    (see :func:`kmv_overlap`).
+
+    Skew-safe k-smallest per group, same two-phase salt as
+    training_prep.sample_stratified: phase 1 ranks within
+    ``(g, h % n_salt)`` so a hot group splits across n_salt window
+    partitions, phase 2 re-ranks the ≤ n_salt·k survivors. NULL values
+    are not set elements (filtered, as in hll_registers).
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError("require k >= 2")
+    h60 = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    hashed = (
+        rows.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("g"), h60.alias("h"))
+        .distinct()
+    )
+    w1 = Window.partitionBy("g", F.pmod(F.col("h"), F.lit(n_salt))).orderBy("h")
+    w2 = Window.partitionBy("g").orderBy("h")
+    return (
+        hashed.withColumn("rank", F.row_number().over(w1))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def kmv_overlap(rows: DataFrame, group_col: str, value_col: str,
+                group_a: str, group_b: str, k: int = 64) -> DataFrame:
+    """Set-operation cardinality estimates between two groups' value sets
+    from their KMV sketches alone — the overlap question HLL cannot
+    answer (HLL unions but never intersects): estimated union size,
+    Jaccard, and intersection size, plus the exact figures for the error
+    report (drop them at scale; the sketches are the point).
+
+    Estimators (all deterministic — integer hashes, one division, one
+    multiplication, identical expression trees in the DuckDB twin):
+    the union sketch is the k smallest of the two sketches' combined
+    hashes; with fewer than k combined distinct hashes the sketch holds
+    the whole union and every figure is exact; otherwise
+    ``union_est = (k-1) · 2^60 / h_(k)`` and ``jaccard_est = |unionK ∩
+    A_K ∩ B_K| / k`` (Bar-Yossef et al.; the standard theta-sketch
+    intersection), ``inter_est = jaccard_est · union_est``.
+
+    Output: one row — ``(k_used, union_est, jaccard_est, inter_est,
+    exact_union, exact_inter)``.
+    """
+    both = rows.filter(F.col(group_col).isin(group_a, group_b))
+    regs = kmv_registers(both, group_col, value_col, k=k)
+    a = regs.filter(F.col("g") == group_a).select("h")
+    b = regs.filter(F.col("g") == group_b).select("h")
+    merged = a.unionByName(b).distinct()
+    from pyspark.sql import Window
+
+    union_k = (
+        merged.withColumn(
+            "rank", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rank") <= k)
+    )
+    flagged = (
+        union_k
+        .join(a.withColumn("__a", F.lit(1)), "h", "left")
+        .join(b.withColumn("__b", F.lit(1)), "h", "left")
+    )
+    stats = flagged.agg(
+        F.count(F.lit(1)).alias("n_uk"),
+        F.max("h").alias("h_k"),
+        F.sum((F.coalesce(F.col("__a"), F.lit(0))
+               * F.coalesce(F.col("__b"), F.lit(0))).cast("long"))
+         .alias("n_both"),
+    )
+    h60 = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    vals = (
+        rows.filter(F.col(group_col).isin(group_a, group_b))
+        .filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("g"), h60.alias("h"))
+        .distinct()
+    )
+    exact = vals.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_groups")
+    ).agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum((F.col("n_groups") == 2).cast("long")).alias("exact_inter"),
+    )
+    full = F.lit(float(1 << 60))
+    union_est = F.when(
+        F.col("n_uk") < k, F.col("n_uk").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * full / F.col("h_k"))
+    jacc = F.col("n_both").cast("double") / F.col("n_uk")
+    return (
+        stats.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("n_uk").cast("long").alias("k_used"),
+            F.round(union_est, 6).alias("union_est"),
+            F.round(jacc, 6).alias("jaccard_est"),
+            F.round(jacc * union_est, 6).alias("inter_est"),
+            F.col("exact_union").cast("long").alias("exact_union"),
+            F.col("exact_inter").cast("long").alias("exact_inter"),
+        )
+    )

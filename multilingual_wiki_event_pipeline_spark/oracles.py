@@ -2220,6 +2220,57 @@ def _zorder_sql(bits: int = 16) -> str:
 EXTRA_ORACLES["zorder_layout"] = _zorder_sql()
 
 
+def _kmv_sql(k: int = 16, ga: str = "en", gb: str = "de") -> str:
+    """KMV overlap twin — identical sketch construction (k smallest
+    60-bit md5 hashes per group) and identical estimator expression
+    trees, so the float estimates match bit-for-bit."""
+    full = float(1 << 60)
+    est = (f"CASE WHEN n_uk < {k} THEN CAST(n_uk AS DOUBLE) "
+           f"ELSE {float(k - 1)!r} * {full!r} / h_k END")
+    return f"""
+    WITH tok AS (
+      SELECT g, token,
+             ('0x' || substring(md5(token), 1, 15))::BIGINT AS h
+      FROM (
+        SELECT lang AS g, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE lang IN ('{ga}', '{gb}')
+      ) WHERE token <> ''),
+    dvals AS (SELECT DISTINCT g, h FROM tok),
+    regs AS (
+      SELECT g, h FROM (
+        SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS r
+        FROM dvals
+      ) WHERE r <= {k}),
+    a AS (SELECT h FROM regs WHERE g = '{ga}'),
+    b AS (SELECT h FROM regs WHERE g = '{gb}'),
+    merged AS (SELECT DISTINCT h FROM
+               (SELECT h FROM a UNION ALL SELECT h FROM b)),
+    uk AS (SELECT h FROM (
+             SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r FROM merged
+           ) WHERE r <= {k}),
+    st AS (
+      SELECT COUNT(*) AS n_uk, MAX(uk.h) AS h_k,
+             SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                      THEN 1 ELSE 0 END) AS n_both
+      FROM uk LEFT JOIN a ON a.h = uk.h LEFT JOIN b ON b.h = uk.h),
+    ex AS (
+      SELECT COUNT(*) AS exact_union,
+             SUM(CASE WHEN ng = 2 THEN 1 ELSE 0 END) AS exact_inter
+      FROM (SELECT h, COUNT(*) AS ng FROM dvals GROUP BY h))
+    SELECT CAST(n_uk AS BIGINT) AS k_used,
+           ROUND({est}, 6) AS union_est,
+           ROUND(CAST(n_both AS DOUBLE) / n_uk, 6) AS jaccard_est,
+           ROUND((CAST(n_both AS DOUBLE) / n_uk) * ({est}), 6)
+             AS inter_est,
+           CAST(exact_union AS BIGINT) AS exact_union,
+           CAST(exact_inter AS BIGINT) AS exact_inter
+    FROM st CROSS JOIN ex
+"""
+
+
+EXTRA_ORACLES["kmv_lang_overlap"] = _kmv_sql()
+
+
 def flagship_oracle() -> dict[str, str]:
     """kg_pipeline_triples oracle over the fixed corpus — generated lazily
     so importing this module stays side-effect free until SQL is requested."""

@@ -271,3 +271,32 @@ def test_morton_locality_beats_lexicographic(spark):
               z.orderBy("k").select("x", "y").collect()]
     lex_rows = sorted(rows)
     assert mean_y_span(z_rows) < mean_y_span(lex_rows)
+
+
+def test_kmv_overlap_small_sets_exact_branch(spark):
+    # fewer than k combined distinct values: the sketch IS the union and
+    # every figure is exact
+    rows = ([("A", f"x{i}") for i in range(10)]
+            + [("B", f"x{i}") for i in range(5, 15)])
+    df = spark.createDataFrame(rows, "g string, v string")
+    r = text_analysis.kmv_overlap(df, "g", "v", "A", "B", k=64).collect()[0]
+    assert r["exact_union"] == 15 and r["exact_inter"] == 5
+    assert r["union_est"] == 15.0
+    assert r["inter_est"] == round(5 / 15 * 15, 6) == 5.0
+
+
+def test_kmv_overlap_estimation_branch_envelope(spark):
+    # 600 distinct in A, 600 in B, 200 shared -> union 1000, jacc 0.2;
+    # k=64 KMV: std error ~ 1/sqrt(k) ~ 12.5%, allow generous slack
+    a = [("A", f"s{i}") for i in range(200)] + \
+        [("A", f"a{i}") for i in range(400)]
+    b = [("B", f"s{i}") for i in range(200)] + \
+        [("B", f"b{i}") for i in range(400)]
+    df = spark.createDataFrame(a + b, "g string, v string")
+    r = text_analysis.kmv_overlap(df, "g", "v", "A", "B", k=64).collect()[0]
+    assert r["k_used"] == 64
+    assert r["exact_union"] == 1000 and r["exact_inter"] == 200
+    assert 0.55 * 1000 < r["union_est"] < 1.65 * 1000
+    assert 0.0 < r["jaccard_est"] < 0.5
+    with pytest.raises(ValueError):
+        text_analysis.kmv_registers(df, "g", "v", k=1)
