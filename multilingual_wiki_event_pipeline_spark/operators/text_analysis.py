@@ -202,6 +202,17 @@ def build_vocab(documents: DataFrame, min_count: int = 1) -> DataFrame:
     )
 
 
+def _h60(value_col: str) -> Column:
+    """The 60-bit md5 hash every sketch in this module keys on: first 15
+    hex chars of md5(value::binary), base-16 -> BIGINT. The DuckDB oracles
+    mirror this expression bit-for-bit — hll/kmv/overlap must all share
+    ONE definition or an edit to one silently desynchronizes the others
+    from their oracles."""
+    return F.conv(
+        F.substring(F.md5(F.col(value_col).cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+
+
 def hll_distinct(rows: DataFrame, group_col: str, value_col: str,
                  p: int = 6) -> DataFrame:
     """HyperLogLog distinct-count sketch (Flajolet et al. 2007), built
@@ -267,9 +278,7 @@ def hll_registers(rows: DataFrame, group_col: str, value_col: str,
     the data twice (and why a resumable pipeline can checkpoint it)."""
     if p != 6:
         raise ValueError("hll: only p=6 (m=64) is supported")
-    h60 = F.conv(
-        F.substring(F.md5(F.col(value_col).cast("binary")), 1, 15), 16, 10
-    ).cast("long")
+    h60 = _h60(value_col)
     # NULL values are not elements of the set (countDistinct ignores
     # them); without this filter a NULL would fabricate a (g, NULL, NULL)
     # register that inflates n_occ without contributing to the sum
@@ -538,18 +547,23 @@ def kmv_registers(rows: DataFrame, group_col: str, value_col: str,
     partitions, phase 2 re-ranks the ≤ n_salt·k survivors. NULL values
     are not set elements (filtered, as in hll_registers).
     """
-    from pyspark.sql import Window
-
     if k < 2:
         raise ValueError("require k >= 2")
-    h60 = F.conv(
-        F.substring(F.md5(F.col(value_col).cast("binary")), 1, 15), 16, 10
-    ).cast("long")
     hashed = (
         rows.filter(F.col(value_col).isNotNull())
-        .select(F.col(group_col).alias("g"), h60.alias("h"))
+        .select(F.col(group_col).alias("g"), _h60(value_col).alias("h"))
         .distinct()
     )
+    return _kmv_topk(hashed, k, n_salt)
+
+
+def _kmv_topk(hashed: DataFrame, k: int, n_salt: int) -> DataFrame:
+    """k smallest ``h`` per ``g`` of a pre-hashed distinct ``(g, h)``
+    frame — the salted two-phase rank of :func:`kmv_registers`, split out
+    so callers that already hold the hashed frame (kmv_overlap) reuse it
+    instead of rebuilding the scan + distinct."""
+    from pyspark.sql import Window
+
     w1 = Window.partitionBy("g", F.pmod(F.col("h"), F.lit(n_salt))).orderBy("h")
     w2 = Window.partitionBy("g").orderBy("h")
     return (
@@ -580,8 +594,15 @@ def kmv_overlap(rows: DataFrame, group_col: str, value_col: str,
     Output: one row — ``(k_used, union_est, jaccard_est, inter_est,
     exact_union, exact_inter)``.
     """
-    both = rows.filter(F.col(group_col).isin(group_a, group_b))
-    regs = kmv_registers(both, group_col, value_col, k=k)
+    # ONE scan + hash + distinct serves both the sketches and the exact
+    # audit figures; ReuseExchange dedups the shared distinct in the plan.
+    vals = (
+        rows.filter(F.col(group_col).isin(group_a, group_b))
+        .filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("g"), _h60(value_col).alias("h"))
+        .distinct()
+    )
+    regs = _kmv_topk(vals, k, n_salt=8)
     a = regs.filter(F.col("g") == group_a).select("h")
     b = regs.filter(F.col("g") == group_b).select("h")
     merged = a.unionByName(b).distinct()
@@ -603,15 +624,6 @@ def kmv_overlap(rows: DataFrame, group_col: str, value_col: str,
         F.sum((F.coalesce(F.col("__a"), F.lit(0))
                * F.coalesce(F.col("__b"), F.lit(0))).cast("long"))
          .alias("n_both"),
-    )
-    h60 = F.conv(
-        F.substring(F.md5(F.col(value_col).cast("binary")), 1, 15), 16, 10
-    ).cast("long")
-    vals = (
-        rows.filter(F.col(group_col).isin(group_a, group_b))
-        .filter(F.col(value_col).isNotNull())
-        .select(F.col(group_col).alias("g"), h60.alias("h"))
-        .distinct()
     )
     exact = vals.groupBy("h").agg(
         F.count(F.lit(1)).alias("n_groups")

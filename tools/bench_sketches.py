@@ -130,7 +130,11 @@ def main() -> None:
             r["wall_sec"] for r in rs
         ]
         out["pairs"][name] = {"best_sec": min(accepted), "reps": rs}
+    # non-default n_rows or vocab get their own file — a 1M-row probe must
+    # not clobber the committed 20M-row baseline BENCH/BASELINE.md cites
     suffix = "" if vocab == 65536 else f"_v{vocab}"
+    if n_rows != 20_000_000:
+        suffix += f"_n{n_rows}"
     with open(os.path.join(REPO, "BENCH",
                            f"sketch_scale{suffix}.json"), "w") as f:
         json.dump(out, f, indent=1)
