@@ -1962,6 +1962,74 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # graph_*, retrieval, curation, training-prep, dup_spans) were born here
 # (the 50-row window was already full when they landed); same CI
 # hash-gate as the rotated entries.
+def mixture_temperature_lang(spark, sf_dir):
+    """Temperature-flattened mixture sampling over the Zipf-skewed lang
+    column (training_prep.mixture_temperature, alpha=0.5, target 300):
+    per-group rates derived from the corpus's own counts — n_g^alpha
+    share, capped at keep-everything — then the shared md5 coin. The
+    sf0.01 lang head (en=218 vs ~70 tails) makes the flattening visible:
+    en's rate lands well below the tail langs'. Every rate figure is
+    pinned to exact integers (micro-unit weights, e9 rates, BIGINT coin
+    compare), so the kept set hash-matches the oracle exactly."""
+    from .operators import training_prep
+
+    return training_prep.mixture_temperature(
+        _t(spark, sf_dir, "documents"), alpha=0.5, target_total=300,
+        group_col="lang", seed=MIXTURE_SEED,
+    )
+
+
+def quality_classifier(spark, sf_dir):
+    """Model-based quality filtering as relational inference
+    (curation.classifier_score): a fastText-style linear bag-of-words
+    head applied as a broadcast weight-table join + exact-integer
+    aggregation — model application at 100 TB is a JOIN, not a UDF. The
+    stand-in model here derives one micro-unit weight in [-1e6, 1e6] per
+    vocabulary token from the shared md5_u32 coin (a real pipeline passes
+    its trained ~1e6-row weight table; the plan is identical)."""
+    from .functions.hashing import md5_u32
+    from .operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = docs.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("token")
+    ).distinct()
+    weights = vocab.select(
+        "token",
+        (md5_u32(F.concat(F.lit("qw:"), F.col("token"))) % 2000001
+         - 1000000).alias("w_micro"),
+    )
+    return curation.classifier_score(docs, weights)
+
+
+def bigram_quality(spark, sf_dir):
+    """Bigram-LM perplexity scoring (curation.bigram_logprob): mean
+    negative log of P(w_i | w_{i-1}) under the corpus's own transition
+    counts — the conditional upgrade of unigram_quality (a shuffled
+    document scores the same under unigrams; not under bigrams). Same
+    integer micro-nat contract, so the DuckDB twin hash-matches."""
+    from .operators import curation
+
+    return curation.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def semantic_dedup_keep(spark, sf_dir):
+    """SemDeDup-style semantic near-duplicate removal
+    (similarity.semantic_dedup, Abbas et al. 2023): k-means cells from
+    the deterministic Lloyd trainer confine the quadratic pair check to
+    within-cell self-joins (~N^2/k total work), then keep-min-id drops
+    every vector with a smaller-id same-cell neighbor above the cosine
+    threshold. Knobs sized to the 500-vector sf0.01 driver corpus (k=8,
+    2 Lloyd rounds); threshold 0.3 ~ 2.4 sigma of the isotropic driver
+    embeddings' cosine distribution, so a nontrivial fraction drops. The
+    oracle unrolls the SAME Lloyd rounds it shares with ann_ivf."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, k=8, n_iters=2, round_to=9)
+    return similarity.semantic_dedup(emb, cents, threshold=0.3)
+
+
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     f.__name__: f
     for f in [
@@ -1979,5 +2047,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         hll_token_distinct, cms_hot_tokens, quantile_doclen,
         bloom_semijoin, dedup_prefix_pairs, graph_ppr, rollup_stats,
         pivot_lang_matrix, zorder_layout, kmv_lang_overlap,
+        quality_classifier, bigram_quality, semantic_dedup_keep,
+        mixture_temperature_lang,
     ]
 }

@@ -233,3 +233,127 @@ def unigram_logprob(documents: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+def classifier_score(documents: DataFrame, weights: DataFrame,
+                     text_col: str = "text",
+                     bias_micro: int = 0) -> DataFrame:
+    """Model-based quality filtering as RELATIONAL INFERENCE: score each
+    document under a linear bag-of-words classifier (the fastText-style
+    quality model DCLM / FineWeb-Edu pipelines gate pretraining data
+    with), expressed entirely as a broadcast join + aggregation — model
+    application at 100 TB is a JOIN against the weight table, not a UDF.
+
+    ``weights`` is the trained model: ``(token, w_micro BIGINT)`` — one
+    weight per vocabulary token in integer MICRO-units (exact integer
+    arithmetic end-to-end; the only division is the final mean, so the
+    DuckDB twin hash-matches bit-for-bit). Out-of-vocabulary tokens score
+    0 (left join + coalesce), the standard hashing-trick fallback.
+
+    Score = (bias + sum over token occurrences of w_micro) / n_tokens —
+    the mean-of-feature-weights logit of a fastText linear head;
+    ``label = avg_logit_micro > 0``.
+
+    Output: ``(doc_id, n_tokens, logit_sum_micro, avg_logit, label)``.
+
+    Scale shape: explode is map-side; per-(doc, token) counts collapse
+    occurrences BEFORE the weight join (stop-word skew reaches the join
+    as one row per doc per token); a real quality model has 1e5-1e6 rows
+    -> broadcast; the final agg is partial+final on doc_id. No UDF, no
+    driver round-trip, whole-stage codegen throughout.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(text_col, " "), lambda x: x != "")
+        ).alias("token"),
+    )
+    per_doc = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("c"))
+    w = weights.select("token", F.col("w_micro").cast("long").alias("w"))
+    return (
+        per_doc.join(F.broadcast(w), "token", "left")
+        .select("doc_id", "c", F.coalesce("w", F.lit(0)).alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            (F.sum(F.col("c") * F.col("w")) + F.lit(bias_micro))
+            .alias("logit_sum_micro"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("logit_sum_micro").cast("long").alias("logit_sum_micro"),
+            F.round(
+                F.col("logit_sum_micro") / F.col("n_tokens") / F.lit(1e6), 6
+            ).alias("avg_logit"),
+            (F.col("logit_sum_micro") > 0).alias("label"),
+        )
+    )
+
+
+def bigram_logprob(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram-LM perplexity scoring — the conditional upgrade of
+    :func:`unigram_logprob` (CCNet's actual scorer is an n-gram LM;
+    the bigram over the corpus's own transition counts is its
+    training-free, engine-portable floor): score each document by the
+    mean negative log of ``P(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1}
+    as context)``. Low = typical transitions, high = incoherent word
+    salad — unigram scoring cannot tell a shuffled document from the
+    original; this can.
+
+    Unsmoothed MLE is total because every scored bigram exists in the
+    count table (the corpus scores itself); documents with fewer than two
+    tokens have no transitions and are dropped (their fluency signal is
+    undefined, and emitting 0-bigram rows would divide by zero).
+
+    Output: ``(doc_id, n_bigrams, sum_nll_micro, avg_nll)`` — per-bigram
+    nll in integer micro-nats, the per-doc sum exact over integers (same
+    cross-engine determinism contract as unigram_logprob: the only float
+    ops are one IEEE division, one ``ln``, one final division of exact
+    integers — no float summation order anywhere).
+
+    Scale shape: the bigram list is built per-row with array expressions
+    (zero-shuffle map work); per-(doc, bigram) counts collapse repeats
+    before the two count joins; the bigram vocabulary and the context
+    totals are each one partial+final agg. The context join keys on the
+    FIRST token only — Zipf-skewed (``the ...``), so one row per doc per
+    bigram (not per occurrence) reaches it and AQE's skew split covers
+    the rest. No UDF.
+    """
+    arr = F.filter(F.split(text_col, " "), lambda x: x != "")
+    docs = documents.select("doc_id", arr.alias("arr")).filter(
+        F.size("arr") >= 2)
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(slice(arr, 1, size(arr) - 1), "
+                   "(x, i) -> struct(x AS w1, element_at(arr, i + 2) AS w2))")
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    per_doc = bigrams.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c"))
+    pair_cnt = per_doc.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
+    ctx_cnt = pair_cnt.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    nll_micro = F.round(
+        F.log(F.col("c1").cast("double") / F.col("c12").cast("double"))
+        * F.lit(1e6)
+    ).cast("long")
+    return (
+        per_doc.join(pair_cnt, ["w1", "w2"])
+        .join(ctx_cnt, "w1")
+        .select("doc_id", "c", nll_micro.alias("nll_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("nll_micro")).alias("sum_nll_micro"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("sum_nll_micro").cast("long").alias("sum_nll_micro"),
+            F.round(
+                F.col("sum_nll_micro") / F.col("n_bigrams") / F.lit(1e6), 6
+            ).alias("avg_nll"),
+        )
+    )

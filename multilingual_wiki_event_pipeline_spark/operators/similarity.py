@@ -415,6 +415,57 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 16,
     return cents
 
 
+def semantic_dedup(embeddings: DataFrame, centroids: DataFrame,
+                   threshold: float = 0.3) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate removal (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the IVF coarse
+    quantizer, then drop, WITHIN each cell, every vector that has a
+    same-cell neighbor with cosine >= ``threshold`` and a smaller
+    ``vec_id`` — the deterministic keep-min-id instantiation of the
+    paper's keep-one-per-duplicate-group rule. The rule is pairwise: a
+    vector survives iff NO smaller-id same-cell vector is within the
+    threshold, whether or not that neighbor itself survived. This keeps
+    MORE than a connected-components grouping would (b near c, a near c,
+    a NOT near b: CC folds all three into one group and keeps only a;
+    here b also survives because its only near neighbor has a larger id)
+    — canonicalize_components provides the transitive grouping when
+    that is wanted.
+
+    Output: ``(vec_id, cell, kept)`` for every input vector.
+
+    Scale shape: the quadratic term is confined to cells — the self-join
+    is EQUI on cell, so total pair work is ~N^2/k instead of N^2, and k
+    grows with the corpus (SemDeDup runs ~1e5 clusters at 1e9 docs, which
+    keeps cells at ~1e4 vectors). The vector table shuffles once on cell;
+    skewed cells split under AQE; ``a_id < b_id`` halves the pair output
+    and makes the drop set one DISTINCT over the b side. Cosines are
+    rounded to 6 decimals BEFORE the threshold compare (same cross-engine
+    pin as embed_cosine_neardup).
+    """
+    assigned = assign_cells(embeddings, centroids)
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.round(cosine(F.col("av"), F.col("bv")), 6)
+                >= F.lit(threshold))
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned
+        .join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left")
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cell").cast("int").alias("cell"),
+            F.col("_d").isNull().alias("kept"),
+        )
+    )
+
+
 def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     """Symmetric per-vector int8 scalar quantization — the storage tier
     a 100 TB embedding corpus actually ships (4x smaller than float32,

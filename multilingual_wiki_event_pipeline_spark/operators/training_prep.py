@@ -278,3 +278,65 @@ def sample_stratified(documents: DataFrame, n_per_group: int,
         .filter(F.col("__r") <= n_per_group)
         .select("doc_id", "lang", "source")
     )
+
+
+def mixture_temperature(documents: DataFrame, alpha: float = 0.5,
+                        target_total: int = 1000,
+                        group_col: str = "source",
+                        seed: str = "mix") -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual-pretraining
+    standard: mT5 / XLM-R sample language g with probability proportional
+    to n_g^alpha, alpha < 1 flattening the Zipf head so low-resource
+    groups are not drowned; UniMax is the capped refinement): derive the
+    per-group rate FROM the corpus itself instead of taking a hand-written
+    spec (:func:`mixture_sample` is the fixed-spec sibling).
+
+    Group g's expected OUTPUT share is n_g^alpha / sum_h n_h^alpha, so
+    its per-document keep rate is ``min(1, target_total * n_g^alpha /
+    (sum_h n_h^alpha) / n_g)`` — the cap binds for groups too small to
+    deliver their temperature share (they contribute everything they
+    have; the shortfall is NOT redistributed, matching the simple
+    one-pass semantics a spec author expects).
+
+    Cross-engine determinism: ``pow`` is the one non-correctly-rounded
+    float op either engine runs, so each group weight is pinned to
+    integer micro-units immediately (``round(n^alpha * 1e6)``); the
+    weight total is then an exact integer sum, and the final rate is
+    computed float from exact-integer operands in ONE fixed association
+    (identical expression text in the DuckDB twin — IEEE * and / are
+    correctly rounded, so identical operands + order = identical bits),
+    pinned to integer e9. The keep decision is the shared md5_u32 coin
+    in pure BIGINT arithmetic: ``coin * 1e9 < rate_e9 * 2^32``.
+
+    Output: kept rows' (doc_id, lang, source, rate_e9).
+
+    Scale shape: one partial+final count per group, two tiny broadcast
+    dims (per-group weights, 1-row total), one narrow filtered pass over
+    the corpus — the same join-a-broadcast-rate-dimension plan as
+    mixture_sample, with the spec computed relationally upstream.
+    """
+    counts = documents.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n_g"))
+    w = counts.select(
+        "g", "n_g",
+        F.round(
+            F.pow(F.col("n_g").cast("double"), F.lit(float(alpha)))
+            * F.lit(1e6)
+        ).cast("long").alias("w_micro"),
+    )
+    tot = w.agg(F.sum("w_micro").alias("w_tot"))
+    rate_e9 = F.least(
+        F.lit(10**9),
+        F.round(
+            F.lit(float(target_total)) * F.lit(1e9) * F.col("w_micro")
+            / F.col("w_tot") / F.col("n_g")
+        ).cast("long"),
+    )
+    dim = w.crossJoin(F.broadcast(tot)).select("g", rate_e9.alias("rate_e9"))
+    return (
+        documents.select("doc_id", "lang", "source")
+        .join(F.broadcast(dim), F.col(group_col) == F.col("g"))
+        .filter(_hash_u32(seed) * F.lit(10**9)
+                < F.col("rate_e9") * F.lit(2**32))
+        .select("doc_id", "lang", "source", "rate_e9")
+    )

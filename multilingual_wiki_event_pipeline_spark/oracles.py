@@ -107,17 +107,10 @@ def _cos_of(a: str, b: str) -> str:
             f"sqrt(list_dot_product({b}, {b})))")
 
 
-def _ivf_sql(k: int = 8, n_iters: int = 2, n_probe: int = 2, topk: int = 3,
-             dim: int = 64, round_to: int = 9) -> str:
-    """DuckDB twin of catalog.ann_ivf: the deterministic Lloyd trainer
-    (similarity.kmeans_centroids — first-k-by-vec_id init, fixed
-    iterations, empty cells keep their previous centroid) unrolled into
-    one CTE pair per round, then the IVF assign/probe/topk. Per-cell
-    per-dim means are ROUND()ed to ``round_to`` decimals in BOTH engines
-    (similarity._per_cell_mean round_to) so float summation order cannot
-    leak a ulp into the comparison."""
-    def assign(name: str, cents: str) -> str:
-        return f"""{name} AS (
+def _lloyd_assign(name: str, cents: str) -> str:
+    """One nearest-centroid assignment CTE (ties on lower cell) — the
+    DuckDB twin of similarity.assign_cells."""
+    return f"""{name} AS (
           SELECT vec_id, v, cell FROM (
             SELECT vec_id, v, cell,
                    ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -127,12 +120,23 @@ def _ivf_sql(k: int = 8, n_iters: int = 2, n_probe: int = 2, topk: int = 3,
                   FROM e CROSS JOIN {cents} c)
           ) WHERE rn = 1)"""
 
+
+def _lloyd_ctes(k: int, n_iters: int, dim: int,
+                round_to: int) -> tuple[list[str], str]:
+    """The deterministic Lloyd trainer (similarity.kmeans_centroids —
+    first-k-by-vec_id init, fixed iterations, empty cells keep their
+    previous centroid) unrolled into one CTE pair per round, finished by
+    the trained assignment ``af``. Shared by the ann_ivf and
+    semantic_dedup_keep oracles. Per-cell per-dim means are ROUND()ed to
+    ``round_to`` decimals in BOTH engines (similarity._per_cell_mean
+    round_to) so float summation order cannot leak a ulp into the
+    comparison. Returns (ctes, final_centroid_cte_name)."""
     ctes = [f"""c0 AS (
           SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
                  v AS centroid
           FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))"""]
     for i in range(1, n_iters + 1):
-        ctes.append(assign(f"a{i}", f"c{i - 1}"))
+        ctes.append(_lloyd_assign(f"a{i}", f"c{i - 1}"))
         ctes.append(f"""m{i} AS (
           SELECT cell, list(m ORDER BY pos) AS centroid FROM (
             SELECT cell, p.pos, ROUND(AVG(a.v[p.pos + 1]), {round_to}) AS m
@@ -142,8 +146,15 @@ def _ivf_sql(k: int = 8, n_iters: int = 2, n_probe: int = 2, topk: int = 3,
         ctes.append(f"""c{i} AS (
           SELECT i.cell, COALESCE(m.centroid, i.centroid) AS centroid
           FROM c{i - 1} i LEFT JOIN m{i} m USING (cell))""")
-    final = f"c{n_iters}"
-    ctes.append(assign("af", final))
+    ctes.append(_lloyd_assign("af", f"c{n_iters}"))
+    return ctes, f"c{n_iters}"
+
+
+def _ivf_sql(k: int = 8, n_iters: int = 2, n_probe: int = 2, topk: int = 3,
+             dim: int = 64, round_to: int = 9) -> str:
+    """DuckDB twin of catalog.ann_ivf: the unrolled Lloyd trainer
+    (_lloyd_ctes), then the IVF assign/probe/topk."""
+    ctes, final = _lloyd_ctes(k, n_iters, dim, round_to)
     ctes.append(f"""qc AS (
           SELECT query_id, qv, cell FROM (
             SELECT query_id, qv, cell,
@@ -2269,6 +2280,123 @@ def _kmv_sql(k: int = 16, ga: str = "en", gb: str = "de") -> str:
 
 
 EXTRA_ORACLES["kmv_lang_overlap"] = _kmv_sql()
+
+# Linear-classifier inference twin: the stand-in weight table is derived
+# from the corpus vocabulary with the shared md5_u32 coin; all arithmetic
+# is exact integers until the final mean.
+EXTRA_ORACLES["quality_classifier"] = """
+    WITH tok AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''),
+    per_doc AS (
+      SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token),
+    w AS (
+      SELECT DISTINCT token,
+             ('0x' || substring(md5('qw:' || token), 1, 8))::BIGINT
+               % 2000001 - 1000000 AS w
+      FROM tok),
+    scored AS (
+      SELECT p.doc_id, p.c, COALESCE(w.w, 0) AS w
+      FROM per_doc p LEFT JOIN w USING (token))
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(c * w) AS BIGINT) AS logit_sum_micro,
+           ROUND(SUM(c * w) / SUM(c) / 1e6, 6) AS avg_logit,
+           SUM(c * w) > 0 AS label
+    FROM scored GROUP BY doc_id
+"""
+
+# Bigram-LM twin of unigram_quality: same micro-nat integer contract; the
+# lateral unnest over range(1, len) forms (w1, w2) transition pairs.
+EXTRA_ORACLES["bigram_quality"] = """
+    WITH docs AS (
+      SELECT doc_id, arr FROM (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS arr
+        FROM documents
+      ) WHERE len(arr) >= 2),
+    bg AS (
+      SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+      FROM docs, unnest(range(1, len(arr))) AS t(i)),
+    per_doc AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS c FROM bg GROUP BY doc_id, w1, w2),
+    pair_cnt AS (
+      SELECT w1, w2, SUM(c) AS c12 FROM per_doc GROUP BY w1, w2),
+    ctx AS (SELECT w1, SUM(c12) AS c1 FROM pair_cnt GROUP BY w1),
+    scored AS (
+      SELECT p.doc_id, p.c,
+             CAST(ROUND(ln(CAST(x.c1 AS DOUBLE) / CAST(pc.c12 AS DOUBLE))
+                        * 1e6) AS BIGINT) AS nll_micro
+      FROM per_doc p
+      JOIN pair_cnt pc USING (w1, w2)
+      JOIN ctx x USING (w1))
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c * nll_micro) AS BIGINT) AS sum_nll_micro,
+           ROUND(SUM(c * nll_micro) / SUM(c) / 1e6, 6) AS avg_nll
+    FROM scored GROUP BY doc_id
+"""
+
+
+def _mixture_temperature_sql(alpha: float = 0.5, target: int = 300,
+                             group_col: str = "lang") -> str:
+    """Twin of catalog.mixture_temperature_lang. The rate expression
+    keeps the SAME association as the Spark side (target*1e9*w/w_tot/n_g,
+    left to right) — IEEE * and / are correctly rounded, so identical
+    exact-integer operands in identical order give identical doubles;
+    pow's ulp slack is absorbed by the micro-unit pin on each weight."""
+    from .catalog import MIXTURE_SEED
+
+    return f"""
+    WITH counts AS (
+      SELECT {group_col} AS g, COUNT(*) AS n_g FROM documents GROUP BY 1),
+    w AS (
+      SELECT g, n_g,
+             CAST(ROUND(pow(CAST(n_g AS DOUBLE), {alpha}) * 1e6) AS BIGINT)
+               AS w_micro
+      FROM counts),
+    tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_tot FROM w),
+    dim AS (
+      SELECT g, LEAST(CAST(1000000000 AS BIGINT),
+                      CAST(ROUND(CAST({target} AS DOUBLE) * 1e9 * w_micro
+                                 / w_tot / n_g) AS BIGINT)) AS rate_e9
+      FROM w CROSS JOIN tot)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.source, dim.rate_e9
+    FROM documents d JOIN dim ON d.{group_col} = dim.g
+    WHERE ('0x' || substring(
+             md5('{MIXTURE_SEED}:' || CAST(d.doc_id AS VARCHAR)),
+             1, 8))::BIGINT * 1000000000
+          < dim.rate_e9 * 4294967296
+"""
+
+
+def _semantic_dedup_sql(k: int = 8, n_iters: int = 2, thr: float = 0.3,
+                        dim: int = 64, round_to: int = 9) -> str:
+    """DuckDB twin of catalog.semantic_dedup_keep: the shared unrolled
+    Lloyd trainer + trained assignment (_lloyd_ctes), then the
+    within-cell keep-min-id near-dup rule. Cosines round to 6 decimals
+    before the threshold compare, same pin as the Spark side."""
+    ctes, _ = _lloyd_ctes(k, n_iters, dim, round_to)
+    ctes.append(f"""dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM af a JOIN af b USING (cell)
+          WHERE a.vec_id < b.vec_id
+            AND ROUND({_cos_of('a.v', 'b.v')}, 6) >= {thr})""")
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {_EMB},
+        {body}
+        SELECT CAST(af.vec_id AS BIGINT) AS vec_id,
+               CAST(af.cell AS INT) AS cell,
+               d.vec_id IS NULL AS kept
+        FROM af LEFT JOIN dropped d ON af.vec_id = d.vec_id
+    """
+
+
+EXTRA_ORACLES["semantic_dedup_keep"] = _semantic_dedup_sql()
+EXTRA_ORACLES["mixture_temperature_lang"] = _mixture_temperature_sql()
 
 
 def flagship_oracle() -> dict[str, str]:

@@ -334,3 +334,51 @@ def test_prefix_filter_pairs_threshold_one(spark):
 
     with pytest.raises(ValueError):
         text_dedup.prefix_filter_pairs(rows, 0.0)
+
+
+def test_classifier_score_hand_computed(spark):
+    docs = _docs(spark, [(1, "good good bad"), (2, "oov1 oov2")])
+    weights = spark.createDataFrame(
+        [("good", 2_000_000), ("bad", -500_000)],
+        "token string, w_micro long")
+    out = {r["doc_id"]: r
+           for r in curation.classifier_score(docs, weights).collect()}
+    # doc 1: (2*2e6 - 5e5) / 3 tokens = 1.1666... -> positive label
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["logit_sum_micro"] == 3_500_000
+    assert out[1]["avg_logit"] == round(3_500_000 / 3 / 1e6, 6)
+    assert out[1]["label"] is True
+    # doc 2: all OOV -> weight 0, label False (not NULL)
+    assert out[2]["logit_sum_micro"] == 0 and out[2]["label"] is False
+
+
+def test_classifier_score_bias(spark):
+    docs = _docs(spark, [(1, "x")])
+    weights = spark.createDataFrame([("x", -100)], "token string, w_micro long")
+    r = curation.classifier_score(docs, weights, bias_micro=400).collect()[0]
+    assert r["logit_sum_micro"] == 300 and r["label"] is True
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    # corpus bigrams: (a b) x2 from docs 1+2, (b a) x1, (a a) x1
+    # contexts: a -> 3 bigrams start with a, b -> 1
+    docs = _docs(spark, [(1, "a b a a"), (2, "a b")])
+    out = {r["doc_id"]: r for r in curation.bigram_logprob(docs).collect()}
+    nll = {("a", "b"): round(math.log(3 / 2) * 1e6),
+           ("b", "a"): round(math.log(1 / 1) * 1e6),
+           ("a", "a"): round(math.log(3 / 1) * 1e6)}
+    d1 = nll[("a", "b")] + nll[("b", "a")] + nll[("a", "a")]
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["sum_nll_micro"] == d1
+    assert out[1]["avg_nll"] == round(d1 / 3 / 1e6, 6)
+    # doc 2's only bigram (a b) has P = 2/3
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["sum_nll_micro"] == nll[("a", "b")]
+
+
+def test_bigram_logprob_short_docs_dropped(spark):
+    docs = _docs(spark, [(1, "solo"), (2, ""), (3, "a b")])
+    got = {r["doc_id"] for r in curation.bigram_logprob(docs).collect()}
+    assert got == {3}

@@ -153,3 +153,60 @@ def test_quantized_topk_matches_float_ranking_roughly(spark):
         e2, k=5, query_pred=F.col("query_id") == 0
     ).collect()
     assert [r.neighbor_id for r in qk2] == [2]
+
+
+def test_semantic_dedup_keep_min_id(spark):
+    # two clusters; 10/11 duplicate each other, 12 is their near-dup by a
+    # hair less -> within-cluster keep-min-id keeps 10, drops 11
+    e = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0]),
+         (11, [1.0, 0.0, 0.0, 0.0]),
+         (12, [0.9, 0.1, 0.0, 0.0]),
+         (20, [0.0, 0.0, 1.0, 0.0]),
+         (21, [0.0, 0.0, 0.9, 0.1])],
+        "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])],
+        "cell int, centroid array<double>")
+    out = {r["vec_id"]: r
+           for r in similarity.semantic_dedup(e, cents, 0.999).collect()}
+    assert out[10]["kept"] is True and out[11]["kept"] is False
+    assert out[12]["kept"] is True          # cos(12, 10) < 0.999
+    assert out[20]["kept"] is True and out[21]["kept"] is True
+    assert out[10]["cell"] == 0 and out[20]["cell"] == 1
+
+
+def test_semantic_dedup_cell_confinement(spark):
+    # identical vectors in DIFFERENT cells never pair: the quadratic term
+    # really is confined to cells (the scale contract)
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9999, 0.0141])],
+        "cell int, centroid array<double>")
+    # both assign to cell 0 (nearest) -> 2 dropped; then force separation
+    out = {r["vec_id"]: r["kept"]
+           for r in similarity.semantic_dedup(e, cents, 0.5).collect()}
+    assert out == {1: True, 2: False}
+
+
+def test_semantic_dedup_pairwise_not_transitive(spark):
+    # V-shape: 3 is near BOTH 1 and 2, but 1 and 2 are not near each
+    # other. Pairwise keep-min-id keeps 2 (its only near neighbor has a
+    # LARGER id); a connected-components grouping would fold {1,2,3} into
+    # one group and drop 2 as well -- the documented deviation.
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    e = spark.createDataFrame(
+        [(1, unit(0.0)), (2, unit(1.0)), (3, unit(0.5))],
+        "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cell int, centroid array<double>")
+    thr = 0.87  # cos(0.5)=0.8776 >= thr, cos(1.0)=0.5403 < thr
+    out = {r["vec_id"]: r["kept"]
+           for r in similarity.semantic_dedup(e, cents, thr).collect()}
+    assert out == {1: True, 2: True, 3: False}

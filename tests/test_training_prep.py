@@ -214,3 +214,39 @@ def test_mixture_sample_default_rate(spark):
     n = training_prep.mixture_sample(d, {"web": 1.0}, seed="s",
                                      default_rate=0.5).count()
     assert 120 < n < 280
+
+
+def test_mixture_temperature_flattening_and_cap(spark):
+    from multilingual_wiki_event_pipeline_spark.operators.training_prep import (
+        mixture_temperature,
+    )
+
+    # group A: 8 docs, group B: 2 docs; alpha=0.5 -> shares 2:1, so
+    # B's target (2 of target_total 6) equals its size: the keep-all
+    # cap binds exactly, while A keeps roughly half
+    rows = [(i, "x", "A" if i < 8 else "B") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    out = mixture_temperature(docs, alpha=0.5, target_total=6,
+                              group_col="source", seed="t")
+    rates = {r["source"]: r["rate_e9"] for r in out.collect()}
+    assert rates["B"] == 10**9                    # cap binds: keep all of B
+    assert abs(rates["A"] - 5 * 10**8) < 10**3    # ~0.5, micro-pin rounding
+    kept_b = out.filter("source = 'B'").count()
+    assert kept_b == 2                            # rate 1.0 keeps every doc
+    # deterministic: a second evaluation returns the identical set
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == sorted(r["doc_id"] for r in out.collect())
+
+
+def test_mixture_temperature_alpha_one_is_proportional(spark):
+    from multilingual_wiki_event_pipeline_spark.operators.training_prep import (
+        mixture_temperature,
+    )
+
+    # alpha=1 -> every group's rate is target/total regardless of size
+    rows = [(i, "x", "A" if i < 30 else "B") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    out = mixture_temperature(docs, alpha=1.0, target_total=20,
+                              group_col="source", seed="t")
+    rates = {r["source"]: r["rate_e9"] for r in out.collect()}
+    assert rates["A"] == rates["B"] == 5 * 10**8

@@ -38,7 +38,8 @@ AUDITED = [
     "unigram_quality", "sample_stratified", "hll_token_distinct",
     "cms_hot_tokens", "quantile_doclen", "bloom_semijoin",
     "dedup_prefix_pairs", "rollup_stats", "pivot_lang_matrix",
-    "zorder_layout",
+    "zorder_layout", "quality_classifier", "bigram_quality",
+    "semantic_dedup_keep", "mixture_temperature_lang",
 ]
 
 CHECKS = {
@@ -81,6 +82,12 @@ CHECKS = {
     "sample_stratified": ["Window", "WholeStageCodegen"],
     # the sketch is partial+final max-agg over registers
     "hll_token_distinct": ["HashAggregate", "WholeStageCodegen"],
+    # model inference = a broadcast weight-table join, never a UDF
+    "quality_classifier": ["BroadcastHashJoin", "HashAggregate"],
+    # bigram pairs are array expressions + equi joins, all codegen'd
+    "bigram_quality": ["HashAggregate", "WholeStageCodegen"],
+    # the corpus-derived rate spec must join back as a broadcast dim
+    "mixture_temperature_lang": ["BroadcastHashJoin", "WholeStageCodegen"],
 }
 
 # per-query plan shapes that must NOT appear: the pigeonhole-blocked
@@ -99,6 +106,11 @@ FORBIDDEN_PER = {
     # the probe fan-out must stay an equi-join on the probed bucket key —
     # a nested-loop node here would mean candidates stopped being bucketed
     "ann_multiprobe": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    # the within-cell pair check must stay EQUI on cell — a cartesian
+    # node would mean the N^2 pair enumeration escaped its cells. (The
+    # BroadcastNestedLoopJoin of the dimension-sized centroid assign is
+    # the allowed exception, so only CartesianProduct is forbidden.)
+    "semantic_dedup_keep": ["CartesianProduct"],
     # BGP compilation rejects disconnected pattern groups up front, so a
     # cartesian in the compiled plan would mean that guard regressed
     "sparql_bgp": ["CartesianProduct"],
