@@ -442,7 +442,11 @@ def semantic_dedup(embeddings: DataFrame, centroids: DataFrame,
     rounded to 6 decimals BEFORE the threshold compare (same cross-engine
     pin as embed_cosine_neardup).
     """
-    assigned = assign_cells(embeddings, centroids)
+    # pin the fact-sized assign pass to ONE evaluation: it feeds three
+    # consumers (both self-join sides and the final vec_id-keyed left
+    # join, whose different shuffle key defeats ReuseExchange) — same
+    # hygiene as kmeans_centroids' per-round checkpoint
+    assigned = assign_cells(embeddings, centroids).localCheckpoint()
     a = assigned.select(
         "cell", F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
     b = assigned.select(

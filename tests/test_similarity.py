@@ -177,18 +177,29 @@ def test_semantic_dedup_keep_min_id(spark):
 
 
 def test_semantic_dedup_cell_confinement(spark):
-    # identical vectors in DIFFERENT cells never pair: the quadratic term
-    # really is confined to cells (the scale contract)
-    e = spark.createDataFrame(
-        [(1, [1.0, 0.0]), (2, [1.0, 0.0])],
-        "vec_id long, embedding array<float>")
+    # near-dup vectors that land in DIFFERENT cells never pair: the
+    # quadratic term really is confined to cells (the scale contract; at
+    # the cell boundary SemDeDup accepts missing cross-cell pairs). Each
+    # vector sits exactly on its own centroid; their mutual cosine 0.8776
+    # clears the 0.5 threshold, so a join that leaked across cells would
+    # drop vec 2.
+    import math
+
     cents = spark.createDataFrame(
-        [(0, [1.0, 0.0]), (1, [0.9999, 0.0141])],
+        [(0, [1.0, 0.0]), (1, [math.cos(0.5), math.sin(0.5)])],
         "cell int, centroid array<double>")
-    # both assign to cell 0 (nearest) -> 2 dropped; then force separation
-    out = {r["vec_id"]: r["kept"]
-           for r in similarity.semantic_dedup(e, cents, 0.5).collect()}
-    assert out == {1: True, 2: False}
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [math.cos(0.5), math.sin(0.5)])],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           similarity.semantic_dedup(e, cents, 0.5).collect()}
+    assert out[1]["cell"] == 0 and out[2]["cell"] == 1
+    assert out[1]["kept"] is True and out[2]["kept"] is True
+    # same geometry, one cell: the pair IS checked and 2 drops
+    one_cell = cents.filter("cell = 0")
+    out1 = {r["vec_id"]: r["kept"] for r in
+            similarity.semantic_dedup(e, one_cell, 0.5).collect()}
+    assert out1 == {1: True, 2: False}
 
 
 def test_semantic_dedup_pairwise_not_transitive(spark):
