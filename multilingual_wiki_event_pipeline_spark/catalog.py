@@ -1962,6 +1962,35 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # graph_*, retrieval, curation, training-prep, dup_spans) were born here
 # (the 50-row window was already full when they landed); same CI
 # hash-gate as the rotated entries.
+def gapfill_user_state(spark, sf_dir):
+    """Calendar gap-fill with LOCF (temporal.gapfill_locf): one row per
+    (user, day) between each user's first and last event, carrying the
+    day's last event_type forward through empty days — the
+    TimescaleDB-style time_bucket_gapfill + locf as pure DataFrame
+    algebra (dense sequence explode + the portable two-window
+    count/max group trick, no engine-specific IGNORE NULLS)."""
+    from .operators import temporal
+
+    return temporal.gapfill_locf(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        bucket="DAY", tie_col="event_id",
+    )
+
+
+def scd2_user_state(spark, sf_dir):
+    """SCD type-2 history (temporal.scd2_history): the events change log
+    collapsed to state transitions per user (consecutive duplicate
+    states open no new version), each version closed by the next change
+    — (state, valid_from, valid_to, is_current), the warehouse MERGE
+    output as two fused window passes over one key shuffle."""
+    from .operators import temporal
+
+    return temporal.scd2_history(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        tie_col="event_id",
+    )
+
+
 def mixture_temperature_lang(spark, sf_dir):
     """Temperature-flattened mixture sampling over the Zipf-skewed lang
     column (training_prep.mixture_temperature, alpha=0.5, target 300):
@@ -2048,6 +2077,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         bloom_semijoin, dedup_prefix_pairs, graph_ppr, rollup_stats,
         pivot_lang_matrix, zorder_layout, kmv_lang_overlap,
         quality_classifier, bigram_quality, semantic_dedup_keep,
-        mixture_temperature_lang,
+        mixture_temperature_lang, gapfill_user_state, scd2_user_state,
     ]
 }

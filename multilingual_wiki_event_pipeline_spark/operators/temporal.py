@@ -70,3 +70,122 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         .filter(F.col("_side") == 1)
         .drop("_k", "_t", "_side", "_tie", "_payload")
     )
+
+
+def gapfill_locf(events: DataFrame, key_col: str, ts_col: str,
+                 state_col: str, bucket: str = "DAY",
+                 tie_col: str | None = None) -> DataFrame:
+    """Calendar densification + last-observation-carried-forward — the
+    timeseries-store gap-fill (TimescaleDB ``time_bucket_gapfill`` +
+    ``locf``) as pure DataFrame algebra: per key, one row per ``bucket``
+    between that key's first and last observation, carrying the latest
+    observed state forward through empty buckets.
+
+    Per (key, bucket) the observed state is the ``state_col`` of the
+    LAST event (greatest ``ts_col``, ties on ``tie_col``) — a ranking
+    window, deterministic. The dense calendar is ``sequence(min_bucket,
+    max_bucket, interval 1 <bucket>)`` exploded per key — map-side array
+    work, rows bounded by the key's own time span, no cross-key blowup.
+
+    The carry-forward avoids engine-specific IGNORE NULLS windows with
+    the portable two-window group trick: ``grp = count(state) over
+    (key order by bucket)`` increments exactly at observed buckets, so
+    ``max(state) over (key, grp)`` is THE state of each gap's governing
+    observation. A key's first bucket is always observed (the calendar
+    starts at its min), so no leading-null branch exists.
+
+    Output: ``(key, bucket_ts, state, filled)`` — ``filled`` marks
+    carried rows.
+
+    Scale shape: one agg per (key, bucket) with partial map-side
+    combine, one tiny per-key min/max agg, the calendar explode, one
+    equi-join back, two windows over the SAME (key-bucket-sorted)
+    shuffle — Catalyst runs them in a single Window exchange. Buckets
+    per key are bounded by the retention span; hot keys split by AQE.
+    """
+    from pyspark.sql import Window
+
+    tie = tie_col or ts_col
+    b = F.date_trunc(bucket, F.col(ts_col))
+    w_last = Window.partitionBy("_k", "_b").orderBy(
+        F.desc("_t"), F.desc("_tie"))
+    obs = (
+        events.select(
+            F.col(key_col).alias("_k"), b.alias("_b"),
+            F.col(ts_col).alias("_t"), F.col(tie).alias("_tie"),
+            F.col(state_col).alias("_s"))
+        .withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .select("_k", "_b", "_s")
+    )
+    cal = (
+        obs.groupBy("_k").agg(F.min("_b").alias("_lo"),
+                              F.max("_b").alias("_hi"))
+        .select(
+            "_k",
+            F.explode(
+                F.expr(f"sequence(_lo, _hi, interval 1 {bucket})")
+            ).alias("_b"),
+        )
+    )
+    w_ord = Window.partitionBy("_k").orderBy("_b")
+    grp = F.count("_s").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    filled = (
+        cal.join(obs, ["_k", "_b"], "left")
+        .withColumn("_grp", grp)
+        .withColumn(
+            "state",
+            F.max("_s").over(Window.partitionBy("_k", "_grp")))
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_b").alias("bucket_ts"),
+            "state",
+            F.col("_s").isNull().alias("filled"),
+        )
+    )
+    return filled
+
+
+def scd2_history(updates: DataFrame, key_col: str, ts_col: str,
+                 state_col: str, tie_col: str | None = None) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change log: per
+    key, collapse consecutive duplicate states (a re-assertion of the
+    current value opens no new version — the warehouse MERGE rule), then
+    close each version at the next change: ``(key, state, valid_from,
+    valid_to, is_current)`` with ``valid_to`` NULL on the open version.
+
+    Within equal ``ts_col`` values ``tie_col`` orders changes
+    (deterministic; defaults to the timestamp itself). Zero-duration
+    versions (two different states at one timestamp) are kept, closed at
+    their own ``valid_from`` — an auditable record that the state passed
+    through, matching bitemporal-warehouse practice.
+
+    Scale shape: one shuffle on the key, then two linear window passes
+    over the same sort (lag for the collapse, lead for the close) —
+    Catalyst fuses them into one Window exchange; nothing key-crossing,
+    hot keys split by AQE.
+    """
+    from pyspark.sql import Window
+
+    tie = tie_col or ts_col
+    w = Window.partitionBy("_k").orderBy("_t", "_tie")
+    changes = (
+        updates.select(
+            F.col(key_col).alias("_k"), F.col(ts_col).alias("_t"),
+            F.col(tie).alias("_tie"), F.col(state_col).alias("state"))
+        .withColumn("_prev", F.lag("state").over(w))
+        .filter(F.col("_prev").isNull()
+                | (F.col("_prev") != F.col("state")))
+    )
+    return (
+        changes
+        .withColumn("valid_to", F.lead("_t").over(w))
+        .select(
+            F.col("_k").alias(key_col),
+            "state",
+            F.col("_t").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

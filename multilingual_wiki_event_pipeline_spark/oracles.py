@@ -2398,6 +2398,53 @@ def _semantic_dedup_sql(k: int = 8, n_iters: int = 2, thr: float = 0.3,
 EXTRA_ORACLES["semantic_dedup_keep"] = _semantic_dedup_sql()
 EXTRA_ORACLES["mixture_temperature_lang"] = _mixture_temperature_sql()
 
+# Gap-fill twin: generate_series densifies each user's day range; the
+# count-over/max-over pair is the same portable LOCF trick as Spark's.
+EXTRA_ORACLES["gapfill_user_state"] = """
+    WITH obs AS (
+      SELECT user_id AS k, b, event_type AS s FROM (
+        SELECT user_id, date_trunc('day', ts) AS b, event_type,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, date_trunc('day', ts)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1),
+    bounds AS (SELECT k, MIN(b) AS lo, MAX(b) AS hi FROM obs GROUP BY k),
+    cal AS (
+      SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS b
+      FROM bounds),
+    j AS (
+      SELECT cal.k, cal.b, obs.s
+      FROM cal LEFT JOIN obs ON cal.k = obs.k AND cal.b = obs.b),
+    g AS (
+      SELECT k, b, s,
+             COUNT(s) OVER (PARTITION BY k ORDER BY b
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS grp
+      FROM j)
+    SELECT CAST(k AS BIGINT) AS user_id, b AS bucket_ts,
+           MAX(s) OVER (PARTITION BY k, grp) AS state,
+           s IS NULL AS filled
+    FROM g
+"""
+
+# SCD2 twin: lag-collapse then lead-close over the same (user, ts, id)
+# order.
+EXTRA_ORACLES["scd2_user_state"] = """
+    WITH c AS (
+      SELECT user_id AS k, ts, event_id, event_type AS state,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    ch AS (SELECT k, ts, event_id, state FROM c
+           WHERE prev IS NULL OR prev <> state)
+    SELECT CAST(k AS BIGINT) AS user_id, state, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY k ORDER BY ts, event_id)
+             AS valid_to,
+           LEAD(ts) OVER (PARTITION BY k ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM ch
+"""
+
 
 def flagship_oracle() -> dict[str, str]:
     """kg_pipeline_triples oracle over the fixed corpus — generated lazily

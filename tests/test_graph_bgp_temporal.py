@@ -1029,3 +1029,84 @@ def test_ppr_seeds_outside_graph_ignored(spark):
     # only 'a' survives the semi-join: teleport unit is SCALE div 1
     assert set(ranks) == {"a", "b"}
     assert ranks["a"] > ranks["b"] > 0
+
+
+# ---------------------------------------------------------------- gapfill/scd2
+
+
+def _ts(day, hour=0):
+    from datetime import datetime
+
+    return datetime(2024, 1, day, hour, 0, 0)
+
+
+def test_gapfill_locf_fills_gaps_and_picks_last_of_day(spark):
+    rows = [
+        # user 1: day 1 (two events -- the LATER one governs), day 3;
+        # day 2 is a gap carrying day 1's last state
+        (1, 1, _ts(1, 9), "login"),
+        (2, 1, _ts(1, 17), "purchase"),
+        (3, 1, _ts(3, 8), "logout"),
+        # user 2: single observation -> single row, nothing filled
+        (4, 2, _ts(5), "login"),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    out = temporal.gapfill_locf(
+        e, "user_id", "ts", "event_type", bucket="DAY", tie_col="event_id")
+    got = {(r["user_id"], r["bucket_ts"].day): (r["state"], r["filled"])
+           for r in out.collect()}
+    assert got == {
+        (1, 1): ("purchase", False),   # last event of day 1 wins
+        (1, 2): ("purchase", True),    # gap carries day 1 forward
+        (1, 3): ("logout", False),
+        (2, 5): ("login", False),
+    }
+
+
+def test_gapfill_locf_multiday_gap_single_governor(spark):
+    rows = [(1, 1, _ts(1), "a"), (2, 1, _ts(5), "b")]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    out = temporal.gapfill_locf(
+        e, "user_id", "ts", "event_type", bucket="DAY", tie_col="event_id")
+    by_day = {r["bucket_ts"].day: (r["state"], r["filled"])
+              for r in out.collect()}
+    assert by_day == {1: ("a", False), 2: ("a", True), 3: ("a", True),
+                      4: ("a", True), 5: ("b", False)}
+
+
+def test_scd2_history_collapse_and_close(spark):
+    rows = [
+        (1, 1, _ts(1), "login"),
+        (2, 1, _ts(2), "login"),      # duplicate state: NO new version
+        (3, 1, _ts(3), "purchase"),   # change: closes version 1
+        (4, 2, _ts(1), "browse"),     # other key: independent history
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    out = temporal.scd2_history(
+        e, "user_id", "ts", "event_type", tie_col="event_id")
+    got = sorted(
+        (r["user_id"], r["state"], r["valid_from"].day,
+         r["valid_to"].day if r["valid_to"] else None, r["is_current"])
+        for r in out.collect())
+    assert got == [
+        (1, "login", 1, 3, False),
+        (1, "purchase", 3, None, True),
+        (2, "browse", 1, None, True),
+    ]
+
+
+def test_scd2_history_zero_duration_version_kept(spark):
+    # two different states at the SAME timestamp: tie_col orders them;
+    # the first becomes a zero-duration version closed at its own
+    # valid_from -- the auditable pass-through record
+    rows = [(1, 1, _ts(1), "a"), (2, 1, _ts(1), "b")]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    out = {r["state"]: r for r in temporal.scd2_history(
+        e, "user_id", "ts", "event_type", tie_col="event_id").collect()}
+    assert out["a"]["valid_to"] == out["a"]["valid_from"]
+    assert out["a"]["is_current"] is False
+    assert out["b"]["is_current"] is True and out["b"]["valid_to"] is None

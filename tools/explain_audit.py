@@ -40,6 +40,7 @@ AUDITED = [
     "dedup_prefix_pairs", "rollup_stats", "pivot_lang_matrix",
     "zorder_layout", "quality_classifier", "bigram_quality",
     "semantic_dedup_keep", "mixture_temperature_lang",
+    "gapfill_user_state", "scd2_user_state",
 ]
 
 CHECKS = {
@@ -88,6 +89,11 @@ CHECKS = {
     "bigram_quality": ["HashAggregate", "WholeStageCodegen"],
     # the corpus-derived rate spec must join back as a broadcast dim
     "mixture_temperature_lang": ["BroadcastHashJoin", "WholeStageCodegen"],
+    # calendar densification is a sequence explode (Generate), LOCF is
+    # window passes — never a per-row UDF or driver loop
+    "gapfill_user_state": ["Generate", "Window"],
+    # the collapse + close are two window passes over ONE key shuffle
+    "scd2_user_state": ["Window", "WholeStageCodegen"],
 }
 
 # per-query plan shapes that must NOT appear: the pigeonhole-blocked
