@@ -12,13 +12,18 @@ counters table recording the survivor count of every gate.
       --output /path/prepared \
       [--eval-set /path/eval_docs.parquet]      # n-gram decontamination
       [--rates '{"web": 0.5, "wiki": 1.0}']      # mixture spec (JSON)
+      [--temperature 0.7 --target-total 100000]  # OR corpus-derived rates
+      [--classifier-weights /path/w.parquet]     # model-based quality gate
+      [--embeddings /path/emb.parquet]           # SemDeDup semantic dedup
       [--pack boundary|greedy|none] [--budget 2048] [--build-vocab]
 
 Stages (each a checkpoint boundary):
 
 1. ``s1_clean`` — quality gate (composite lexical score >= --min-quality,
-   Gopher repetition flag off) then PII redaction; text is replaced by the
-   redacted form.
+   Gopher repetition flag off; with ``--classifier-weights`` additionally
+   the fastText-style linear head: mean per-token micro-logit under the
+   provided ``(token, w_micro)`` table >= --min-logit) then PII
+   redaction; text is replaced by the redacted form.
 2. ``s2_dedup`` — exact dedup (keep min doc_id per content hash), MinHash
    LSH candidates verified by exact Jaccard on candidates only, dropping
    the LARGER id of every verified near-dup pair (deterministic greedy —
@@ -26,11 +31,16 @@ Stages (each a checkpoint boundary):
    is operators/canonicalize.py), then optional ExactSubstr span removal
    (``--exactsubstr-n N``: tokens covered by non-first occurrences of
    duplicated N-token windows are deleted, Lee et al. 2022; docs emptied
-   by the rewrite are dropped), then optional n-gram decontamination
-   against --eval-set (checked against the post-rewrite text).
+   by the rewrite are dropped), then optional SemDeDup semantic dedup
+   when ``--embeddings`` points at a ``(vec_id, embedding)`` table keyed
+   by doc_id (k-means cells trained in-job, within-cell keep-min-id at
+   --sem-threshold), then optional n-gram decontamination against
+   --eval-set (checked against the post-rewrite text).
 3. ``s3_final`` — optional deterministic mixture sampling (md5 coin, so a
-   re-run keeps the identical sample), the final corpus written
-   partitioned by source.
+   re-run keeps the identical sample): either the fixed --rates spec or
+   corpus-derived --temperature flattening (n^alpha shares, keep-all
+   caps; mutually exclusive), the final corpus written partitioned by
+   source.
 4. ``packed`` — optional sequence packing manifest: ``boundary``
    (GPT-style split-at-budget) or ``greedy`` (SFT-style no-split
    first-fit), plus an optional frequency-ranked vocabulary.
@@ -54,6 +64,25 @@ def main(argv: list[str]) -> dict[str, int]:
                     help='JSON mixture spec, e.g. \'{"web": 0.5}\'')
     ap.add_argument("--mix-seed", default="mix")
     ap.add_argument("--default-rate", type=float, default=1.0)
+    ap.add_argument("--temperature", type=float, default=None,
+                    help="derive mixture rates from corpus group counts "
+                         "(n^alpha shares, keep-all caps); mutually "
+                         "exclusive with --rates")
+    ap.add_argument("--target-total", type=int, default=None,
+                    help="expected output size for --temperature")
+    ap.add_argument("--mix-group", default="source",
+                    help="grouping column for --temperature")
+    ap.add_argument("--classifier-weights", default=None,
+                    help="(token, w_micro) parquet: linear quality head "
+                         "applied as a broadcast join in stage 1")
+    ap.add_argument("--min-logit", type=float, default=0.0,
+                    help="mean micro-logit cut (in plain units) for "
+                         "--classifier-weights")
+    ap.add_argument("--embeddings", default=None,
+                    help="(vec_id, embedding) parquet keyed by doc_id: "
+                         "SemDeDup semantic dedup in stage 2")
+    ap.add_argument("--sem-threshold", type=float, default=0.85)
+    ap.add_argument("--sem-cells", type=int, default=64)
     ap.add_argument("--min-quality", type=float, default=0.0)
     ap.add_argument("--jaccard", type=float, default=0.9)
     ap.add_argument("--decontam-n", type=int, default=8)
@@ -87,6 +116,10 @@ def main(argv: list[str]) -> dict[str, int]:
 
     spark = SparkSession.builder.appName("mwep-prepare-training-data").getOrCreate()
     rates = json.loads(args.rates) if args.rates else None
+    if rates is not None and args.temperature is not None:
+        raise SystemExit("--rates and --temperature are mutually exclusive")
+    if args.temperature is not None and args.target_total is None:
+        raise SystemExit("--temperature requires --target-total")
     store = CheckpointStore(
         spark,
         args.checkpoint,
@@ -101,6 +134,14 @@ def main(argv: list[str]) -> dict[str, int]:
             jaccard=args.jaccard,
             decontam_n=args.decontam_n,
             exactsubstr_n=args.exactsubstr_n,
+            temperature=args.temperature,
+            target_total=args.target_total,
+            mix_group=args.mix_group,
+            classifier_weights=args.classifier_weights,
+            min_logit=args.min_logit,
+            embeddings=args.embeddings,
+            sem_threshold=args.sem_threshold,
+            sem_cells=args.sem_cells,
         ),
     )
     counters: dict[str, int] = {}
@@ -122,6 +163,16 @@ def main(argv: list[str]) -> dict[str, int]:
         .join(rep, "doc_id")
         .filter((F.col("quality") >= args.min_quality) & ~F.col("repetitive"))
     )
+    if args.classifier_weights:
+        scores = curation.classifier_score(
+            kept, spark.read.parquet(args.classifier_weights)
+        )
+        kept = kept.join(
+            scores.filter(F.col("avg_logit") >= args.min_logit)
+            .select("doc_id"),
+            "doc_id", "left_semi",
+        )
+        count("after_classifier_gate", kept.count())
     clean = store.materialize(
         curation.redact_pii(kept)
         .select("doc_id", F.col("redacted").alias("text"))
@@ -157,6 +208,19 @@ def main(argv: list[str]) -> dict[str, int]:
             .select("doc_id", F.col("clean_text").alias("text")),
             "doc_id",
         )
+    if args.embeddings:
+        from multilingual_wiki_event_pipeline_spark.operators import similarity
+
+        count("before_semantic_dedup", deduped.count())
+        emb = spark.read.parquet(args.embeddings)
+        cents = similarity.kmeans_centroids(
+            emb, k=args.sem_cells, n_iters=2)
+        sem_kept = (
+            similarity.semantic_dedup(emb, cents, args.sem_threshold)
+            .filter("kept").select(F.col("vec_id").alias("doc_id"))
+        )
+        deduped = deduped.join(sem_kept, "doc_id", "left_semi")
+        count("after_semantic_dedup", deduped.count())
     if args.eval_set:
         flags = curation.ngram_decontaminate(
             deduped, spark.read.parquet(args.eval_set), n=args.decontam_n
@@ -174,6 +238,13 @@ def main(argv: list[str]) -> dict[str, int]:
         sample = training_prep.mixture_sample(
             deduped, rates, seed=args.mix_seed,
             default_rate=args.default_rate,
+        ).select("doc_id")
+        final = deduped.join(sample, "doc_id", "left_semi")
+    elif args.temperature is not None:
+        sample = training_prep.mixture_temperature(
+            deduped, alpha=args.temperature,
+            target_total=args.target_total,
+            group_col=args.mix_group, seed=args.mix_seed,
         ).select("doc_id")
         final = deduped.join(sample, "doc_id", "left_semi")
     else:

@@ -139,3 +139,65 @@ def test_prepare_training_data_telemetry_stage(spark, tmp_path):
     assert ql.count() == 3 * dt.count()
     assert set(ql.columns) == {"source", "q", "est"}
     assert ql.filter("est < 1").count() == 0
+
+
+@pytest.mark.skipif(not os.path.exists(DOCS), reason="driver testdata absent")
+def test_prepare_training_data_classifier_semdedup_temperature(spark, tmp_path):
+    """The three round-5 curation stages together: model-based quality
+    gate (hand-built weight table), SemDeDup over the driver embeddings
+    (vec_id keyed by doc_id), and temperature mixture sampling."""
+    from pyspark.sql import functions as F
+
+    from jobs.prepare_training_data import main
+
+    # weight table: every corpus token gets +1.0 except one poisoned
+    # token that sinks any doc containing it
+    docs = spark.read.parquet(DOCS)
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("token")).distinct()
+    poison = toks.orderBy("token").limit(1).collect()[0]["token"]
+    weights = toks.select(
+        "token",
+        F.when(F.col("token") == poison, F.lit(-100_000_000))
+         .otherwise(F.lit(1_000_000)).alias("w_micro"))
+    wpath = str(tmp_path / "w.parquet")
+    weights.write.parquet(wpath)
+
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    c = main([
+        "--input", DOCS, "--checkpoint", str(tmp_path / "ck5"),
+        "--output", str(tmp_path / "out5"), "--pack", "none",
+        "--classifier-weights", wpath, "--min-logit", "0.5",
+        "--embeddings", emb, "--sem-threshold", "0.3", "--sem-cells", "8",
+        "--temperature", "0.5", "--target-total", "30",
+        "--mix-group", "lang",
+    ])
+    # each optional gate reported and monotone; the s2_dedup boundary
+    # (after_dedup) includes the semantic stage, so the two agree
+    assert (c["input_docs"] >= c["after_classifier_gate"]
+            >= c["after_quality_gate"] >= c["before_semantic_dedup"]
+            >= c["after_semantic_dedup"] == c["after_dedup"]
+            >= c["final_docs"] > 0)
+    # the poisoned token kills at least one doc
+    assert c["after_classifier_gate"] < c["input_docs"]
+    # semantic dedup at cos>=0.3 on isotropic vectors drops some docs
+    assert c["after_semantic_dedup"] < c["before_semantic_dedup"]
+    # temperature sampling trims toward the 30-doc target
+    assert c["final_docs"] < c["after_semantic_dedup"]
+
+
+def test_prepare_training_data_rates_and_temperature_conflict(tmp_path):
+    from jobs.prepare_training_data import main
+
+    with pytest.raises(SystemExit):
+        main([
+            "--input", DOCS, "--checkpoint", str(tmp_path / "ck6"),
+            "--output", str(tmp_path / "out6"),
+            "--rates", "{}", "--temperature", "0.5",
+            "--target-total", "10",
+        ])
+    with pytest.raises(SystemExit):
+        main([
+            "--input", DOCS, "--checkpoint", str(tmp_path / "ck7"),
+            "--output", str(tmp_path / "out7"), "--temperature", "0.5",
+        ])
