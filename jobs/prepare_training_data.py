@@ -114,12 +114,19 @@ def main(argv: list[str]) -> dict[str, int]:
     )
     from multilingual_wiki_event_pipeline_spark.sinks import CheckpointStore
 
-    spark = SparkSession.builder.appName("mwep-prepare-training-data").getOrCreate()
+    # CLI validation BEFORE the session spins up: a bad flag combination
+    # must fail in milliseconds, not after cluster allocation
     rates = json.loads(args.rates) if args.rates else None
     if rates is not None and args.temperature is not None:
         raise SystemExit("--rates and --temperature are mutually exclusive")
     if args.temperature is not None and args.target_total is None:
         raise SystemExit("--temperature requires --target-total")
+    if args.mix_group not in ("lang", "source"):
+        # mixture_temperature projects (doc_id, lang, source); any other
+        # group column would fail only at stage 3, hours into the run
+        raise SystemExit("--mix-group must be 'lang' or 'source'")
+
+    spark = SparkSession.builder.appName("mwep-prepare-training-data").getOrCreate()
     store = CheckpointStore(
         spark,
         args.checkpoint,
@@ -167,12 +174,20 @@ def main(argv: list[str]) -> dict[str, int]:
         scores = curation.classifier_score(
             kept, spark.read.parquet(args.classifier_weights)
         )
+        # anti-join on FAILERS: a zero-token doc has no score row (no
+        # tokens to explode) and must pass through like the
+        # no-classifier path, not silently vanish from a semi-join
         kept = kept.join(
-            scores.filter(F.col("avg_logit") >= args.min_logit)
+            scores.filter(F.col("avg_logit") < args.min_logit)
             .select("doc_id"),
-            "doc_id", "left_semi",
+            "doc_id", "left_anti",
         )
-        count("after_classifier_gate", kept.count())
+        # intra-stage-1 figure, upstream of after_quality_gate (which
+        # counts the full s1 boundary: lexical gate + this gate + redact);
+        # skipped on resume — counting it would re-execute the scoring
+        # scan the complete s1 boundary otherwise avoids
+        if not store.is_complete("s1_clean"):
+            count("classifier_gate_survivors", kept.count())
     clean = store.materialize(
         curation.redact_pii(kept)
         .select("doc_id", F.col("redacted").alias("text"))
@@ -208,19 +223,6 @@ def main(argv: list[str]) -> dict[str, int]:
             .select("doc_id", F.col("clean_text").alias("text")),
             "doc_id",
         )
-    if args.embeddings:
-        from multilingual_wiki_event_pipeline_spark.operators import similarity
-
-        count("before_semantic_dedup", deduped.count())
-        emb = spark.read.parquet(args.embeddings)
-        cents = similarity.kmeans_centroids(
-            emb, k=args.sem_cells, n_iters=2)
-        sem_kept = (
-            similarity.semantic_dedup(emb, cents, args.sem_threshold)
-            .filter("kept").select(F.col("vec_id").alias("doc_id"))
-        )
-        deduped = deduped.join(sem_kept, "doc_id", "left_semi")
-        count("after_semantic_dedup", deduped.count())
     if args.eval_set:
         flags = curation.ngram_decontaminate(
             deduped, spark.read.parquet(args.eval_set), n=args.decontam_n
@@ -232,6 +234,49 @@ def main(argv: list[str]) -> dict[str, int]:
         )
     deduped = store.materialize(deduped, "s2_dedup")
     count("after_dedup", deduped.count())
+
+    # -- stage 2b (optional): SemDeDup semantic dedup -----------------------
+    # its own boundary AFTER s2_dedup so (a) resume skips the in-job
+    # k-means training and the within-cell self-join entirely (both are
+    # eager via localCheckpoint and would otherwise run at plan-build
+    # time even for a complete stage), and (b) the kept/dropped decision
+    # is computed among SURVIVORS only — an embedding whose document an
+    # earlier gate already removed must not drag down its semantic
+    # neighbors (keep-min-id would delete every copy of that content).
+    if args.embeddings:
+        if store.is_complete("s2b_semantic"):
+            deduped = store.materialize(deduped, "s2b_semantic")
+        else:
+            from multilingual_wiki_event_pipeline_spark.operators import (
+                similarity,
+            )
+
+            emb = spark.read.parquet(args.embeddings).join(
+                deduped.select(F.col("doc_id").alias("vec_id")),
+                "vec_id", "left_semi",
+            )
+            # coverage guard: survivors missing an embedding row cannot
+            # be assessed; they pass through (the drop below is an
+            # anti-join on DROPPED ids) but the gap is surfaced
+            count(
+                "docs_without_embedding",
+                deduped.join(
+                    emb.select(F.col("vec_id").alias("doc_id")),
+                    "doc_id", "left_anti",
+                ).count(),
+            )
+            cents = similarity.kmeans_centroids(
+                emb, k=args.sem_cells, n_iters=2)
+            sem_dropped = (
+                similarity.semantic_dedup(emb, cents, args.sem_threshold)
+                .filter("NOT kept")
+                .select(F.col("vec_id").alias("doc_id"))
+            )
+            deduped = store.materialize(
+                deduped.join(sem_dropped, "doc_id", "left_anti"),
+                "s2b_semantic",
+            )
+        count("after_semantic_dedup", deduped.count())
 
     # -- stage 3: mixture sampling + final corpus ---------------------------
     if rates is not None:

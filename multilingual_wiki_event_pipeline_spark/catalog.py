@@ -1943,25 +1943,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ]
 }
 
-# Rotated OUT of the driver's 50-row window but still hash-checked against
-# their DuckDB oracles every pytest run by the CI full-catalog gate
-# (tests/test_catalog_oracle.py via tools/check_oracle.run_checks, which
-# unions these in). Rotation rationale per entry:
-# - dedup_minhash_sig (r5, for ann_ivf) — its signatures are exercised
-#   end-to-end by dedup_minhash_pairs (the band-signature equi-join
-#   consumes them) and canonicalize_components;
-# - dedup_simhash (r5, for sparql_bgp) — its signatures are consumed
-#   end-to-end by dedup_simhash_pairs' pigeonhole join;
-# - token_count (r5, for graph_pagerank) — ws_tokens is the same
-#   expression as quality_score.n_tokens; re_tokens/approx_bpe stay
-#   CI-gated here;
-# - ann_lsh_bucketed (r5, for asof_join_events) — single-probe LSH is
-#   ann_multiprobe's degenerate case (same seeded projections, probe
-#   fan-out of 1); its recall tier stays measured in BENCH/BASELINE.md.
-# graph_lpa, multimodal_resize, and every later-round addition (sparql_*,
-# graph_*, retrieval, curation, training-prep, dup_spans) were born here
-# (the 50-row window was already full when they landed); same CI
-# hash-gate as the rotated entries.
+
 def gapfill_user_state(spark, sf_dir):
     """Calendar gap-fill with LOCF (temporal.gapfill_locf): one row per
     (user, day) between each user's first and last event, carrying the
@@ -2059,6 +2041,25 @@ def semantic_dedup_keep(spark, sf_dir):
     return similarity.semantic_dedup(emb, cents, threshold=0.3)
 
 
+# Rotated OUT of the driver's 50-row window but still hash-checked against
+# their DuckDB oracles every pytest run by the CI full-catalog gate
+# (tests/test_catalog_oracle.py via tools/check_oracle.run_checks, which
+# unions these in). Rotation rationale per entry:
+# - dedup_minhash_sig (r5, for ann_ivf) — its signatures are exercised
+#   end-to-end by dedup_minhash_pairs (the band-signature equi-join
+#   consumes them) and canonicalize_components;
+# - dedup_simhash (r5, for sparql_bgp) — its signatures are consumed
+#   end-to-end by dedup_simhash_pairs' pigeonhole join;
+# - token_count (r5, for graph_pagerank) — ws_tokens is the same
+#   expression as quality_score.n_tokens; re_tokens/approx_bpe stay
+#   CI-gated here;
+# - ann_lsh_bucketed (r5, for asof_join_events) — single-probe LSH is
+#   ann_multiprobe's degenerate case (same seeded projections, probe
+#   fan-out of 1); its recall tier stays measured in BENCH/BASELINE.md.
+# graph_lpa, multimodal_resize, and every later-round addition (sparql_*,
+# graph_*, retrieval, curation, training-prep, dup_spans) were born here
+# (the 50-row window was already full when they landed); same CI
+# hash-gate as the rotated entries.
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     f.__name__: f
     for f in [

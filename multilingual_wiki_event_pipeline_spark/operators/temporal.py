@@ -105,6 +105,13 @@ def gapfill_locf(events: DataFrame, key_col: str, ts_col: str,
     """
     from pyspark.sql import Window
 
+    # units valid for BOTH date_trunc and a sequence() interval literal;
+    # the unit lands inside an F.expr string, so an arbitrary value is
+    # rejected rather than injected
+    allowed = ("MINUTE", "HOUR", "DAY", "WEEK", "MONTH", "YEAR")
+    bucket = bucket.upper()
+    if bucket not in allowed:
+        raise ValueError(f"bucket must be one of {allowed}, got {bucket!r}")
     tie = tie_col or ts_col
     b = F.date_trunc(bucket, F.col(ts_col))
     w_last = Window.partitionBy("_k", "_b").orderBy(

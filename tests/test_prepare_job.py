@@ -164,26 +164,35 @@ def test_prepare_training_data_classifier_semdedup_temperature(spark, tmp_path):
     weights.write.parquet(wpath)
 
     emb = "/root/testdata/sf0.001/embeddings.parquet"
-    c = main([
+    argv = [
         "--input", DOCS, "--checkpoint", str(tmp_path / "ck5"),
         "--output", str(tmp_path / "out5"), "--pack", "none",
         "--classifier-weights", wpath, "--min-logit", "0.5",
         "--embeddings", emb, "--sem-threshold", "0.3", "--sem-cells", "8",
         "--temperature", "0.5", "--target-total", "30",
         "--mix-group", "lang",
-    ])
-    # each optional gate reported and monotone; the s2_dedup boundary
-    # (after_dedup) includes the semantic stage, so the two agree
-    assert (c["input_docs"] >= c["after_classifier_gate"]
-            >= c["after_quality_gate"] >= c["before_semantic_dedup"]
-            >= c["after_semantic_dedup"] == c["after_dedup"]
-            >= c["final_docs"] > 0)
+    ]
+    c = main(argv)
+    # each optional gate reported and monotone (classifier_gate_survivors
+    # is intra-stage-1, upstream of the s1 boundary count)
+    assert (c["input_docs"] >= c["classifier_gate_survivors"]
+            >= c["after_quality_gate"] >= c["after_dedup"]
+            >= c["after_semantic_dedup"] >= c["final_docs"] > 0)
     # the poisoned token kills at least one doc
-    assert c["after_classifier_gate"] < c["input_docs"]
+    assert c["classifier_gate_survivors"] < c["input_docs"]
+    # every survivor has an embedding row in the driver tables
+    assert c["docs_without_embedding"] == 0
     # semantic dedup at cos>=0.3 on isotropic vectors drops some docs
-    assert c["after_semantic_dedup"] < c["before_semantic_dedup"]
+    assert c["after_semantic_dedup"] < c["after_dedup"]
     # temperature sampling trims toward the 30-doc target
     assert c["final_docs"] < c["after_semantic_dedup"]
+    # resume: the semantic boundary is served from the store (no k-means
+    # retrain) and every surviving count is identical
+    c2 = main(argv)
+    for k in ("after_dedup", "after_semantic_dedup", "final_docs"):
+        assert c2[k] == c[k]
+    # the coverage counter only exists on the fresh (training) path
+    assert "docs_without_embedding" not in c2
 
 
 def test_prepare_training_data_rates_and_temperature_conflict(tmp_path):
