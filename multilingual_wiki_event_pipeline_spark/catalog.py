@@ -1959,6 +1959,19 @@ def gapfill_user_state(spark, sf_dir):
     )
 
 
+def rolling_user_activity(spark, sf_dir):
+    """Trailing 7-day rolling activity per user (temporal.rolling_days):
+    the RANGE-frame window — frame bounded by ORDER-column VALUE (day
+    number), not row position, so sparse histories exclude out-of-window
+    days a ROWS frame would wrongly include. Daily pre-aggregation
+    collapses events before the window; value sums are exact integer
+    micro-units end-to-end, so the DuckDB twin hash-matches."""
+    from .operators import temporal
+
+    return temporal.rolling_days(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "value", days=7)
+
+
 def scd2_user_state(spark, sf_dir):
     """SCD type-2 history (temporal.scd2_history): the events change log
     collapsed to state transitions per user (consecutive duplicate
@@ -2079,5 +2092,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         pivot_lang_matrix, zorder_layout, kmv_lang_overlap,
         quality_classifier, bigram_quality, semantic_dedup_keep,
         mixture_temperature_lang, gapfill_user_state, scd2_user_state,
+        rolling_user_activity,
     ]
 }

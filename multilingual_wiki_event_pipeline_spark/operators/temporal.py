@@ -196,3 +196,62 @@ def scd2_history(updates: DataFrame, key_col: str, ts_col: str,
             F.col("valid_to").isNull().alias("is_current"),
         )
     )
+
+
+def rolling_days(events: DataFrame, key_col: str, ts_col: str,
+                 value_col: str, days: int = 7) -> DataFrame:
+    """Trailing N-day rolling aggregates per key — the RANGE-frame window
+    (frame bounded by ORDER-column VALUE, not row position), which the
+    repo's other windows never exercise: a key with activity on day 1
+    and day 10 must NOT see day 1 inside day 10's trailing week, which a
+    ROWS frame would get wrong on sparse histories.
+
+    Two-level plan: (1) pre-aggregate to one row per (key, day) — daily
+    event count and the day's value total in integer MICRO-units
+    (``round(value * 1e6)`` per event, then exact BIGINT sums all the
+    way up, so no float summation order exists and the DuckDB twin
+    hash-matches); (2) one RANGE window ``BETWEEN days-1 PRECEDING AND
+    CURRENT ROW`` over the integer day number (days since epoch — an
+    arithmetic ORDER key both engines agree on, avoiding cross-engine
+    timestamp-to-epoch semantics).
+
+    Output: ``(key, day, n_events, n_events_Nd, value_micro_Nd,
+    avg_value_Nd)`` — one row per ACTIVE day (gap days emit no row but
+    still bound the frame; compose with :func:`gapfill_locf` for a dense
+    report).
+
+    Scale shape: the pre-aggregation collapses events to (key, day)
+    BEFORE the window (partial map-side combine), so the window pass
+    touches one row per active day, not per event; one shuffle total —
+    the (key, day) agg exchange satisfies the window's (key) partition
+    requirement after a local sort. Hot keys bounded by retention days.
+    """
+    day = F.date_trunc("DAY", F.col(ts_col))
+    daily = (
+        events.select(
+            F.col(key_col).alias("_k"),
+            F.datediff(day, F.lit("1970-01-01").cast("date")).alias("_d"),
+            F.round(F.col(value_col) * F.lit(1e6)).cast("long").alias("_v"),
+        )
+        .groupBy("_k", "_d")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("_v").alias("_vday"))
+    )
+    w = Window.partitionBy("_k").orderBy("_d").rangeBetween(-(days - 1), 0)
+    return (
+        daily
+        .withColumn("n_roll", F.sum("n_events").over(w))
+        .withColumn("v_roll", F.sum("_vday").over(w))
+        .select(
+            F.col("_k").alias(key_col),
+            F.date_format(
+                F.date_add(F.lit("1970-01-01").cast("date"), F.col("_d")),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_roll").cast("long").alias(f"n_events_{days}d"),
+            F.col("v_roll").cast("long").alias(f"value_micro_{days}d"),
+            F.round(F.col("v_roll") / F.col("n_roll") / F.lit(1e6), 6)
+             .alias(f"avg_value_{days}d"),
+        )
+    )

@@ -2427,6 +2427,32 @@ EXTRA_ORACLES["gapfill_user_state"] = """
     FROM g
 """
 
+# RANGE-frame rolling twin: identical day-number ORDER key and integer
+# micro-unit sums; the WINDOW clause is the value-bounded RANGE frame.
+EXTRA_ORACLES["rolling_user_activity"] = """
+    WITH daily AS (
+      SELECT user_id AS k,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             COUNT(*) AS n_events,
+             SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS vday
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT k, d, n_events,
+             SUM(n_events) OVER w AS n_roll,
+             SUM(vday) OVER w AS v_roll
+      FROM daily
+      WINDOW w AS (PARTITION BY k ORDER BY d
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT CAST(k AS BIGINT) AS user_id,
+           strftime(DATE '1970-01-01' + d * INTERVAL 1 DAY,
+                    '%Y-%m-%d') AS day,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_roll AS BIGINT) AS n_events_7d,
+           CAST(v_roll AS BIGINT) AS value_micro_7d,
+           ROUND(v_roll / n_roll / 1e6, 6) AS avg_value_7d
+    FROM r
+"""
+
 # SCD2 twin: lag-collapse then lead-close over the same (user, ts, id)
 # order.
 EXTRA_ORACLES["scd2_user_state"] = """

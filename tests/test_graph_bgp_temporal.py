@@ -1110,3 +1110,37 @@ def test_scd2_history_zero_duration_version_kept(spark):
     assert out["a"]["valid_to"] == out["a"]["valid_from"]
     assert out["a"]["is_current"] is False
     assert out["b"]["is_current"] is True and out["b"]["valid_to"] is None
+
+
+def test_rolling_days_range_frame_excludes_stale_days(spark):
+    # user 1: days 1, 2, then a jump to day 20 — the trailing week at
+    # day 20 must contain ONLY day 20 (a ROWS frame would wrongly pull
+    # in days 1-2); at day 2 it contains days 1-2
+    rows = [
+        (1, 1, _ts(1), 2.0),
+        (2, 1, _ts(1, 6), 4.0),
+        (3, 1, _ts(2), 10.0),
+        (4, 1, _ts(20), 100.0),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    out = {r["day"]: r for r in temporal.rolling_days(
+        e, "user_id", "ts", "value", days=7).collect()}
+    assert out["2024-01-01"]["n_events_7d"] == 2
+    assert out["2024-01-01"]["value_micro_7d"] == 6_000_000
+    assert out["2024-01-02"]["n_events_7d"] == 3
+    assert out["2024-01-02"]["value_micro_7d"] == 16_000_000
+    assert out["2024-01-20"]["n_events_7d"] == 1        # RANGE, not ROWS
+    assert out["2024-01-20"]["value_micro_7d"] == 100_000_000
+    assert out["2024-01-02"]["avg_value_7d"] == round(16 / 3, 6)
+
+
+def test_rolling_days_window_boundary_inclusive(spark):
+    # exactly days-1 apart is IN the window; days apart is out
+    rows = [(1, 1, _ts(1), 1.0), (2, 1, _ts(7), 1.0), (3, 1, _ts(8), 1.0)]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    out = {r["day"]: r["n_events_7d"] for r in temporal.rolling_days(
+        e, "user_id", "ts", "value", days=7).collect()}
+    assert out["2024-01-07"] == 2   # day 1 still inside [1, 7]
+    assert out["2024-01-08"] == 2   # day 1 aged out; days 7, 8 remain

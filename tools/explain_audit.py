@@ -40,7 +40,7 @@ AUDITED = [
     "dedup_prefix_pairs", "rollup_stats", "pivot_lang_matrix",
     "zorder_layout", "quality_classifier", "bigram_quality",
     "semantic_dedup_keep", "mixture_temperature_lang",
-    "gapfill_user_state", "scd2_user_state",
+    "gapfill_user_state", "scd2_user_state", "rolling_user_activity",
 ]
 
 CHECKS = {
@@ -94,6 +94,8 @@ CHECKS = {
     "gapfill_user_state": ["Generate", "Window"],
     # the collapse + close are two window passes over ONE key shuffle
     "scd2_user_state": ["Window", "WholeStageCodegen"],
+    # daily pre-agg (partial+final) must come BEFORE the range window
+    "rolling_user_activity": ["HashAggregate", "Window"],
 }
 
 # per-query plan shapes that must NOT appear: the pigeonhole-blocked
