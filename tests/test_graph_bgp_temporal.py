@@ -1144,3 +1144,115 @@ def test_rolling_days_window_boundary_inclusive(spark):
         e, "user_id", "ts", "value", days=7).collect()}
     assert out["2024-01-07"] == 2   # day 1 still inside [1, 7]
     assert out["2024-01-08"] == 2   # day 1 aged out; days 7, 8 remain
+
+
+def _random_events(n_users=8, n_events=300, n_days=20, seed=11):
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(seed)
+    rows = []
+    for eid in range(n_events):
+        rows.append((
+            eid,
+            rng.randrange(n_users),
+            datetime(2024, 1, 1) + timedelta(
+                days=rng.randrange(n_days),
+                seconds=rng.randrange(86400)),
+            rng.choice(["a", "b", "c", "d"]),
+            round(rng.uniform(-5, 5), 3),
+        ))
+    return rows
+
+
+def test_gapfill_locf_invariants_random(spark):
+    """Differential check vs a pure-Python reference on a seeded random
+    corpus: dense per-key calendars, correct governing observation for
+    every filled row."""
+    rows = _random_events()
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double")
+    out = temporal.gapfill_locf(
+        e, "user_id", "ts", "event_type", bucket="DAY",
+        tie_col="event_id").collect()
+
+    # pure-Python reference
+    daily = {}
+    for eid, uid, ts, et, _v in rows:
+        k = (uid, ts.date())
+        if k not in daily or (ts, eid) > daily[k][0]:
+            daily[k] = ((ts, eid), et)
+    expect = {}
+    for uid in {r[1] for r in rows}:
+        days = sorted(d for (u, d) in daily if u == uid)
+        state = None
+        d = days[0]
+        while d <= days[-1]:
+            if (uid, d) in daily:
+                state = daily[(uid, d)][1]
+                expect[(uid, d)] = (state, False)
+            else:
+                expect[(uid, d)] = (state, True)
+            from datetime import timedelta
+
+            d = d + timedelta(days=1)
+    got = {(r["user_id"], r["bucket_ts"].date()): (r["state"], r["filled"])
+           for r in out}
+    assert got == expect
+
+
+def test_scd2_history_invariants_random(spark):
+    rows = _random_events()
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double")
+    out = temporal.scd2_history(
+        e, "user_id", "ts", "event_type", tie_col="event_id").collect()
+    by_user: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["user_id"], r["valid_from"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, versions in by_user.items():
+        # exactly one open version, and it is the last
+        assert [v["is_current"] for v in versions].count(True) == 1
+        assert versions[-1]["is_current"] and versions[-1]["valid_to"] is None
+        for a, b in zip(versions, versions[1:]):
+            # versions tile the timeline and adjacent states differ
+            assert a["valid_to"] == b["valid_from"]
+            assert a["state"] != b["state"]
+        # reference: replay the log
+        log = sorted((r for r in _random_events() if r[1] == uid),
+                     key=lambda r: (r[2], r[0]))
+        collapsed = []
+        for _eid, _uid, ts, et, _v in log:
+            if not collapsed or collapsed[-1][1] != et:
+                collapsed.append((ts, et))
+        assert [(v["valid_from"], v["state"]) for v in versions] == collapsed
+
+
+def test_rolling_days_invariants_random(spark):
+    rows = _random_events()
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double")
+    out = temporal.rolling_days(e, "user_id", "ts", "value", days=7).collect()
+    daily: dict[tuple, list] = {}
+    for _eid, uid, ts, _et, v in rows:
+        daily.setdefault((uid, ts.date()), []).append(round(v * 1e6))
+    for r in out:
+        uid = r["user_id"]
+        from datetime import date, timedelta
+
+        d = date.fromisoformat(r["day"])
+        win = [(k, vs) for (k, vs) in (
+            ((u, dd), daily[(u, dd)]) for (u, dd) in daily
+            if u == uid and d - timedelta(days=6) <= dd <= d
+        )]
+        n = sum(len(vs) for _k, vs in win)
+        s = sum(sum(vs) for _k, vs in win)
+        assert r["n_events_7d"] == n
+        assert r["value_micro_7d"] == s
+        assert r["n_events"] == len(daily[(uid, d)])
