@@ -49,6 +49,11 @@ def main(argv: list[str]) -> int:
                     help="write the result as parquet here (default: print)")
     ap.add_argument("--show", type=int, default=20,
                     help="rows to print when no --output is given")
+    ap.add_argument("--explain", action="store_true",
+                    help="print the compiled Spark physical plan instead "
+                         "of executing (SELECT/CONSTRUCT/DESCRIBE only — "
+                         "the place to check that constant patterns reach "
+                         "the scan as pushed filters)")
     args = ap.parse_args(argv)
 
     # imports AFTER spark-submit has the --py-files zip on sys.path
@@ -77,7 +82,19 @@ def main(argv: list[str]) -> int:
         print(f"wrote {args.output}")
         return 0
 
+    if args.explain:
+        import re
+
+        form = re.search(r"\b(SELECT|CONSTRUCT|ASK|DESCRIBE)\b", text,
+                         re.IGNORECASE)
+        if form and form.group(1).upper() == "ASK":
+            ap.error("--explain is not supported with ASK (the probe "
+                     "executes during compilation)")
     result = sparql_query(triples, text)
+    if args.explain and not isinstance(result, bool):
+        print(result._sc._jvm.PythonSQLUtils.explainString(
+            result._jdf.queryExecution(), "formatted"))
+        return 0
     if isinstance(result, bool):  # ASK
         if args.output:
             ap.error("--output is not supported with ASK — the answer "

@@ -165,3 +165,25 @@ def test_quad_store_graph_query_end_to_end(query_main, spark, tmp_path,
     assert "http://g/a" in out and "alice" in out
     assert "http://g/b" in out and "anna" in out
     assert DEFAULT_GRAPH not in out
+
+
+def test_explain_prints_plan_without_executing(query_main, store_dir, capsys):
+    rc = query_main([
+        "--store", store_dir, "--explain",
+        "--query", "SELECT ?s WHERE { ?s <rdfs:label> \"error\" }",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Physical Plan" in out
+    # constant pattern must reach the reader as a pushed filter
+    assert "PushedFilters" in out
+    # no result rows were printed
+    assert "e1" not in out
+
+
+def test_explain_rejects_ask(query_main, store_dir):
+    with pytest.raises(SystemExit):
+        query_main([
+            "--store", store_dir, "--explain",
+            "--query", "ASK { ?s <rdfs:label> \"error\" }",
+        ])
