@@ -1916,34 +1916,6 @@ def kg_pipeline_triples(spark, sf_dir):
 # a4_label_freq ⊂ o3 frequency + j3_fanout_collect (concat_ws);
 # a10_langset_distribution ⊂ a3_full_stats langset_dist; dedup_jaccard
 # (verification tier) ⊂ canonicalize_components' jaccard-on-candidates.
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    f.__name__: f
-    for f in [
-        a1_incident_grouping, a2_dedup_window, f2_ref_text_filter,
-        f3_language_completeness, j1_outer_merge, j2_dimension_join,
-        j7_interval_containment, j10_transitive_closure, j10_incident_ancestors,
-        w1_stable_ordering,
-        w5_sessionize, o3_top_types, a3_collection_stats, a3_full_stats,
-        e2_set_difference,
-        p1_scalar_chain, k4_inverted_index,
-        f1_first_section, f4_role_set_equality, f8_surviving_orders,
-        o2_deterministic_limit, p5_dct_coalesce,
-        j3_fanout_collect, j5_rewrite_union, j8_semi_join,
-        w2_sequence_expand,
-        c2_url_encode, f5f6f7_crawl_filters, a9_crawl_status_tally,
-        embed_cosine_neardup,
-        canonicalize_components, w4_sequential_match,
-        triples_events, participant_triples, dedup_exact,
-        dedup_minhash_pairs, dedup_simhash_pairs, knn_cosine,
-        ann_multiprobe, ann_ivf, lang_id_profile,
-        quality_score,
-        fingerprint, multimodal_meta, multimodal_frames, mention_link_rank,
-        sparql_bgp, graph_pagerank, asof_join_events,
-        kg_pipeline_triples,
-    ]
-}
-
-
 def gapfill_user_state(spark, sf_dir):
     """Calendar gap-fill with LOCF (temporal.gapfill_locf): one row per
     (user, day) between each user's first and last event, carrying the
@@ -1957,6 +1929,66 @@ def gapfill_user_state(spark, sf_dir):
         _t(spark, sf_dir, "events"), "user_id", "ts", "event_type",
         bucket="DAY", tie_col="event_id",
     )
+
+
+def mixture_temperature_lang(spark, sf_dir):
+    """Temperature-flattened mixture sampling over the Zipf-skewed lang
+    column (training_prep.mixture_temperature, alpha=0.5, target 300):
+    per-group rates derived from the corpus's own counts — n_g^alpha
+    share, capped at keep-everything — then the shared md5 coin. The
+    sf0.01 lang head (en=218 vs ~70 tails) makes the flattening visible:
+    en's rate lands well below the tail langs'. Every rate figure is
+    pinned to exact integers (micro-unit weights, e9 rates, BIGINT coin
+    compare), so the kept set hash-matches the oracle exactly."""
+    from .operators import training_prep
+
+    return training_prep.mixture_temperature(
+        _t(spark, sf_dir, "documents"), alpha=0.5, target_total=300,
+        group_col="lang", seed=MIXTURE_SEED,
+    )
+
+
+def semantic_dedup_keep(spark, sf_dir):
+    """SemDeDup-style semantic near-duplicate removal
+    (similarity.semantic_dedup, Abbas et al. 2023): k-means cells from
+    the deterministic Lloyd trainer confine the quadratic pair check to
+    within-cell self-joins (~N^2/k total work), then keep-min-id drops
+    every vector with a smaller-id same-cell neighbor above the cosine
+    threshold. Knobs sized to the 500-vector sf0.01 driver corpus (k=8,
+    2 Lloyd rounds); threshold 0.3 ~ 2.4 sigma of the isotropic driver
+    embeddings' cosine distribution, so a nontrivial fraction drops. The
+    oracle unrolls the SAME Lloyd rounds it shares with ann_ivf."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, k=8, n_iters=2, round_to=9)
+    return similarity.semantic_dedup(emb, cents, threshold=0.3)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    f.__name__: f
+    for f in [
+        a1_incident_grouping, a2_dedup_window, f2_ref_text_filter,
+        f3_language_completeness, j1_outer_merge, j2_dimension_join,
+        j7_interval_containment, j10_transitive_closure, j10_incident_ancestors,
+        w1_stable_ordering,
+        w5_sessionize, o3_top_types, a3_collection_stats, a3_full_stats,
+        semantic_dedup_keep,
+        p1_scalar_chain, k4_inverted_index,
+        f1_first_section, f4_role_set_equality, f8_surviving_orders,
+        o2_deterministic_limit, p5_dct_coalesce,
+        j3_fanout_collect, j5_rewrite_union, j8_semi_join,
+        gapfill_user_state,
+        c2_url_encode, f5f6f7_crawl_filters, a9_crawl_status_tally,
+        mixture_temperature_lang,
+        canonicalize_components, w4_sequential_match,
+        triples_events, participant_triples, dedup_exact,
+        dedup_minhash_pairs, dedup_simhash_pairs, knn_cosine,
+        ann_multiprobe, ann_ivf, lang_id_profile,
+        quality_score,
+        fingerprint, multimodal_meta, multimodal_frames, mention_link_rank,
+        sparql_bgp, graph_pagerank, asof_join_events,
+        kg_pipeline_triples,
+    ]
+}
 
 
 def rolling_user_activity(spark, sf_dir):
@@ -1983,23 +2015,6 @@ def scd2_user_state(spark, sf_dir):
     return temporal.scd2_history(
         _t(spark, sf_dir, "events"), "user_id", "ts", "event_type",
         tie_col="event_id",
-    )
-
-
-def mixture_temperature_lang(spark, sf_dir):
-    """Temperature-flattened mixture sampling over the Zipf-skewed lang
-    column (training_prep.mixture_temperature, alpha=0.5, target 300):
-    per-group rates derived from the corpus's own counts — n_g^alpha
-    share, capped at keep-everything — then the shared md5 coin. The
-    sf0.01 lang head (en=218 vs ~70 tails) makes the flattening visible:
-    en's rate lands well below the tail langs'. Every rate figure is
-    pinned to exact integers (micro-unit weights, e9 rates, BIGINT coin
-    compare), so the kept set hash-matches the oracle exactly."""
-    from .operators import training_prep
-
-    return training_prep.mixture_temperature(
-        _t(spark, sf_dir, "documents"), alpha=0.5, target_total=300,
-        group_col="lang", seed=MIXTURE_SEED,
     )
 
 
@@ -2039,21 +2054,6 @@ def bigram_quality(spark, sf_dir):
     return curation.bigram_logprob(_t(spark, sf_dir, "documents"))
 
 
-def semantic_dedup_keep(spark, sf_dir):
-    """SemDeDup-style semantic near-duplicate removal
-    (similarity.semantic_dedup, Abbas et al. 2023): k-means cells from
-    the deterministic Lloyd trainer confine the quadratic pair check to
-    within-cell self-joins (~N^2/k total work), then keep-min-id drops
-    every vector with a smaller-id same-cell neighbor above the cosine
-    threshold. Knobs sized to the 500-vector sf0.01 driver corpus (k=8,
-    2 Lloyd rounds); threshold 0.3 ~ 2.4 sigma of the isotropic driver
-    embeddings' cosine distribution, so a nontrivial fraction drops. The
-    oracle unrolls the SAME Lloyd rounds it shares with ann_ivf."""
-    emb = _t(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_centroids(emb, k=8, n_iters=2, round_to=9)
-    return similarity.semantic_dedup(emb, cents, threshold=0.3)
-
-
 # Rotated OUT of the driver's 50-row window but still hash-checked against
 # their DuckDB oracles every pytest run by the CI full-catalog gate
 # (tests/test_catalog_oracle.py via tools/check_oracle.run_checks, which
@@ -2073,6 +2073,14 @@ def semantic_dedup_keep(spark, sf_dir):
 # graph_*, retrieval, curation, training-prep, dup_spans) were born here
 # (the 50-row window was already full when they landed); same CI
 # hash-gate as the rotated entries.
+# Late-round-5 swaps (three strongest new operators promoted):
+# - e2_set_difference (for semantic_dedup_keep) — its set-op machinery
+#   (collect_set + array difference) also rides f4/j5/j8 in the window;
+# - w2_sequence_expand (for gapfill_user_state) — gapfill's calendar is
+#   the same sequence()+explode machinery plus the LOCF windows on top;
+# - embed_cosine_neardup (for mixture_temperature_lang) — its broadcast
+#   pair-cosine check is the degenerate one-cell case of
+#   semantic_dedup_keep, and knn_cosine keeps the exact tier in-window.
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     f.__name__: f
     for f in [
@@ -2090,8 +2098,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         hll_token_distinct, cms_hot_tokens, quantile_doclen,
         bloom_semijoin, dedup_prefix_pairs, graph_ppr, rollup_stats,
         pivot_lang_matrix, zorder_layout, kmv_lang_overlap,
-        quality_classifier, bigram_quality, semantic_dedup_keep,
-        mixture_temperature_lang, gapfill_user_state, scd2_user_state,
+        quality_classifier, bigram_quality, scd2_user_state,
         rolling_user_activity,
+        e2_set_difference, w2_sequence_expand, embed_cosine_neardup,
     ]
 }

@@ -438,13 +438,6 @@ ORACLES: dict[str, str] = {
         SELECT * FROM base, langset_dist, numwiki_dist, top_langs,
                       found_by_dist, all_info
     """,
-    "e2_set_difference": """
-        SELECT source,
-               COALESCE(array_to_string(
-                 [x for x in ['de','en','es','fr','zh'] if NOT list_contains(langs, x)],
-                 ','), '') AS missing_langs
-        FROM (SELECT source, list(DISTINCT lang) AS langs FROM documents GROUP BY source)
-    """,
     "p1_scalar_chain": """
         SELECT p_partkey,
                regexp_replace(p_brand, 'Brand#', 'b:') AS brand_id,
@@ -504,10 +497,6 @@ ORACLES: dict[str, str] = {
                       WHERE o.o_custkey = c.c_custkey
                         AND year(o.o_orderdate) = 1995)
     """,
-    "w2_sequence_expand": """
-        SELECT l_orderkey, CAST(SUM(l_linenumber) AS BIGINT) AS n_expanded
-        FROM lineitem GROUP BY l_orderkey
-    """,
     "c2_url_encode": """
         SELECT p_partkey, replace(p_name, ' ', '+') AS enc FROM part
     """,
@@ -557,13 +546,6 @@ ORACLES: dict[str, str] = {
                END AS status
           FROM documents
         ) GROUP BY status
-    """,
-    "embed_cosine_neardup": f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings WHERE vec_id < 300)
-        SELECT q.vec_id AS a_id, c.vec_id AS b_id, ROUND({_COS}, 6) AS sim
-        FROM e q JOIN e c ON q.vec_id < c.vec_id
-        WHERE ROUND({_COS}, 6) >= 0.3
     """,
     "canonicalize_components": f"""
         WITH RECURSIVE {_MINHASH_BANDS},
@@ -2395,12 +2377,37 @@ def _semantic_dedup_sql(k: int = 8, n_iters: int = 2, thr: float = 0.3,
     """
 
 
-EXTRA_ORACLES["semantic_dedup_keep"] = _semantic_dedup_sql()
-EXTRA_ORACLES["mixture_temperature_lang"] = _mixture_temperature_sql()
+# promoted into the driver window (round 5 rotation — see the rotation
+# rationale at catalog.EXTRA_QUERIES); the three rows they displaced
+# follow as EXTRA entries, still CI-hash-gated
+ORACLES["semantic_dedup_keep"] = _semantic_dedup_sql()
+ORACLES["mixture_temperature_lang"] = _mixture_temperature_sql()
+
+EXTRA_ORACLES["e2_set_difference"] = """
+    SELECT source,
+           COALESCE(array_to_string(
+             [x for x in ['de','en','es','fr','zh'] if NOT list_contains(langs, x)],
+             ','), '') AS missing_langs
+    FROM (SELECT source, list(DISTINCT lang) AS langs
+          FROM documents GROUP BY source)
+"""
+
+EXTRA_ORACLES["w2_sequence_expand"] = """
+    SELECT l_orderkey, CAST(SUM(l_linenumber) AS BIGINT) AS n_expanded
+    FROM lineitem GROUP BY l_orderkey
+"""
+
+EXTRA_ORACLES["embed_cosine_neardup"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 300)
+    SELECT q.vec_id AS a_id, c.vec_id AS b_id, ROUND({_COS}, 6) AS sim
+    FROM e q JOIN e c ON q.vec_id < c.vec_id
+    WHERE ROUND({_COS}, 6) >= 0.3
+"""
 
 # Gap-fill twin: generate_series densifies each user's day range; the
 # count-over/max-over pair is the same portable LOCF trick as Spark's.
-EXTRA_ORACLES["gapfill_user_state"] = """
+ORACLES["gapfill_user_state"] = """
     WITH obs AS (
       SELECT user_id AS k, b, event_type AS s FROM (
         SELECT user_id, date_trunc('day', ts) AS b, event_type,
