@@ -61,6 +61,7 @@ def main(argv: list[str]) -> int:
 
     from multilingual_wiki_event_pipeline_spark.operators.sparql import (
         sparql_query,
+        sparql_query_form,
         sparql_update,
     )
 
@@ -68,6 +69,20 @@ def main(argv: list[str]) -> int:
     if text is None:
         with open(args.query_file, encoding="utf-8") as fh:
             text = fh.read()
+
+    # --explain validation BEFORE the session spins up, via the real
+    # prologue-aware scanner (a regex would match form keywords inside
+    # PREFIX names or IRIs)
+    if args.explain:
+        if args.update:
+            ap.error("--explain is not supported with --update (a dry "
+                     "run must not write a store)")
+        if args.output:
+            ap.error("--explain prints a plan and writes nothing; drop "
+                     "--output")
+        if sparql_query_form(text) == "ASK":
+            ap.error("--explain is not supported with ASK (the probe "
+                     "executes during compilation)")
 
     spark = SparkSession.builder.appName("mwep-sparql-query").getOrCreate()
     triples = spark.read.parquet(args.store)
@@ -82,18 +97,9 @@ def main(argv: list[str]) -> int:
         print(f"wrote {args.output}")
         return 0
 
-    if args.explain:
-        import re
-
-        form = re.search(r"\b(SELECT|CONSTRUCT|ASK|DESCRIBE)\b", text,
-                         re.IGNORECASE)
-        if form and form.group(1).upper() == "ASK":
-            ap.error("--explain is not supported with ASK (the probe "
-                     "executes during compilation)")
     result = sparql_query(triples, text)
     if args.explain and not isinstance(result, bool):
-        print(result._sc._jvm.PythonSQLUtils.explainString(
-            result._jdf.queryExecution(), "formatted"))
+        result.explain(mode="formatted")
         return 0
     if isinstance(result, bool):  # ASK
         if args.output:

@@ -1155,6 +1155,22 @@ def _run_select(triples: DataFrame, scan: _Scan,
     )
 
 
+def sparql_query_form(text: str) -> str:
+    """The query form ('SELECT' | 'ASK' | 'CONSTRUCT' | 'DESCRIBE') of a
+    query string, resolved by the SAME prologue-aware scanner
+    ``sparql_query`` dispatches on — so form keywords inside PREFIX
+    names, IRIs, or comments cannot confuse a caller that needs the form
+    without executing anything (e.g. jobs/query.py --explain, which must
+    refuse ASK because its probe runs during compilation)."""
+    scan = _Scan(_strip_comments(text))
+    _parse_prologue(scan)
+    kw = scan.peek_kw("SELECT", "ASK", "CONSTRUCT", "DESCRIBE")
+    if not kw:
+        raise SparqlSyntaxError(
+            "query must be SELECT, ASK, CONSTRUCT, or DESCRIBE")
+    return kw
+
+
 def sparql_query(triples: DataFrame, text: str):
     """Parse and run a SPARQL query string against ``triples(subj, pred,
     obj, ...)``. Returns a DataFrame (SELECT/CONSTRUCT/DESCRIBE) or a

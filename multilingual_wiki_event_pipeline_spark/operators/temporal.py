@@ -215,10 +215,12 @@ def rolling_days(events: DataFrame, key_col: str, ts_col: str,
     arithmetic ORDER key both engines agree on, avoiding cross-engine
     timestamp-to-epoch semantics).
 
-    Output: ``(key, day, n_events, n_events_Nd, value_micro_Nd,
-    avg_value_Nd)`` — one row per ACTIVE day (gap days emit no row but
-    still bound the frame; compose with :func:`gapfill_locf` for a dense
-    report).
+    Output: ``(key, day, n_events, n_events_Nd, value_micro_Nd)`` — one
+    row per ACTIVE day (gap days emit no row but still bound the frame;
+    compose with :func:`gapfill_locf` for a dense report). No float mean
+    column: it is derivable from the two exact columns, and emitting it
+    would reintroduce the ROUND(double) cross-engine hazard the integer
+    micro-units exist to avoid.
 
     Scale shape: the pre-aggregation collapses events to (key, day)
     BEFORE the window (partial map-side combine), so the window pass
@@ -226,11 +228,11 @@ def rolling_days(events: DataFrame, key_col: str, ts_col: str,
     the (key, day) agg exchange satisfies the window's (key) partition
     requirement after a local sort. Hot keys bounded by retention days.
     """
-    day = F.date_trunc("DAY", F.col(ts_col))
     daily = (
         events.select(
             F.col(key_col).alias("_k"),
-            F.datediff(day, F.lit("1970-01-01").cast("date")).alias("_d"),
+            F.datediff(F.col(ts_col), F.lit("1970-01-01").cast("date"))
+            .alias("_d"),
             F.round(F.col(value_col) * F.lit(1e6)).cast("long").alias("_v"),
         )
         .groupBy("_k", "_d")
@@ -251,7 +253,5 @@ def rolling_days(events: DataFrame, key_col: str, ts_col: str,
             F.col("n_events").cast("long").alias("n_events"),
             F.col("n_roll").cast("long").alias(f"n_events_{days}d"),
             F.col("v_roll").cast("long").alias(f"value_micro_{days}d"),
-            F.round(F.col("v_roll") / F.col("n_roll") / F.lit(1e6), 6)
-             .alias(f"avg_value_{days}d"),
         )
     )

@@ -2455,8 +2455,7 @@ EXTRA_ORACLES["rolling_user_activity"] = """
                     '%Y-%m-%d') AS day,
            CAST(n_events AS BIGINT) AS n_events,
            CAST(n_roll AS BIGINT) AS n_events_7d,
-           CAST(v_roll AS BIGINT) AS value_micro_7d,
-           ROUND(v_roll / n_roll / 1e6, 6) AS avg_value_7d
+           CAST(v_roll AS BIGINT) AS value_micro_7d
     FROM r
 """
 

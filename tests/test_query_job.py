@@ -175,8 +175,10 @@ def test_explain_prints_plan_without_executing(query_main, store_dir, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "Physical Plan" in out
-    # constant pattern must reach the reader as a pushed filter
-    assert "PushedFilters" in out
+    # the constant pattern must reach the reader as a pushed filter —
+    # assert on the filter CONTENT ('PushedFilters:' alone prints as an
+    # empty list even when nothing is pushed)
+    assert "EqualTo(obj,error)" in out or "EqualTo(obj, error)" in out
     # no result rows were printed
     assert "e1" not in out
 
@@ -187,3 +189,32 @@ def test_explain_rejects_ask(query_main, store_dir):
             "--store", store_dir, "--explain",
             "--query", "ASK { ?s <rdfs:label> \"error\" }",
         ])
+
+
+def test_explain_rejects_update_and_output(query_main, store_dir, tmp_path):
+    with pytest.raises(SystemExit):
+        query_main([
+            "--store", store_dir, "--explain",
+            "--output", str(tmp_path / "never"),
+            "--update", 'DELETE WHERE { ?s <rdfs:label> "error" }',
+        ])
+    # nothing was written: the dry-run flag must not execute the update
+    assert not os.path.exists(str(tmp_path / "never"))
+    with pytest.raises(SystemExit):
+        query_main([
+            "--store", store_dir, "--explain",
+            "--output", str(tmp_path / "never2"),
+            "--query", "SELECT ?s WHERE { ?s ?p ?o }",
+        ])
+
+
+def test_explain_form_detection_ignores_prefix_names(query_main, store_dir,
+                                                     capsys):
+    # 'ask' as a PREFIX name must not trip the ASK guard
+    rc = query_main([
+        "--store", store_dir, "--explain",
+        "--query", "PREFIX ask: <http://x#>\n"
+                   'SELECT ?s WHERE { ?s <rdfs:label> "error" }',
+    ])
+    assert rc == 0
+    assert "Physical Plan" in capsys.readouterr().out
