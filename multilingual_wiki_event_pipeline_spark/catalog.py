@@ -2054,6 +2054,18 @@ def bigram_quality(spark, sf_dir):
     return curation.bigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def sem_dedup_lsh(spark, sf_dir):
+    """SemDeDup's linear-assignment tier (similarity.
+    semantic_dedup_buckets): cells are seeded random-projection LSH
+    buckets — O(N) cell assignment with no centroid table, the scale
+    path when the O(N·k) trained-cell assign of semantic_dedup_keep
+    becomes the wall (measured: it dominates at 50k x 128 already,
+    BENCH/semdedup_scale.json). Same keep-min-id rule; n_bits=4 -> 16
+    buckets ~ 31 vectors/cell on the 500-vector driver corpus."""
+    return similarity.semantic_dedup_buckets(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_bits=4)
+
+
 # Rotated OUT of the driver's 50-row window but still hash-checked against
 # their DuckDB oracles every pytest run by the CI full-catalog gate
 # (tests/test_catalog_oracle.py via tools/check_oracle.run_checks, which
@@ -2099,7 +2111,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         bloom_semijoin, dedup_prefix_pairs, graph_ppr, rollup_stats,
         pivot_lang_matrix, zorder_layout, kmv_lang_overlap,
         quality_classifier, bigram_quality, scd2_user_state,
-        rolling_user_activity,
+        rolling_user_activity, sem_dedup_lsh,
         e2_set_difference, w2_sequence_expand, embed_cosine_neardup,
     ]
 }

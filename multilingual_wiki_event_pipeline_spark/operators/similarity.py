@@ -447,6 +447,14 @@ def semantic_dedup(embeddings: DataFrame, centroids: DataFrame,
     # join, whose different shuffle key defeats ReuseExchange) — same
     # hygiene as kmeans_centroids' per-round checkpoint
     assigned = assign_cells(embeddings, centroids).localCheckpoint()
+    return _keep_min_id(assigned, threshold)
+
+
+def _keep_min_id(assigned: DataFrame, threshold: float) -> DataFrame:
+    """The SemDeDup keep rule over a pre-assigned ``(vec_id, v, cell)``
+    frame: drop every vector with a smaller-id same-cell neighbor at
+    cosine >= threshold. Shared by the centroid-cell and LSH-bucket
+    tiers — the cell source changes, the pair/keep machinery does not."""
     a = assigned.select(
         "cell", F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
     b = assigned.select(
@@ -468,6 +476,35 @@ def semantic_dedup(embeddings: DataFrame, centroids: DataFrame,
             F.col("_d").isNull().alias("kept"),
         )
     )
+
+
+def semantic_dedup_buckets(embeddings: DataFrame, threshold: float = 0.3,
+                           n_bits: int = 10,
+                           seed: int = DEFAULT_SEED) -> DataFrame:
+    """The LINEAR-assignment tier of SemDeDup: cells are seeded
+    random-projection LSH buckets instead of trained centroids, so the
+    cell pass costs O(N·n_bits) expression work with NO centroid table —
+    measured (BENCH/semdedup_scale.json, sentinel-metered): at 50k
+    vectors with ~400-vector cells in both tiers, this tier runs 13.0 s
+    vs the centroid tier's 35.7 s — the O(N·k) assign is the dominant
+    cost, which is exactly the wall SemDeDup's authors hit at 1e9
+    vectors. Trade-off: hyperplane buckets split some true near-dup
+    pairs across cells (same threshold dropped 36.6k vs the centroid
+    tier's 42.8k on that fixture — an ~14 % recall cost), while trained
+    cells track the data distribution.
+
+    Same keep-min-id rule and output schema as :func:`semantic_dedup`;
+    ``2^n_bits`` buckets, so size n_bits for ~1k-vector cells the same
+    way k is sized there.
+    """
+    e = embeddings.select(
+        "vec_id", _as_double("embedding").alias("v"))
+    assigned = e.select(
+        "vec_id", "v",
+        rp_bucket(F.col("v"), projection_weights(n_bits, seed=seed))
+        .cast("int").alias("cell"),
+    ).localCheckpoint()
+    return _keep_min_id(assigned, threshold)
 
 
 def quantize_embeddings(embeddings: DataFrame) -> DataFrame:

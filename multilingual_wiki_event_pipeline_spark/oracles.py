@@ -2383,6 +2383,29 @@ def _semantic_dedup_sql(k: int = 8, n_iters: int = 2, thr: float = 0.3,
 ORACLES["semantic_dedup_keep"] = _semantic_dedup_sql()
 ORACLES["mixture_temperature_lang"] = _mixture_temperature_sql()
 
+
+def _semantic_dedup_lsh_sql(n_bits: int = 4, thr: float = 0.3) -> str:
+    """Twin of catalog.sem_dedup_lsh: cells from the SAME seeded
+    projection literals (_rp_bucket_sql), then the shared keep-min-id
+    rule."""
+    bucket = _rp_bucket_sql(n_bits)
+    return f"""
+        WITH {_EMB},
+        a AS (SELECT vec_id, v, CAST({bucket} AS INT) AS cell FROM e),
+        dropped AS (
+          SELECT DISTINCT y.vec_id
+          FROM a x JOIN a y USING (cell)
+          WHERE x.vec_id < y.vec_id
+            AND ROUND({_cos_of('x.v', 'y.v')}, 6) >= {thr})
+        SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+               CAST(a.cell AS INT) AS cell,
+               d.vec_id IS NULL AS kept
+        FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """
+
+
+EXTRA_ORACLES["sem_dedup_lsh"] = _semantic_dedup_lsh_sql()
+
 EXTRA_ORACLES["e2_set_difference"] = """
     SELECT source,
            COALESCE(array_to_string(

@@ -221,3 +221,45 @@ def test_semantic_dedup_pairwise_not_transitive(spark):
     out = {r["vec_id"]: r["kept"]
            for r in similarity.semantic_dedup(e, cents, thr).collect()}
     assert out == {1: True, 2: True, 3: False}
+
+
+def test_semantic_dedup_buckets_drops_identical(spark):
+    # identical vectors always share every projection sign -> same
+    # bucket -> keep-min-id fires regardless of the hyperplane draw
+    e = spark.createDataFrame(
+        [(1, [0.3] * 64), (2, [0.3] * 64), (3, [-0.4] * 64)],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           similarity.semantic_dedup_buckets(e, 0.999, n_bits=6).collect()}
+    assert out[1]["kept"] is True and out[2]["kept"] is False
+    assert out[1]["cell"] == out[2]["cell"]
+    # 3 is the exact negation: opposite side of every hyperplane
+    assert out[3]["kept"] is True and out[3]["cell"] != out[1]["cell"]
+
+
+def test_semantic_dedup_buckets_matches_cell_tier_on_same_assignment(spark):
+    # with ONE bucket (n_bits such that all land together is not
+    # guaranteed; instead use the centroid tier with one cell) both
+    # tiers reduce to the same keep rule — cross-check outputs
+    import math
+
+    vecs = [(i, [math.cos(0.2 * i), math.sin(0.2 * i)] + [0.0] * 62)
+            for i in range(8)]
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    one_cell = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 63)], "cell int, centroid array<double>")
+    a = {r["vec_id"]: r["kept"] for r in
+         similarity.semantic_dedup(e, one_cell, 0.9).collect()}
+    # reference: pairwise rule computed directly
+    import itertools
+
+    def cos(u, w):
+        du = sum(x * y for x, y in zip(u, w))
+        return du / math.sqrt(sum(x * x for x in u)) / math.sqrt(
+            sum(x * x for x in w))
+
+    expect = {}
+    for i, vi in vecs:
+        expect[i] = not any(
+            round(cos(vi, vj), 6) >= 0.9 for j, vj in vecs if j < i)
+    assert a == expect

@@ -41,6 +41,7 @@ AUDITED = [
     "zorder_layout", "quality_classifier", "bigram_quality",
     "semantic_dedup_keep", "mixture_temperature_lang",
     "gapfill_user_state", "scd2_user_state", "rolling_user_activity",
+    "sem_dedup_lsh",
 ]
 
 CHECKS = {
@@ -119,6 +120,9 @@ FORBIDDEN_PER = {
     # BroadcastNestedLoopJoin of the dimension-sized centroid assign is
     # the allowed exception, so only CartesianProduct is forbidden.)
     "semantic_dedup_keep": ["CartesianProduct"],
+    # the LSH tier has NO centroid pass at all: neither join node may
+    # appear beyond the bucket equi-join
+    "sem_dedup_lsh": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     # BGP compilation rejects disconnected pattern groups up front, so a
     # cartesian in the compiled plan would mean that guard regressed
     "sparql_bgp": ["CartesianProduct"],
