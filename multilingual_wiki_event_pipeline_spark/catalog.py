@@ -2054,6 +2054,18 @@ def bigram_quality(spark, sf_dir):
     return curation.bigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def bpe_train(spark, sf_dir):
+    """Relational BPE merge training (operators/bpe.py, 8 rounds): the
+    tokenizer-training step as pure DataFrame algebra — weighted
+    overlapping pair counts over the distinct-word table, lexicographic-
+    tie argmax, sentinel-wrapped left-to-right merge rewrite. The DuckDB
+    twin unrolls one CTE triple per round, so the learned rule SEQUENCE
+    (order, pairs, counts) hash-matches bit-for-bit."""
+    from .operators import bpe
+
+    return bpe.bpe_merges(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
 def sem_dedup_lsh(spark, sf_dir):
     """SemDeDup's linear-assignment tier (similarity.
     semantic_dedup_buckets): cells are seeded random-projection LSH
@@ -2111,7 +2123,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         bloom_semijoin, dedup_prefix_pairs, graph_ppr, rollup_stats,
         pivot_lang_matrix, zorder_layout, kmv_lang_overlap,
         quality_classifier, bigram_quality, scd2_user_state,
-        rolling_user_activity, sem_dedup_lsh,
+        rolling_user_activity, sem_dedup_lsh, bpe_train,
         e2_set_difference, w2_sequence_expand, embed_cosine_neardup,
     ]
 }

@@ -2406,6 +2406,52 @@ def _semantic_dedup_lsh_sql(n_bits: int = 4, thr: float = 0.3) -> str:
 
 EXTRA_ORACLES["sem_dedup_lsh"] = _semantic_dedup_lsh_sql()
 
+
+def _bpe_sql(n_merges: int = 8) -> str:
+    """Twin of catalog.bpe_train: one (pair-count, argmax, replace) CTE
+    triple per merge round, unrolled like the Lloyd trainer's oracle.
+    The sentinel-wrapped representation makes the merge one plain
+    left-to-right replace in both engines (see operators/bpe.py)."""
+    us = "chr(31)"
+    wrap = (f"{us} || array_to_string(list_append("
+            "list_transform(range(1, length(word) + 1), "
+            f"i -> substr(word, i, 1)), '</w>'), {us} || {us}) || {us}")
+    ctes = [
+        f"""w AS (SELECT unnest(list_filter(string_split(text, ' '),
+               x -> x <> '' AND NOT contains(x, {us}))) AS word
+           FROM documents)""",
+        "wf AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word)",
+        f"s0 AS (SELECT word, freq, {wrap} AS syms FROM wf)",
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"s{r - 1}"
+        ctes.append(f"""p{r} AS (
+          SELECT a, b, SUM(freq) AS cnt FROM (
+            SELECT freq, arr[i] AS a, arr[i + 1] AS b FROM (
+              SELECT freq,
+                     string_split(substr(syms, 2, length(syms) - 2),
+                                  {us} || {us}) AS arr
+              FROM {prev}),
+            unnest(range(1, len(arr))) AS t(i))
+          GROUP BY a, b)""")
+        ctes.append(f"""m{r} AS (
+          SELECT CAST({r} AS INT) AS merge_round, a, b, cnt FROM p{r}
+          ORDER BY cnt DESC, a, b LIMIT 1)""")
+        ctes.append(f"""s{r} AS (
+          SELECT s.word, s.freq,
+                 replace(s.syms,
+                         {us} || m.a || {us} || {us} || m.b || {us},
+                         {us} || m.a || m.b || {us}) AS syms
+          FROM {prev} s, m{r} m)""")
+    unions = "\n        UNION ALL\n".join(
+        f'SELECT merge_round, a AS "left", b AS "right", '
+        f"CAST(cnt AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(1, n_merges + 1))
+    return "WITH " + ",\n        ".join(ctes) + "\n        " + unions
+
+
+EXTRA_ORACLES["bpe_train"] = _bpe_sql()
+
 EXTRA_ORACLES["e2_set_difference"] = """
     SELECT source,
            COALESCE(array_to_string(
