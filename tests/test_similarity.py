@@ -237,29 +237,35 @@ def test_semantic_dedup_buckets_drops_identical(spark):
     assert out[3]["kept"] is True and out[3]["cell"] != out[1]["cell"]
 
 
-def test_semantic_dedup_buckets_matches_cell_tier_on_same_assignment(spark):
-    # with ONE bucket (n_bits such that all land together is not
-    # guaranteed; instead use the centroid tier with one cell) both
-    # tiers reduce to the same keep rule — cross-check outputs
+def test_semantic_dedup_both_tiers_match_pairwise_reference(spark):
+    # both tiers must implement the SAME keep rule over whatever cell
+    # assignment they produced: recompute the expectation in Python from
+    # each tier's OWN reported cells and compare
     import math
-
-    vecs = [(i, [math.cos(0.2 * i), math.sin(0.2 * i)] + [0.0] * 62)
-            for i in range(8)]
-    e = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
-    one_cell = spark.createDataFrame(
-        [(0, [1.0] + [0.0] * 63)], "cell int, centroid array<double>")
-    a = {r["vec_id"]: r["kept"] for r in
-         similarity.semantic_dedup(e, one_cell, 0.9).collect()}
-    # reference: pairwise rule computed directly
-    import itertools
 
     def cos(u, w):
         du = sum(x * y for x, y in zip(u, w))
         return du / math.sqrt(sum(x * x for x in u)) / math.sqrt(
             sum(x * x for x in w))
 
-    expect = {}
-    for i, vi in vecs:
-        expect[i] = not any(
-            round(cos(vi, vj), 6) >= 0.9 for j, vj in vecs if j < i)
-    assert a == expect
+    vecs = [(i, [math.cos(0.2 * i), math.sin(0.2 * i)] + [0.0] * 62)
+            for i in range(8)]
+    by_id = dict(vecs)
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    one_cell = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 63)], "cell int, centroid array<double>")
+
+    for out in (
+        similarity.semantic_dedup(e, one_cell, 0.9).collect(),
+        similarity.semantic_dedup_buckets(e, 0.9, n_bits=2).collect(),
+    ):
+        cells = {r["vec_id"]: r["cell"] for r in out}
+        got = {r["vec_id"]: r["kept"] for r in out}
+        expect = {
+            i: not any(
+                j < i and cells[j] == cells[i]
+                and round(cos(by_id[i], by_id[j]), 6) >= 0.9
+                for j in by_id)
+            for i in by_id
+        }
+        assert got == expect

@@ -20,25 +20,34 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from sentinel import REJECT_P75_RATIO, calibrate, sentinel_wall, sweep_stale_scratch  # noqa: E402
+from sentinel import (  # noqa: E402
+    best_accepted_wall, calibrate, meter_ops, positional_ints,
+    sweep_stale_scratch,
+)
 
 
 def build_docs(spark, n_words: int):
     """One row per word occurrence: word w_i = md5-hex prefix of length
-    4 + (i % 8); occurrence count = 1 + (16 if i % 97 == 0 else 0) — a
-    light zipf head so argmaxes are data-dependent, not uniform."""
+    4 + (i % 8), suffixed with the id in hex so ALL n_words words are
+    DISTINCT by construction (bare 4-char prefixes collide — only 65,536
+    exist — which both shrank the real vocabulary ~8% and summed
+    colliding frequencies); occurrence count = 1 + (16 if i % 97 == 0
+    else 0) — a light zipf head so argmaxes are data-dependent."""
     from pyspark.sql import functions as F
 
     base = spark.range(n_words).select(
-        F.substring(
-            F.md5(F.col("id").cast("string")), 1,
-            (F.col("id") % 8 + 4).cast("int")
+        F.concat(
+            F.substring(
+                F.md5(F.col("id").cast("string")), 1,
+                (F.col("id") % 8 + 4).cast("int")
+            ),
+            F.lit("x"),
+            F.conv(F.col("id").cast("string"), 10, 16),
         ).alias("word"),
         F.when(F.col("id") % 97 == 0, F.lit(17)).otherwise(F.lit(1))
          .alias("n"),
@@ -50,12 +59,7 @@ def build_docs(spark, n_words: int):
 
 
 def main() -> None:
-    pos, it = [], iter(sys.argv[1:])
-    for a in it:
-        if a.startswith("--"):
-            next(it, None)
-        elif a.isdigit():
-            pos.append(int(a))
+    pos = positional_ints(sys.argv[1:])
     n_words = pos[0] if pos else 1_000_000
     n_merges = 20
     if "--merges" in sys.argv:
@@ -73,37 +77,33 @@ def main() -> None:
     spark = get_spark(app_name="mwep-bench-bpe")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from pyspark.sql import functions as F
+
     docs = build_docs(spark, n_words).localCheckpoint()
     n_occurrences = docs.count()
+    # MEASURED distinct vocabulary (the table the trainer operates on),
+    # not the nominal fixture parameter
+    n_distinct = docs.select(F.col("text").alias("w")).distinct().count()
 
     def train():
         return bpe.bpe_merges(docs, n_merges=n_merges).count()
 
     n_rules = train()  # warm-up
-    detail: list[dict] = []
-    for _ in range(reps):
-        s0 = sentinel_wall()
-        t0 = time.perf_counter()
-        train()
-        wall = round(time.perf_counter() - t0, 3)
-        s1 = sentinel_wall()
-        ratio = round(max(s0, s1) / floor, 3)
-        detail.append({
-            "wall_sec": wall, "sentinel_ratio": ratio,
-            "accepted": ratio <= REJECT_P75_RATIO,
-        })
-    accepted = [r["wall_sec"] for r in detail if r["accepted"]] or [
-        r["wall_sec"] for r in detail
-    ]
-    best = min(accepted)
+    detail = meter_ops({"train": train}, reps, floor)["train"]
+    best = best_accepted_wall(detail)
     out = {
-        "n_words": n_words, "n_occurrences": n_occurrences,
+        "n_words_nominal": n_words, "n_distinct_words": n_distinct,
+        "n_occurrences": n_occurrences,
         "n_merges": n_merges, "n_rules": n_rules,
         "best_sec": best,
         "sec_per_round": round(best / n_merges, 3),
         "reps": detail,
     }
-    with open(os.path.join(REPO, "BENCH", "bpe_scale.json"), "w") as f:
+    # non-default sizes get their own file — a probe must not clobber
+    # the committed baseline BASELINE.md cites
+    suffix = "" if n_words == 1_000_000 else f"_n{n_words}"
+    with open(os.path.join(REPO, "BENCH",
+                           f"bpe_scale{suffix}.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

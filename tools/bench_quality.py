@@ -20,13 +20,14 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from sentinel import REJECT_P75_RATIO, calibrate, sentinel_wall, sweep_stale_scratch  # noqa: E402
+from sentinel import (  # noqa: E402
+    best_accepted_wall, calibrate, meter_ops, sweep_stale_scratch,
+)
 
 TOKENS_PER_DOC = 40
 
@@ -86,34 +87,22 @@ def main() -> None:
             docs, weights).count(),
     }
     rows_out: dict[str, int] = {k: fn() for k, fn in ops.items()}  # warm-up
-    detail: dict[str, list[dict]] = {k: [] for k in ops}
-    for _ in range(reps):
-        s_prev = sentinel_wall()
-        for name, fn in ops.items():
-            t0 = time.perf_counter()
-            fn()
-            wall = round(time.perf_counter() - t0, 3)
-            s_next = sentinel_wall()
-            ratio = round(max(s_prev, s_next) / floor, 3)
-            detail[name].append({
-                "wall_sec": wall, "sentinel_ratio": ratio,
-                "accepted": ratio <= REJECT_P75_RATIO,
-            })
-            s_prev = s_next
+    detail = meter_ops(ops, reps, floor)
 
     out = {"n_docs": n_docs, "n_tokens": n_tokens, "vocab": vocab, "ops": {}}
     for name, rs in detail.items():
-        accepted = [r["wall_sec"] for r in rs if r["accepted"]] or [
-            r["wall_sec"] for r in rs
-        ]
-        best = min(accepted)
+        best = best_accepted_wall(rs)
         out["ops"][name] = {
             "best_sec": best,
             "rows_out": rows_out[name],
             "tokens_per_sec": round(n_tokens / best),
             "reps": rs,
         }
+    # non-default n_docs OR vocab get their own file — a probe must not
+    # clobber the committed baseline BASELINE.md cites
     suffix = "" if n_docs == 500_000 else f"_n{n_docs}"
+    if vocab != 65536:
+        suffix += f"_v{vocab}"
     with open(os.path.join(REPO, "BENCH",
                            f"quality_scale{suffix}.json"), "w") as f:
         json.dump(out, f, indent=1)

@@ -17,13 +17,15 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from sentinel import REJECT_P75_RATIO, calibrate, sentinel_wall, sweep_stale_scratch  # noqa: E402
+from sentinel import (  # noqa: E402
+    best_accepted_wall, calibrate, meter_ops, positional_ints,
+    sweep_stale_scratch,
+)
 
 DIM = 64
 
@@ -43,13 +45,7 @@ def build_vectors(spark, n: int):
 
 
 def main() -> None:
-    # positionals only — a flag's VALUE must not be mistaken for one
-    pos, it = [], iter(sys.argv[1:])
-    for a in it:
-        if a.startswith("--"):
-            next(it, None)
-        elif a.isdigit():
-            pos.append(int(a))
+    pos = positional_ints(sys.argv[1:])
     n_small = pos[0] if pos else 50_000
     n_large = pos[1] if len(pos) > 1 else 200_000
     reps = 2
@@ -92,32 +88,21 @@ def main() -> None:
             .filter("NOT kept").count(),
     }
     rows_out = {name: fn() for name, fn in ops.items()}  # warm-up
-    detail: dict[str, list[dict]] = {k2: [] for k2 in ops}
-    for _ in range(reps):
-        s_prev = sentinel_wall()
-        for name, fn in ops.items():
-            t0 = time.perf_counter()
-            fn()
-            wall = round(time.perf_counter() - t0, 3)
-            s_next = sentinel_wall()
-            ratio = round(max(s_prev, s_next) / floor, 3)
-            detail[name].append({
-                "wall_sec": wall, "sentinel_ratio": ratio,
-                "accepted": ratio <= REJECT_P75_RATIO,
-            })
-            s_prev = s_next
+    detail = meter_ops(ops, reps, floor)
 
     out = {"n_small": n_small, "n_large": n_large, "dim": DIM, "ops": {}}
     for name, rs in detail.items():
-        accepted = [r["wall_sec"] for r in rs if r["accepted"]] or [
-            r["wall_sec"] for r in rs
-        ]
         out["ops"][name] = {
-            "best_sec": min(accepted),
+            "best_sec": best_accepted_wall(rs),
             "n_dropped": rows_out[name],
             "reps": rs,
         }
-    with open(os.path.join(REPO, "BENCH", "semdedup_scale.json"), "w") as f:
+    # non-default sizes get their own file — a probe must not clobber
+    # the committed baseline BASELINE.md cites
+    suffix = "" if (n_small, n_large) == (50_000, 200_000) \
+        else f"_n{n_small}_{n_large}"
+    with open(os.path.join(REPO, "BENCH",
+                           f"semdedup_scale{suffix}.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

@@ -22,13 +22,14 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from sentinel import REJECT_P75_RATIO, calibrate, sentinel_wall, sweep_stale_scratch  # noqa: E402
+from sentinel import (  # noqa: E402
+    best_accepted_wall, calibrate, meter_ops, sweep_stale_scratch,
+)
 
 
 def build_events(spark, n_events: int, n_users: int, n_days: int):
@@ -95,27 +96,11 @@ def main() -> None:
             events, "user_id", "ts", "value", days=7).count(),
     }
     rows_out: dict[str, int] = {k: fn() for k, fn in ops.items()}  # warm-up
-    detail: dict[str, list[dict]] = {k: [] for k in ops}
-    for _ in range(reps):
-        s_prev = sentinel_wall()
-        for name, fn in ops.items():
-            t0 = time.perf_counter()
-            fn()
-            wall = round(time.perf_counter() - t0, 3)
-            s_next = sentinel_wall()
-            ratio = round(max(s_prev, s_next) / floor, 3)
-            detail[name].append({
-                "wall_sec": wall, "sentinel_ratio": ratio,
-                "accepted": ratio <= REJECT_P75_RATIO,
-            })
-            s_prev = s_next
+    detail = meter_ops(ops, reps, floor)
 
     out = {"n_events": n, "n_users": n_users, "n_days": n_days, "ops": {}}
     for name, rs in detail.items():
-        accepted = [r["wall_sec"] for r in rs if r["accepted"]] or [
-            r["wall_sec"] for r in rs
-        ]
-        best = min(accepted)
+        best = best_accepted_wall(rs)
         out["ops"][name] = {
             "best_sec": best,
             "rows_out": rows_out[name],

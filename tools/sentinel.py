@@ -196,3 +196,47 @@ def sweep_stale_scratch(echo=print) -> list[str]:
     if removed:
         echo(f"swept {len(removed)} stale scratch dirs: {removed}")
     return removed
+
+
+def meter_ops(ops, reps: int, floor: float) -> dict:
+    """Boundary-sentinel-metered interleaved reps over ``{name: thunk}``
+    (the short-rep protocol bench.py's headline loop uses): one sentinel
+    sample between consecutive ops, each rep's verdict = max of its two
+    boundary ratios vs REJECT_P75_RATIO. Returns {name: [rep dicts]}.
+    Warm-up calls are the CALLER's duty (their results usually feed the
+    report). Shared by the bench_* tools so the acceptance protocol has
+    one implementation."""
+    detail: dict = {name: [] for name in ops}
+    for _ in range(reps):
+        s_prev = sentinel_wall()
+        for name, fn in ops.items():
+            t0 = time.perf_counter()
+            fn()
+            wall = round(time.perf_counter() - t0, 3)
+            s_next = sentinel_wall()
+            ratio = round(max(s_prev, s_next) / floor, 3)
+            detail[name].append({
+                "wall_sec": wall, "sentinel_ratio": ratio,
+                "accepted": ratio <= REJECT_P75_RATIO,
+            })
+            s_prev = s_next
+    return detail
+
+
+def best_accepted_wall(reps: list[dict]) -> float:
+    """Best accepted wall; falls back to best overall (nothing silently
+    dropped — callers report every rep alongside)."""
+    accepted = [r["wall_sec"] for r in reps if r["accepted"]]
+    return min(accepted) if accepted else min(r["wall_sec"] for r in reps)
+
+
+def positional_ints(argv: list[str]) -> list[int]:
+    """Integer positionals from argv, skipping every ``--flag`` AND its
+    value — so a flag's numeric value is never mistaken for a positional."""
+    pos, it = [], iter(argv)
+    for a in it:
+        if a.startswith("--"):
+            next(it, None)
+        elif a.isdigit():
+            pos.append(int(a))
+    return pos
