@@ -21,13 +21,14 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from sentinel import REJECT_P75_RATIO, calibrate, sentinel_wall, sweep_stale_scratch  # noqa: E402
+from sentinel import (  # noqa: E402
+    best_accepted_wall, calibrate, meter_ops, sweep_stale_scratch,
+)
 
 
 def build_tokens(spark, n_rows: int, n_groups: int = 4,
@@ -107,29 +108,13 @@ def main() -> None:
         ).count(),
         "heavy_exact": exact_heavy,
     }
-    detail: dict[str, list[dict]] = {k: [] for k in pairs}
     for name, fn in pairs.items():  # untimed warm-up
         fn()
-    for _ in range(reps):
-        s_prev = sentinel_wall()
-        for name, fn in pairs.items():
-            t0 = time.perf_counter()
-            fn()
-            wall = round(time.perf_counter() - t0, 3)
-            s_next = sentinel_wall()
-            ratio = round(max(s_prev, s_next) / floor, 3)
-            detail[name].append({
-                "wall_sec": wall, "sentinel_ratio": ratio,
-                "accepted": ratio <= REJECT_P75_RATIO,
-            })
-            s_prev = s_next
+    detail = meter_ops(pairs, reps, floor)
 
     out = {"n_rows": n, "vocab": vocab, "pairs": {}}
     for name, rs in detail.items():
-        accepted = [r["wall_sec"] for r in rs if r["accepted"]] or [
-            r["wall_sec"] for r in rs
-        ]
-        out["pairs"][name] = {"best_sec": min(accepted), "reps": rs}
+        out["pairs"][name] = {"best_sec": best_accepted_wall(rs), "reps": rs}
     # non-default n_rows or vocab get their own file — a 1M-row probe must
     # not clobber the committed 20M-row baseline BENCH/BASELINE.md cites
     suffix = "" if vocab == 65536 else f"_v{vocab}"
