@@ -2066,6 +2066,19 @@ def bpe_train(spark, sf_dir):
     return bpe.bpe_merges(_t(spark, sf_dir, "documents"), n_merges=8)
 
 
+def bpe_segment_words(spark, sf_dir):
+    """BPE segmentation (operators/bpe.py bpe_segment): the corpus'
+    distinct words tokenized under the 8 rules bpe_train learns — the
+    TOKENIZE side of the trainer. The oracle reuses the trainer's
+    unrolled CTEs and formats the final sequence state, which by
+    construction IS the segmentation of the training corpus, so train
+    and segment stay provably consistent."""
+    from .operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe.bpe_segment(docs, bpe.bpe_merges(docs, n_merges=8))
+
+
 def sem_dedup_lsh(spark, sf_dir):
     """SemDeDup's linear-assignment tier (similarity.
     semantic_dedup_buckets): cells are seeded random-projection LSH
@@ -2123,7 +2136,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         bloom_semijoin, dedup_prefix_pairs, graph_ppr, rollup_stats,
         pivot_lang_matrix, zorder_layout, kmv_lang_overlap,
         quality_classifier, bigram_quality, scd2_user_state,
-        rolling_user_activity, sem_dedup_lsh, bpe_train,
+        rolling_user_activity, sem_dedup_lsh, bpe_train, bpe_segment_words,
         e2_set_difference, w2_sequence_expand, embed_cosine_neardup,
     ]
 }

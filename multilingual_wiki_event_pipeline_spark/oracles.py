@@ -2452,6 +2452,26 @@ def _bpe_sql(n_merges: int = 8) -> str:
 
 EXTRA_ORACLES["bpe_train"] = _bpe_sql()
 
+
+def _bpe_segment_sql(n_merges: int = 8) -> str:
+    """Twin of catalog.bpe_segment_words: the unrolled trainer's FINAL
+    sequence state IS the segmentation of the training corpus — format
+    s{n} instead of unioning the m{r}s."""
+    body = _bpe_sql(n_merges)
+    head = body[:body.index("SELECT merge_round")]
+    return f"""{head}
+        SELECT word, CAST(freq AS BIGINT) AS freq,
+               CAST(len(arr) AS BIGINT) AS n_symbols,
+               array_to_string(arr, ' ') AS symbols_csv
+        FROM (SELECT word, freq,
+                     string_split(substr(syms, 2, length(syms) - 2),
+                                  chr(31) || chr(31)) AS arr
+              FROM s{n_merges})
+    """
+
+
+EXTRA_ORACLES["bpe_segment_words"] = _bpe_segment_sql()
+
 EXTRA_ORACLES["e2_set_difference"] = """
     SELECT source,
            COALESCE(array_to_string(
