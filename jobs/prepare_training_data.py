@@ -94,6 +94,10 @@ def main(argv: list[str]) -> dict[str, int]:
     ap.add_argument("--budget", type=int, default=2048)
     ap.add_argument("--build-vocab", action="store_true")
     ap.add_argument("--vocab-min-count", type=int, default=2)
+    ap.add_argument("--bpe-merges", type=int, default=0,
+                    help="train N BPE merge rules on the final corpus and "
+                         "write rules + per-word segmentation under "
+                         "<output>/bpe (0 = off)")
     ap.add_argument("--telemetry", action="store_true",
                     help="write corpus-health sketches over the final "
                          "corpus under <output>/telemetry: per-source HLL "
@@ -321,6 +325,17 @@ def main(argv: list[str]) -> dict[str, int]:
         )
         vocab.write.mode("overwrite").parquet(f"{args.output}/vocab")
         count("vocab_size", vocab.count())
+    if args.bpe_merges:
+        from multilingual_wiki_event_pipeline_spark.operators import bpe
+
+        merges = bpe.bpe_merges(final, n_merges=args.bpe_merges)
+        merges.write.mode("overwrite").parquet(f"{args.output}/bpe/merges")
+        seg = bpe.bpe_segment(final, merges)
+        seg.write.mode("overwrite").parquet(
+            f"{args.output}/bpe/word_segments")
+        count("bpe_rules", merges.count())
+        count("bpe_symbols",
+              seg.agg(F.sum("n_symbols")).collect()[0][0] or 0)
 
     # -- stage 5 (optional): corpus-health telemetry ------------------------
     # the trainer-facing report card, SKETCH-ONLY variants throughout so

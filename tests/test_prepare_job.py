@@ -210,3 +210,30 @@ def test_prepare_training_data_rates_and_temperature_conflict(tmp_path):
             "--input", DOCS, "--checkpoint", str(tmp_path / "ck7"),
             "--output", str(tmp_path / "out7"), "--temperature", "0.5",
         ])
+
+
+@pytest.mark.skipif(not os.path.exists(DOCS), reason="driver testdata absent")
+def test_prepare_training_data_bpe_stage(spark, tmp_path):
+    from jobs.prepare_training_data import main
+
+    out = str(tmp_path / "out8")
+    c = main([
+        "--input", DOCS, "--checkpoint", str(tmp_path / "ck8"),
+        "--output", out, "--pack", "none", "--bpe-merges", "6",
+    ])
+    assert c["bpe_rules"] == 6
+    merges = spark.read.parquet(f"{out}/bpe/merges")
+    assert merges.count() == 6
+    seg = spark.read.parquet(f"{out}/bpe/word_segments")
+    # every distinct word of the final corpus is segmented, and applying
+    # 6 merges cannot grow a word's symbol count beyond chars+1
+    corpus = spark.read.parquet(f"{out}/corpus")
+    from pyspark.sql import functions as F
+
+    n_words = corpus.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).filter("w <> ''").distinct().count()
+    assert seg.count() == n_words
+    bad = seg.filter(
+        F.col("n_symbols") > F.length("word") + 1).count()
+    assert bad == 0 and c["bpe_symbols"] > 0
