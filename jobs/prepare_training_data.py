@@ -129,6 +129,8 @@ def main(argv: list[str]) -> dict[str, int]:
         # mixture_temperature projects (doc_id, lang, source); any other
         # group column would fail only at stage 3, hours into the run
         raise SystemExit("--mix-group must be 'lang' or 'source'")
+    if args.bpe_merges < 0:
+        raise SystemExit("--bpe-merges must be >= 0")
 
     spark = SparkSession.builder.appName("mwep-prepare-training-data").getOrCreate()
     store = CheckpointStore(
@@ -328,14 +330,17 @@ def main(argv: list[str]) -> dict[str, int]:
     if args.bpe_merges:
         from multilingual_wiki_event_pipeline_spark.operators import bpe
 
-        merges = bpe.bpe_merges(final, n_merges=args.bpe_merges)
+        # the trainer's final state IS the corpus segmentation — no
+        # second corpus pass; the symbol counter reads the WRITTEN
+        # parquet back so the segmentation plan executes exactly once
+        merges, state = bpe.bpe_train_state(final, n_merges=args.bpe_merges)
         merges.write.mode("overwrite").parquet(f"{args.output}/bpe/merges")
-        seg = bpe.bpe_segment(final, merges)
-        seg.write.mode("overwrite").parquet(
-            f"{args.output}/bpe/word_segments")
+        seg_path = f"{args.output}/bpe/word_segments"
+        bpe.segment_state(state).write.mode("overwrite").parquet(seg_path)
         count("bpe_rules", merges.count())
         count("bpe_symbols",
-              seg.agg(F.sum("n_symbols")).collect()[0][0] or 0)
+              spark.read.parquet(seg_path)
+              .agg(F.sum("n_symbols")).collect()[0][0] or 0)
 
     # -- stage 5 (optional): corpus-health telemetry ------------------------
     # the trainer-facing report card, SKETCH-ONLY variants throughout so

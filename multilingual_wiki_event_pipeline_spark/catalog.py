@@ -2067,16 +2067,17 @@ def bpe_train(spark, sf_dir):
 
 
 def bpe_segment_words(spark, sf_dir):
-    """BPE segmentation (operators/bpe.py bpe_segment): the corpus'
-    distinct words tokenized under the 8 rules bpe_train learns — the
-    TOKENIZE side of the trainer. The oracle reuses the trainer's
-    unrolled CTEs and formats the final sequence state, which by
-    construction IS the segmentation of the training corpus, so train
-    and segment stay provably consistent."""
+    """BPE segmentation: the trainer's FINAL sequence state formatted
+    per word (operators/bpe.py bpe_train_state + segment_state) — zero
+    extra corpus passes, and bit-identical to the oracle (which formats
+    the same unrolled state) on EVERY corpus including pair-exhausted
+    ones, where both sides empty together. bpe_segment remains the
+    apply-rules-to-a-NEW-corpus path."""
     from .operators import bpe
 
     docs = _t(spark, sf_dir, "documents")
-    return bpe.bpe_segment(docs, bpe.bpe_merges(docs, n_merges=8))
+    _merges, state = bpe.bpe_train_state(docs, n_merges=8)
+    return bpe.segment_state(state)
 
 
 def sem_dedup_lsh(spark, sf_dir):

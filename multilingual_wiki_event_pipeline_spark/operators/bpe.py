@@ -84,15 +84,21 @@ def _pair_counts(seqs: DataFrame) -> DataFrame:
     return pairs.groupBy("a", "b").agg(F.sum("freq").alias("cnt"))
 
 
-def bpe_merges(documents: DataFrame, n_merges: int = 8,
-               text_col: str = "text") -> DataFrame:
-    """Train ``n_merges`` BPE merge rules over the corpus' words.
+def bpe_train_state(documents: DataFrame, n_merges: int = 8,
+                    text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+    """Train ``n_merges`` BPE merge rules over the corpus' words and
+    ALSO return the trainer's final sequence state — which by
+    construction is the segmentation of the training corpus, so callers
+    that want it (catalog.bpe_segment_words, the training-data job)
+    avoid re-running the corpus pass and re-applying every rule.
 
-    Output: ``(merge_round, left, right, pair_count)`` — one row per
-    learned rule, in training order. If the vocabulary exhausts its
-    pairs before ``n_merges`` rounds (every word fully fused), later
-    rounds emit no row — both engines agree because an empty argmax
-    cross-joins every sequence away identically.
+    Returns ``(merges, final_seqs)``: merges is ``(merge_round, left,
+    right, pair_count)`` — one row per learned rule, in training order —
+    and final_seqs is the wrapped ``(word, freq, syms)`` state. If the
+    vocabulary exhausts its pairs before ``n_merges`` rounds (every word
+    fully fused), later rounds emit no rule AND the state empties — the
+    empty argmax cross-joins every sequence away — identically in the
+    DuckDB twin, so the hash contract covers the exhaustion path too.
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
@@ -126,7 +132,32 @@ def bpe_merges(documents: DataFrame, n_merges: int = 8,
             )
             .localCheckpoint()
         )
-    return out
+    return out, seqs
+
+
+def bpe_merges(documents: DataFrame, n_merges: int = 8,
+               text_col: str = "text") -> DataFrame:
+    """The rules alone — see :func:`bpe_train_state`."""
+    return bpe_train_state(documents, n_merges, text_col)[0]
+
+
+def _format_segments(seqs: DataFrame, syms_col: str) -> DataFrame:
+    """(word, freq, <syms_col>) -> (word, freq, n_symbols, symbols_csv)."""
+    arr = F.split(
+        F.expr(f"substring({syms_col}, 2, length({syms_col}) - 2)"),
+        SEP + SEP)
+    return seqs.select(
+        "word",
+        F.col("freq").cast("long").alias("freq"),
+        F.size(arr).cast("long").alias("n_symbols"),
+        F.array_join(arr, " ").alias("symbols_csv"),
+    )
+
+
+def segment_state(final_seqs: DataFrame) -> DataFrame:
+    """Format a trainer's final state (:func:`bpe_train_state`) as the
+    per-word segmentation — zero extra corpus passes."""
+    return _format_segments(final_seqs, "syms")
 
 
 def bpe_segment(documents: DataFrame, merges: DataFrame,
@@ -148,14 +179,4 @@ def bpe_segment(documents: DataFrame, merges: DataFrame,
             F.lit(SEP + a + SEP + SEP + b + SEP),
             F.lit(SEP + a + b + SEP),
         )
-    arr = F.split(F.expr("substring(_merged, 2, length(_merged) - 2)"),
-                  SEP + SEP)
-    return (
-        seqs.withColumn("_merged", col)
-        .select(
-            "word",
-            F.col("freq").cast("long").alias("freq"),
-            F.size(arr).cast("long").alias("n_symbols"),
-            F.array_join(arr, " ").alias("symbols_csv"),
-        )
-    )
+    return _format_segments(seqs.withColumn("_merged", col), "_merged")

@@ -2407,11 +2407,13 @@ def _semantic_dedup_lsh_sql(n_bits: int = 4, thr: float = 0.3) -> str:
 EXTRA_ORACLES["sem_dedup_lsh"] = _semantic_dedup_lsh_sql()
 
 
-def _bpe_sql(n_merges: int = 8) -> str:
-    """Twin of catalog.bpe_train: one (pair-count, argmax, replace) CTE
-    triple per merge round, unrolled like the Lloyd trainer's oracle.
-    The sentinel-wrapped representation makes the merge one plain
-    left-to-right replace in both engines (see operators/bpe.py)."""
+def _bpe_ctes(n_merges: int = 8) -> list[str]:
+    """The shared unrolled trainer: one (pair-count, argmax, replace)
+    CTE triple per merge round, like the Lloyd trainer's oracle. The
+    sentinel-wrapped representation makes the merge one plain
+    left-to-right replace in both engines (see operators/bpe.py).
+    _bpe_sql and _bpe_segment_sql assemble their own final SELECTs from
+    this list — no text surgery on each other's output."""
     us = "chr(31)"
     wrap = (f"{us} || array_to_string(list_append("
             "list_transform(range(1, length(word) + 1), "
@@ -2443,22 +2445,28 @@ def _bpe_sql(n_merges: int = 8) -> str:
                          {us} || m.a || {us} || {us} || m.b || {us},
                          {us} || m.a || m.b || {us}) AS syms
           FROM {prev} s, m{r} m)""")
+    return ctes
+
+
+def _bpe_sql(n_merges: int = 8) -> str:
+    """Twin of catalog.bpe_train: union the per-round argmaxes."""
     unions = "\n        UNION ALL\n".join(
         f'SELECT merge_round, a AS "left", b AS "right", '
         f"CAST(cnt AS BIGINT) AS pair_count FROM m{r}"
         for r in range(1, n_merges + 1))
-    return "WITH " + ",\n        ".join(ctes) + "\n        " + unions
+    return ("WITH " + ",\n        ".join(_bpe_ctes(n_merges))
+            + "\n        " + unions)
 
 
 EXTRA_ORACLES["bpe_train"] = _bpe_sql()
 
 
 def _bpe_segment_sql(n_merges: int = 8) -> str:
-    """Twin of catalog.bpe_segment_words: the unrolled trainer's FINAL
-    sequence state IS the segmentation of the training corpus — format
-    s{n} instead of unioning the m{r}s."""
-    body = _bpe_sql(n_merges)
-    head = body[:body.index("SELECT merge_round")]
+    """Twin of catalog.bpe_segment_words: format the unrolled trainer's
+    FINAL sequence state — which IS the segmentation of the training
+    corpus (including the exhaustion case: an empty argmax empties the
+    state identically in the Spark trainer)."""
+    head = "WITH " + ",\n        ".join(_bpe_ctes(n_merges))
     return f"""{head}
         SELECT word, CAST(freq AS BIGINT) AS freq,
                CAST(len(arr) AS BIGINT) AS n_symbols,

@@ -92,3 +92,16 @@ def test_bpe_end_marker_blocks_cross_word_merges(spark):
     got = [(r["left"], r["right"]) for r in
            merges.orderBy("merge_round").collect()]
     assert got == [("a", "b"), ("ab", "</w>")]  # rounds 3-5 emit nothing
+
+
+def test_bpe_state_exhaustion_semantics(spark):
+    # pair-exhausted training corpus: the trainer's state empties (an
+    # empty argmax cross-joins every sequence away — identical in the
+    # DuckDB twin, so segment_state stays hash-consistent), while the
+    # apply-rules path still segments fresh input
+    docs = _docs(spark, ["ab ab ab"])
+    merges, state = bpe.bpe_train_state(docs, n_merges=5)
+    assert merges.count() == 2
+    assert bpe.segment_state(state).count() == 0
+    seg = bpe.bpe_segment(docs, merges).collect()
+    assert len(seg) == 1 and seg[0]["symbols_csv"] == "ab</w>"

@@ -232,7 +232,8 @@ def test_prepare_training_data_bpe_stage(spark, tmp_path):
 
     n_words = corpus.select(
         F.explode(F.split("text", " ")).alias("w")
-    ).filter("w <> ''").distinct().count()
+    ).filter("w <> ''").filter(~F.col("w").contains("\x1f")) \
+        .distinct().count()
     assert seg.count() == n_words
     bad = seg.filter(
         F.col("n_symbols") > F.length("word") + 1).count()
