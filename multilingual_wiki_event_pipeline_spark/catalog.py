@@ -1922,12 +1922,21 @@ def gapfill_user_state(spark, sf_dir):
     day's last event_type forward through empty days — the
     TimescaleDB-style time_bucket_gapfill + locf as pure DataFrame
     algebra (dense sequence explode + the portable two-window
-    count/max group trick, no engine-specific IGNORE NULLS)."""
+    count/max group trick, no engine-specific IGNORE NULLS). The
+    driver-facing row renders the bucket as a 'yyyy-MM-dd' string —
+    the same convention every other driver row uses for time values
+    (date_format strings in a3/p5, integer micros in asof_join_events):
+    raw TIMESTAMP columns stringify engine-dependently in value-hash
+    comparators, and this is the only entry that would have one."""
     from .operators import temporal
 
     return temporal.gapfill_locf(
         _t(spark, sf_dir, "events"), "user_id", "ts", "event_type",
         bucket="DAY", tie_col="event_id",
+    ).select(
+        "user_id",
+        F.date_format("bucket_ts", "yyyy-MM-dd").alias("day"),
+        "state", "filled",
     )
 
 

@@ -2525,7 +2525,8 @@ ORACLES["gapfill_user_state"] = """
                             ROWS BETWEEN UNBOUNDED PRECEDING
                             AND CURRENT ROW) AS grp
       FROM j)
-    SELECT CAST(k AS BIGINT) AS user_id, b AS bucket_ts,
+    SELECT CAST(k AS BIGINT) AS user_id,
+           strftime(b, '%Y-%m-%d') AS day,
            MAX(s) OVER (PARTITION BY k, grp) AS state,
            s IS NULL AS filled
     FROM g
