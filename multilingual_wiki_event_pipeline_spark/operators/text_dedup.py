@@ -42,6 +42,60 @@ def doc_tokens(documents: DataFrame, with_lang: bool = True) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Deterministically redistribute document rows across the session's
+    shuffle parallelism before map-heavy signature work.
+
+    The r6 signature rewrites below compute md5/array work entirely
+    map-side, i.e. in the stage that contains the scan — and a
+    single-row-group parquet input gives that stage 1-2 tasks no matter
+    what the split config says (guide §6: scan parallelism is
+    file-layout-bound). One cheap exchange of the raw (narrow) document
+    rows buys full parallelism for the expensive stage; it is strictly
+    fewer bytes than the old plans shuffled (they exchanged the exploded
+    token table instead). Keyed by doc_id so retried tasks re-produce the
+    same placement (SPARK-38388), with an explicit partition count so
+    AQE's small-shuffle coalescing (the corpus is a few MB compressed)
+    cannot fold the stage back to one task."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, F.col("doc_id"))
+
+
+def _nonempty(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Drop docs whose token/shingle set would be empty — text NULL, empty,
+    or all-spaces — with a CHEAP raw-text predicate (``rlike '[^ ]'`` is
+    true iff splitting on ' ' yields a non-empty token). The obvious
+    ``filter(size(toks) > 0)`` is pushed below ``_spread``'s exchange by
+    PushDownPredicate, which re-evaluates the whole tokenize/shingle
+    expression in the 1-2-task scan stage — measured 1.8 s -> 16.6 s on
+    the sf1.0 signature pass. A predicate on the raw column is pushed to
+    the scan too, but costs one regex find (usually the first char)."""
+    return documents.filter(F.col(text_col).rlike("[^ ]"))
+
+
+def _token_set(text_col: str = "text"):
+    """Per-row distinct non-empty whitespace tokens as an array column —
+    the map-side twin of ``doc_tokens`` (array_distinct over one row ==
+    DISTINCT over that doc's exploded tokens)."""
+    return F.array_distinct(
+        F.filter(F.split(text_col, " "), lambda x: x != "")
+    )
+
+
+def _shingle_set(k: int, text_col: str = "text"):
+    """Per-row distinct k-word shingles as an array column — the map-side
+    twin of ``doc_shingles`` (same whole-text fallback for short docs)."""
+    arr = F.filter(F.split(text_col, " "), lambda x: x != "")
+    shingles = F.when(
+        F.size(arr) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - k + 1),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", arr)))
+    return F.array_distinct(F.filter(shingles, lambda x: x != ""))
+
+
 def doc_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     """Distinct k-word shingles per document — the MinHash representation.
 
@@ -134,35 +188,35 @@ def jaccard_on_candidates(documents: DataFrame, candidates: DataFrame,
     """Exact token-set Jaccard restricted to ``candidates(a_id, b_id)``
     (the verification stage of the MinHash-LSH path).
 
-    Plan shape (the 100 TB one): two equi-joins fan each candidate pair out
-    to its docs' token sets, one (a_id, b_id, token) shuffle counts the
-    intersection — the full token self-join never happens, so hot tokens
-    cost O(candidates × doc_len), not O(df²). Same-language semantics of
-    jaccard_pairs are enforced by joining each side's lang.
+    r6 shape: each doc's distinct token set is computed MAP-SIDE as one
+    array column (``_token_set`` == per-doc DISTINCT of the exploded
+    table), candidates pick up both docs' sets with two equi-joins on the
+    doc id, and the intersection count is ``size(array_intersect(...))``
+    per pair — the old plan's token-level fan-out joins + (a_id, b_id,
+    token) count shuffle disappear; shuffled bytes are
+    O(candidates × doc_len) either way but now cross the network once,
+    not three times. Assumes ``candidates`` is distinct (every caller
+    passes a distinct pair set), matching the old groupBy's implicit
+    collapse.
     """
-    toks = doc_tokens(documents)
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
-    langs = documents.select("doc_id", "lang")
-    pairs = (
-        candidates.select("a_id", "b_id")
-        .join(langs.select(F.col("doc_id").alias("a_id"),
-                           F.col("lang").alias("a_lang")), "a_id")
-        .join(langs.select(F.col("doc_id").alias("b_id"),
-                           F.col("lang").alias("b_lang")), "b_id")
-        .filter(F.col("a_lang") == F.col("b_lang"))
-        .select("a_id", "b_id")
+    toks = _spread(_nonempty(documents)).select(
+        "doc_id", "lang", _token_set().alias("toks")
+    ).select(
+        "doc_id", "lang", "toks", F.size("toks").cast("long").alias("n")
     )
-    ta = pairs.join(toks, pairs.a_id == toks.doc_id).select("a_id", "b_id", "token")
-    tb = pairs.join(toks, pairs.b_id == toks.doc_id).select("a_id", "b_id", "token")
-    shared = ta.join(tb, ["a_id", "b_id", "token"]).groupBy("a_id", "b_id").agg(
-        F.count("*").alias("shared")
-    )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
-    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    shared = F.size(F.array_intersect("a_toks", "b_toks")).cast("long")
+    jac = shared / (F.col("na") + F.col("nb") - shared)
     return (
-        shared.join(sa, "a_id")
-        .join(sb, "b_id")
+        candidates.select("a_id", "b_id")
+        .join(toks.select(F.col("doc_id").alias("a_id"),
+                          F.col("lang").alias("a_lang"),
+                          F.col("toks").alias("a_toks"),
+                          F.col("n").alias("na")), "a_id")
+        .join(toks.select(F.col("doc_id").alias("b_id"),
+                          F.col("lang").alias("b_lang"),
+                          F.col("toks").alias("b_toks"),
+                          F.col("n").alias("nb")), "b_id")
+        .filter(F.col("a_lang") == F.col("b_lang"))
         .filter(jac >= threshold)
         .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
     )
@@ -176,47 +230,69 @@ def minhash_band_signatures(
     vocabularies, unlike 1-gram token sets).
 
     sig_s(doc) = MIN over shingles of md5(s || ':' || shingle); band
-    signature joins its ``band_size`` row sigs in seed order. Scale: the
-    explode by n_hashes is map-side; the only shuffle is the
-    (doc_id, seed) partial agg (map-side combine makes it cheap).
+    signature joins its ``band_size`` row sigs in seed order.
+
+    r6 shape: the whole signature is computed MAP-SIDE per document
+    (``minhash_signature_vec``) — min over a transformed shingle array per
+    seed, bands concatenated in seed order, then one posexplode. The old
+    plan's three shuffles (shingle DISTINCT carrying full shingle strings,
+    the (doc_id, seed) partial agg, the (doc_id, band) collect_list) are
+    gone; duplicates need no pre-pass because MIN over a multiset equals
+    MIN over its set, and ``array_distinct`` keeps the md5 count per doc
+    identical to the old per-distinct-shingle cost. Zero exchanges beyond
+    ``_spread``'s parallelism repartition of the raw doc rows.
     """
-    toks = doc_shingles(documents)
-    sig = (
-        toks.select(
-            "doc_id",
-            "token",
-            F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(
-                    F.concat(
-                        F.col("seed").cast("string"), F.lit(":"), F.col("token")
-                    ).cast("binary")
-                )
-            ).alias("mh")
-        )
+    vec = minhash_signature_vec(documents, n_hashes, band_size)
+    return vec.select(
+        "doc_id", F.posexplode("sigs").alias("band", "band_sig")
+    ).select("doc_id", F.col("band").cast("long").alias("band"), "band_sig")
+
+
+def minhash_signature_vec(
+    documents: DataFrame, n_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """(doc_id, sigs array<string>): per-doc LSH band signatures, band i at
+    index i — the map-side core of ``minhash_band_signatures`` (same
+    salted-md5 min-wise family, same '|' band packing)."""
+    d = _spread(_nonempty(documents)).select(
+        "doc_id", _shingle_set(3).alias("toks")
     )
-    return (
-        sig.withColumn("band", F.floor(F.col("seed") / band_size).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda x: x["mh"],
-                ),
-                "|",
-            ).alias("band_sig")
+    def salted_md5(s):
+        return lambda t: F.md5(
+            F.concat(F.lit(str(s)), F.lit(":"), t).cast("binary")
         )
-    )
+
+    mins = [
+        F.array_min(F.transform("toks", salted_md5(s)))
+        for s in range(n_hashes)
+    ]
+    n_bands = -(-n_hashes // band_size)
+    sigs = [
+        F.concat_ws(
+            "|", *mins[band * band_size: min((band + 1) * band_size, n_hashes)]
+        )
+        for band in range(n_bands)
+    ]
+    return d.select("doc_id", F.array(*sigs).alias("sigs"))
 
 
 def minhash_candidate_pairs(documents: DataFrame, **kw) -> DataFrame:
-    """Distinct candidate pairs sharing ≥1 LSH band bucket (a_id < b_id)."""
-    bands = minhash_band_signatures(documents, **kw)
-    a, b = bands.alias("a"), bands.alias("b")
+    """Distinct candidate pairs sharing ≥1 LSH band bucket (a_id < b_id).
+
+    r6 shape: the signature vector is localCheckpoint'ed (tiny: one row of
+    n_bands strings per doc) so the md5 work runs ONCE instead of once per
+    join side, and the old ``.distinct()`` over the full candidate-pair
+    set is replaced by a first-agreeing-band filter — a pair that shares
+    several buckets is emitted only at the smallest agreeing band index,
+    which IS the distinct set, without shuffling the pairs at all."""
+    vec = minhash_signature_vec(documents, **kw).localCheckpoint()
+    keyed = vec.select(
+        "doc_id", "sigs", F.posexplode("sigs").alias("band", "band_sig")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    first_band = F.array_position(
+        F.zip_with("a.sigs", "b.sigs", lambda x, y: x == y), F.lit(True)
+    ) - 1
     return (
         a.join(
             b,
@@ -224,8 +300,8 @@ def minhash_candidate_pairs(documents: DataFrame, **kw) -> DataFrame:
             & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(F.col("a.band").cast("long") == first_band)
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
     )
 
 
@@ -233,37 +309,48 @@ def simhash(documents: DataFrame, n_bits: int = 16) -> DataFrame:
     """(doc_id, lang, simhash): n_bits-bit SimHash over distinct tokens.
 
     Bit b of token = bit (b mod 4) of hex digit (b div 4) of md5(token);
-    document bit = majority vote. Entirely built-in expressions; the
-    explode-by-bits blowup is map-side, aggregation is partial+final.
+    document bit = majority vote.
+
+    r6 shape: computed ENTIRELY map-side per document. The first
+    n_bits/4 hex digits of each distinct token's md5 are packed into one
+    integer v with digit d at bits 4d..4d+3 (``conv(reverse(...), 16,
+    10)`` — identical bits to the old per-bit instr() extraction), then
+    bit b's majority vote is sign(2·Σ((v>>b)&1) − n) over the per-row
+    distinct token array. The old plan's two shuffles (token DISTINCT +
+    the ×n_bits exploded (doc_id, lang, b) partial agg) are gone; the only
+    exchange is ``_spread``'s parallelism repartition of the raw doc rows.
     """
     assert n_bits % 4 == 0 and n_bits <= 32
-    toks = doc_tokens(documents)
-    bits = toks.withColumn("h", F.md5(F.col("token").cast("binary"))).select(
-        "doc_id",
-        "lang",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("b"),
-        "h",
-    ).withColumn(
-        "bit",
-        F.expr(
-            "(shiftright(instr('0123456789abcdef',"
-            " substr(h, 1 + CAST(b DIV 4 AS INT), 1)) - 1,"
-            " CAST(b % 4 AS INT))) & 1"
-        ),
+    d = _spread(_nonempty(documents)).select(
+        "doc_id", "lang", _token_set().alias("toks")
     )
-    sums = bits.groupBy("doc_id", "lang", "b").agg(
-        F.sum(2 * F.col("bit") - 1).alias("s")
+    vs = F.transform(
+        "toks",
+        lambda t: F.conv(
+            F.reverse(F.substring(F.md5(t.cast("binary")), 1, n_bits // 4)),
+            16, 10,
+        ).cast("long"),
     )
-    return sums.groupBy("doc_id", "lang").agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"),
-            ).otherwise(F.lit(0).cast("long"))
+    d = d.select(
+        "doc_id", "lang", vs.alias("vs"),
+        F.size("toks").cast("long").alias("n"),
+    )
+    def bit_counter(mask):
+        return lambda acc, v: acc + F.when(
+            v.bitwiseAND(mask) != 0, F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+
+    sim = F.lit(0).cast("long")
+    for b in range(n_bits):
+        sum_b = F.aggregate(
+            "vs",
+            F.lit(0).cast("long"),
+            bit_counter(F.lit(1 << b).cast("long")),
         )
-        .cast("long")
-        .alias("simhash")
-    )
+        sim = sim + F.when(
+            2 * sum_b - F.col("n") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return d.select("doc_id", "lang", sim.cast("long").alias("simhash"))
 
 
 def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
@@ -276,8 +363,15 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
     an equi-join on (lang, block_idx, block_bits) — the same bucketed plan
     shape as the MinHash band join — and only candidates pay the full
     Hamming check. No non-equi pair enumeration anywhere in the plan.
-    """
-    sh = simhash(documents, n_bits)
+
+    r6 shape: the signature table is localCheckpoint'ed (3 narrow columns
+    per doc) so the map-side simhash runs ONCE instead of once per join
+    side, and the old ``.distinct()`` over the full candidate-pair set is
+    replaced by a first-agreeing-block filter computed from the xor — a
+    pair agreeing on several blocks is emitted only at the smallest
+    agreeing block index, which IS the distinct set, without shuffling
+    the (quadratic-in-bucket) pair set at all."""
+    sh = simhash(documents, n_bits).localCheckpoint()
     n_blocks = max_hamming + 1
     bounds = [round(i * n_bits / n_blocks) for i in range(n_blocks + 1)]
     blocks = F.array(*[
@@ -293,7 +387,18 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
         "doc_id", "lang", "simhash", F.explode(blocks).alias("blk")
     ).select("doc_id", "lang", "simhash", "blk.block_idx", "blk.block_bits")
     a, b = keyed.alias("a"), keyed.alias("b")
+    xor = F.expr("a.simhash ^ b.simhash")
     ham = F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)")
+    # smallest agreeing block index, from the xor (the join guarantees the
+    # matched block agrees, so the fall-through default is never wrong)
+    first_block = F.lit(n_blocks - 1)
+    for i in reversed(range(n_blocks - 1)):
+        agrees = (
+            F.shiftright(xor, bounds[i])
+            .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
+            == 0
+        )
+        first_block = F.when(agrees, F.lit(i)).otherwise(first_block)
     return (
         a.join(
             b,
@@ -303,12 +408,12 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter(ham <= max_hamming)
+        .filter(F.col("a.block_idx") == first_block)
         .select(
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),
             ham.alias("hamming"),
         )
-        .distinct()  # a pair may agree on several blocks
     )
 
 
