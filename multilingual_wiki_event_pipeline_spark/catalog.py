@@ -173,7 +173,14 @@ def j10_transitive_closure(spark, sf_dir):
             F.lit("root").alias("parent"),
         )
     )
-    return ontology.ancestor_closure(edges, reflexive=False)
+    # r6: max_depth=2 is a STRUCTURAL bound of this query, not a data
+    # tune — the edge set is nation->region->root by construction, so the
+    # longest proper-ancestor path is 2 regardless of scale factor; the
+    # non-reflexive seed already covers 1-hop paths and each round adds a
+    # hop, so 2 rounds reach the fixpoint with margin (extra rounds are
+    # semantic no-ops; the old default ran 6 rounds plus two eager
+    # checkpoint + convergence-count jobs).
+    return ontology.ancestor_closure(edges, max_depth=2, reflexive=False)
 
 
 def j10_incident_ancestors(spark, sf_dir):
@@ -205,7 +212,10 @@ def j10_incident_ancestors(spark, sf_dir):
         F.col("user_id").alias("incident_id"),
         F.col("event_type").alias("direct_type"),
     ).distinct()
-    return ontology.incident_ancestors(dts, edges, root="root").select(
+    # max_depth=2 is structural (see j10_transitive_closure): the derived
+    # tree is type -> cat -> root, so every root path has <= 2 edges at
+    # any scale; the reflexive closure reaches its fixpoint in 2 rounds.
+    return ontology.incident_ancestors(dts, edges, root="root", max_depth=2).select(
         F.col("incident_id").cast("long").alias("incident_id"), "ancestor"
     )
 
@@ -1211,19 +1221,32 @@ def mention_link_rank(spark, sf_dir):
     the surface key, never scan-per-pattern); (4) candidates are ranked by
     row_number() over (mention, order by prior desc, cand) and capped at
     top-2. No step is quadratic in corpus size."""
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    # r6: positioned bigrams are generated MAP-SIDE from the split array
+    # (struct(pos, arr[i] || ' ' || arr[i+1]) over an index sequence) —
+    # the old posexplode + lead() window shuffled and sorted the entire
+    # token table by (doc_id, pos) just to pair adjacent tokens. A doc
+    # with < 2 tokens yields NULL, which explode drops (the lead() filter
+    # did the same). _spread redistributes the single-row-group doc scan
+    # so the bigram/probe stage isn't pinned to 1-2 tasks.
+    d = text_dedup._spread(_t(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    # bigrams = zip each token with its successor (shifted slice), drop
+    # the last pairing; per-element indexing (F.get) would re-evaluate
+    # the split per element — zip_with touches the array per row only
+    surfaces = F.slice(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(n_toks - 1, F.lit(0))),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+        1,
+        F.greatest(n_toks - 1, F.lit(0)),
     )
-    w_next = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
-    bigrams = (
-        toks.withColumn("w2", w_next)
-        .filter(F.col("w2").isNotNull())
-        .select(
-            "doc_id", "source",
-            F.col("pos").cast("long").alias("pos"),
-            F.concat_ws(" ", "w", "w2").alias("surface"),
-        )
+    bigrams = d.select(
+        "doc_id", "source", F.posexplode(surfaces).alias("pos", "surface")
+    ).select(
+        "doc_id", "source", F.col("pos").cast("long").alias("pos"), "surface"
     )
     kb = bigrams.filter(F.col("doc_id") % 7 == 0).select(
         "surface", "source", "doc_id"
@@ -1235,13 +1258,22 @@ def mention_link_rank(spark, sf_dir):
         F.col("source").alias("cand"),
         F.round(F.col("df_src") / F.col("df_all"), 6).alias("prior"),
     )
-    m = bigrams.select("doc_id", "pos", "surface").join(
-        F.broadcast(gaz), "surface"
-    )
-    w = Window.partitionBy("doc_id", "pos").orderBy(F.desc("prior"), F.asc("cand"))
-    return (
-        m.withColumn("rank", F.row_number().over(w).cast("long"))
+    # r6: a mention's candidate ranking depends ONLY on its surface — the
+    # row_number order (prior desc, cand asc) is a per-surface total
+    # order, identical for every (doc_id, pos) with that surface — so the
+    # top-2 cap and the rank value are computed in the DIMENSION (one
+    # window over the gazetteer) and attached by the same broadcast join.
+    # The old shape joined all candidates first (measured 53.4M rows at
+    # sf1.0, a 20x fanout of the bigram table) and ranked them with a
+    # window that shuffled the whole fanout by (doc_id, pos).
+    w = Window.partitionBy("surface").orderBy(F.desc("prior"), F.asc("cand"))
+    gaz_top = (
+        gaz.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 2)
+    )
+    return (
+        bigrams.select("doc_id", "pos", "surface")
+        .join(F.broadcast(gaz_top), "surface")
         .select("doc_id", "pos", "surface", "cand", "prior", "rank")
     )
 

@@ -158,7 +158,7 @@ def pagerank(edges: DataFrame, n_iters: int = 5,
     # cached edge table — every invocation recomputes from its inputs.
     if n_iters > 0:
         ranks = ranks.localCheckpoint()
-    weighted.unpersist()
+    weighted.unpersist(blocking=True)
     return ranks
 
 
@@ -528,5 +528,5 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     # edge cache so repeat invocations recompute from their inputs
     if n_iters > 0:
         ranks = ranks.localCheckpoint()
-    weighted.unpersist()
+    weighted.unpersist(blocking=True)
     return ranks

@@ -46,28 +46,41 @@ def ancestor_closure(edges: DataFrame, max_depth: int = 20,
         anc = edges.select(
             F.col("child").alias("node"), F.col("parent").alias("ancestor")
         ).distinct()
-    # -1 sentinel: the first checkpoint's count can never match it, so no
-    # pre-loop count job is needed (round-2 verdict housekeeping).
-    prev_count = -1
+    # r6: one round = LEFT join against the broadcast edge table, emit the
+    # kept row and the one-hop extension from a single explode, distinct.
+    # Same fixpoint step as the old join+unionByName+distinct, but ``anc``
+    # is referenced ONCE per round, so the lazy plan grows LINEARLY in
+    # rounds (union referenced it twice -> exponential, which is what
+    # forced eager localCheckpoints + convergence-count jobs every 3
+    # rounds). All ``max_depth`` rounds now run as ONE job of tiny
+    # broadcast-join + distinct stages — no checkpoint or count jobs at
+    # all; rounds past the fixpoint are no-ops (distinct absorbs them),
+    # so dropping the early-exit cannot change the result. ``check_every``
+    # is retained for API compatibility and ignored.
+    del check_every
     for i in range(max_depth):
         anc = (
-            anc.join(edges, anc.ancestor == edges.child)
-            .select("node", F.col("parent").alias("ancestor"))
-            .unionByName(anc)
-            .distinct()
+            anc.join(edges, anc.ancestor == edges.child, "left")
+            .select(
+                "node",
+                F.explode(F.array("ancestor", "parent")).alias("ancestor"),
+            )
+            .filter(F.col("ancestor").isNotNull())
         )
-        if (i + 1) % check_every == 0:
-            anc = anc.localCheckpoint()
-            n = anc.count()
-            if n == prev_count:
-                break
-            prev_count = n
+        # distinct every second round (and on the last): the exchange is
+        # what costs a stage, and between distincts the row multiset can
+        # only grow 4x (keep+extend per row), so halving the distincts
+        # halves the sequential tiny-stage latency that dominates these
+        # dimension-sized closures
+        if i % 2 == 1 or i == max_depth - 1:
+            anc = anc.distinct()
     return anc
 
 
 def incident_ancestors(incident_direct_types: DataFrame,
                        ontology_edges: DataFrame,
-                       root: str = EVENT_ROOT) -> DataFrame:
+                       root: str = EVENT_ROOT,
+                       max_depth: int = 20) -> DataFrame:
     """update_incident (utils.py:555-569): per incident, the union over its
     direct types of all nodes on root→type paths. For the tree-shaped
     ontology this is {type .. root} per REACHABLE type; unreachable types
@@ -77,7 +90,7 @@ def incident_ancestors(incident_direct_types: DataFrame,
     ontology-sized (dimension), so the only fact-sized operation is one
     broadcast join from direct_types to the packed path dimension.
     """
-    anc = ancestor_closure(ontology_edges)
+    anc = ancestor_closure(ontology_edges, max_depth=max_depth)
     rooted = anc.join(
         anc.filter(F.col("ancestor") == root).select("node"),
         "node",

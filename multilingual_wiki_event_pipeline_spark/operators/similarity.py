@@ -60,17 +60,35 @@ def brute_force_topk(
     from pyspark.sql import Window
 
     e = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    q = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    # r6: precompute each side's norm ONCE per row instead of re-deriving
+    # it inside every pair's cosine (dot(q,q) was evaluated N times per
+    # query and dot(c,c) Q times per candidate — 3 zip_with+aggregate
+    # passes per pair collapse to 1); sqrt(dot(v,v)) here is the exact
+    # same expression tree the old cosine() evaluated, so the doubles are
+    # bit-identical. The candidate side is also redistributed: the
+    # embeddings parquet is a single row group, so the Q×N dot-product
+    # stage otherwise runs in 1-2 scan tasks.
+    e = e.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
+    q = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+    )
     if query_pred is not None:
         q = q.filter(query_pred)
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    n_part = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    c = e.repartition(n_part, F.col("vec_id")).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"), F.col("nrm").alias("cn"),
+    )
     pairs = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
