@@ -378,6 +378,21 @@ def _join_group(triples: DataFrame,
     this refuses to compile.
     """
     compiled = [_compile_pattern(triples, p) for p in patterns]
+    # r6: with every pattern join broadcast, the STREAMING side of each
+    # join is a raw pattern scan — and a single-row-group local parquet
+    # gives every scan 1-4 tasks on 32 cores, so the whole solution-
+    # building chain ran at 4-way parallelism (measured 4.8 s for the
+    # 5-pattern required BGP emitting 974k solutions at sf1.0).
+    # Re-cluster each compiled (narrow, post-pushed-filter) pattern frame
+    # once, ONLY when the shared triple input's scan parallelism is below
+    # the session's shuffle parallelism: at cluster scale the scan
+    # already exceeds it and no exchange is added.
+    n_part = int(triples.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if len(compiled) > 1 and triples.rdd.getNumPartitions() < n_part:
+        compiled = [
+            (df.repartition(n_part, *[F.col(c) for c in sorted(pvars)]), pvars)
+            for df, pvars in compiled
+        ]
     result, bound = compiled[0]
     pending = list(range(1, len(compiled)))
     while pending:
