@@ -1226,9 +1226,13 @@ def mention_link_rank(spark, sf_dir):
     # the old posexplode + lead() window shuffled and sorted the entire
     # token table by (doc_id, pos) just to pair adjacent tokens. A doc
     # with < 2 tokens yields NULL, which explode drops (the lead() filter
-    # did the same). _spread redistributes the single-row-group doc scan
-    # so the bigram/probe stage isn't pinned to 1-2 tasks.
-    d = text_dedup._spread(_t(spark, sf_dir, "documents"))
+    # did the same). The doc rows are re-clustered with an AQE-SIZED
+    # repartition (no explicit count — unlike the signature ops' _spread,
+    # the per-byte map work here is light, and A/B at both sf0.1 and
+    # sf1.0 measured the data-sized exchange fastest: 1.79 -> 1.4 s and
+    # 4.3 -> 3.1 s) so the kb/probe branches share one exchange and the
+    # stage count follows the corpus size.
+    d = _t(spark, sf_dir, "documents").repartition(F.col("doc_id"))
     toks = F.split("text", " ")
     n_toks = F.size(toks)
     # bigrams = zip each token with its successor (shifted slice), drop
