@@ -41,25 +41,22 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     # round — measured 225 s vs 4 s at sf0.1. At cluster scale this is a
     # store/persist boundary; localCheckpoint is its single-JVM analog.
     sym = sym.localCheckpoint()
-    labels = (
-        sym.select(F.col("a").alias("vertex"))
-        .distinct()
-        .withColumn("component", F.col("vertex"))
+    verts = sym.select(F.col("a").alias("vertex")).distinct()
+    # r6: self-loops fold the "keep own label" term into the SAME join —
+    # min over neighbors ∪ self ≡ least(own, neighbor-min) — so one round
+    # is ONE join + ONE partial-agg min instead of join + agg + left-join
+    # fold, and `labels` is referenced once per round (the left-join shape
+    # referenced it twice, doubling the lazy plan between checkpoints).
+    # Every vertex has a loop row, so the groupBy still emits every vertex.
+    looped = sym.unionByName(
+        verts.select(F.col("vertex").alias("a"), F.col("vertex").alias("b"))
     )
+    labels = verts.withColumn("component", F.col("vertex"))
     for i in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym["b"] == labels["vertex"])
-            .groupBy(F.col("a").alias("vertex"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
         new_labels = (
-            labels.join(neighbor_min, "vertex", "left")
-            .select(
-                "vertex",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", "component")
-                ).alias("component"),
-            )
+            looped.join(labels, looped["b"] == labels["vertex"])
+            .groupBy(F.col("a").alias("vertex"))
+            .agg(F.min("component").alias("component"))
         )
         if (i + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint()
