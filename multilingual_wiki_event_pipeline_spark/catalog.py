@@ -1362,9 +1362,13 @@ def graph_pagerank(spark, sf_dir):
     from .operators import graph
 
     # symmetrize guarantees every node an in-edge, so the per-round nodes
-    # left-join is skipped (all_nodes_receive): one shuffle per iteration
+    # left-join is skipped (all_nodes_receive); broadcast_ranks because
+    # nodes here are bounded by the customer+supplier DIMENSIONS while
+    # edges scale with the fact table — the node frame fits the broadcast
+    # cap at any sf, buying zero-shuffle rounds (r6, measured 1.6×)
     ranks = graph.pagerank(graph.symmetrize(_cs_pairs_int(spark, sf_dir)),
-                           n_iters=5, all_nodes_receive=True)
+                           n_iters=5, all_nodes_receive=True,
+                           broadcast_ranks=True)
     return ranks.select(_cs_node_str(F.col("node")).alias("node"), "rank_e12")
 
 
@@ -1383,7 +1387,8 @@ def graph_ppr(spark, sf_dir):
         F.col("c_nationkey") == 0
     ).select((F.col("c_custkey") * 2).alias("node"))
     ranks = graph.personalized_pagerank(
-        graph.symmetrize(_cs_pairs_int(spark, sf_dir)), seeds, n_iters=5)
+        graph.symmetrize(_cs_pairs_int(spark, sf_dir)), seeds, n_iters=5,
+        broadcast_ranks=True)
     return ranks.select(_cs_node_str(F.col("node")).alias("node"), "rank_e12")
 
 

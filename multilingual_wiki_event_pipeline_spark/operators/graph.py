@@ -46,7 +46,7 @@ SCALE = 10**12  # rank unit = 1e-12 of total mass
 DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85 as an exact rational
 
 
-def _weighted_edges(edges: DataFrame) -> DataFrame:
+def _weighted_edges(edges: DataFrame, cluster: str = "src") -> DataFrame:
     """Iteration-invariant (src, dst, outdeg) table, deduped, CLUSTERED by
     ``src`` and cached WITH its partitioning (r6).
 
@@ -61,12 +61,19 @@ def _weighted_edges(edges: DataFrame) -> DataFrame:
     join now exchanges and sorts ONLY the node-sized rank frame (guide
     §2.4, operations keyed the same way share one exchange). The explicit
     partition count pins the layout so AQE cannot coalesce the rank side
-    to a mismatched count."""
+    to a mismatched count.
+
+    ``cluster="dst"`` (r6, for the broadcast-rounds strategy) adds one
+    more exchange so the CACHED layout is hash(dst): the per-round
+    contribution ``groupBy("dst")`` then rides the cache's partitioning
+    and the round needs no exchange at all (the rank side arrives by
+    broadcast). The extra build exchange is paid once; the per-round
+    exchange it deletes would be paid ``n_iters`` times."""
     from pyspark.sql import Window
 
     edges = edges.select("src", "dst")
     n = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return (
+    out = (
         # ONE exchange: hash(src) satisfies the (src, dst) dedup's
         # clustering requirement AND the window's, so dedup + out-degree
         # ride the same shuffle (the old distinct-then-join paid separate
@@ -78,12 +85,15 @@ def _weighted_edges(edges: DataFrame) -> DataFrame:
         .withColumn(
             "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
         )
-        .persist()
     )
+    if cluster == "dst":
+        out = out.repartition(n, F.col("dst"))
+    return out.persist()
 
 
 def pagerank(edges: DataFrame, n_iters: int = 5,
-             all_nodes_receive: bool = False) -> DataFrame:
+             all_nodes_receive: bool = False,
+             broadcast_ranks: bool = False) -> DataFrame:
     """``edges(src, dst)`` -> ``(node, rank_e12)``; BIGINT fixed-point
     PageRank after ``n_iters`` synchronous iterations.
 
@@ -102,10 +112,27 @@ def pagerank(edges: DataFrame, n_iters: int = 5,
     join+agg only. Values are identical when the assertion holds; a node
     with no in-edges would silently vanish from the result, so the flag
     stays opt-in.
+
+    ``broadcast_ranks=True`` (r6) asserts the NODE table is small enough
+    to broadcast (well under the 8 GB / 512M-row broadcast-relation cap —
+    true whenever nodes are bounded by dimension tables while edges scale
+    with facts, e.g. the catalog's customer↔supplier co-transaction
+    graph) and switches the iteration to zero-shuffle rounds: the edge
+    cache is clustered by ``dst`` instead of ``src``, each round's
+    ``weighted ⋈ ranks`` is a broadcast hash join (no exchange, no sort
+    of either side) and the contribution ``groupBy("dst")`` rides the
+    cache's hash(dst) partitioning — the per-round exchange of partial
+    aggregates (bounded by nodes × partitions rows, the dominant
+    per-round cost measured at 12M edges) disappears entirely. Values
+    are bit-identical (same arithmetic, different physical plan); the
+    default stays the shuffle shape, whose memory footprint is
+    node-count-unbounded.
     """
     # one materialization, reused by every iteration's join — clustered by
-    # src so the per-round join only shuffles the rank frame (_weighted_edges)
-    weighted = _weighted_edges(edges)
+    # src so the per-round join only shuffles the rank frame, or by dst so
+    # the broadcast-rounds strategy shuffles nothing (_weighted_edges)
+    weighted = _weighted_edges(
+        edges, cluster="dst" if broadcast_ranks else "src")
     nodes = (
         weighted.select(F.col("src").alias("node"))
         .unionByName(weighted.select(F.col("dst").alias("node")))
@@ -120,8 +147,9 @@ def pagerank(edges: DataFrame, n_iters: int = 5,
         "node", F.expr(f"{SCALE}L div n_nodes").alias("rank_e12")
     )
     for _i in range(n_iters):
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
         in_mass = (
-            weighted.join(ranks, weighted.src == ranks.node)
+            weighted.join(rank_side, weighted.src == ranks.node)
             .select(
                 F.col("dst"), F.expr("rank_e12 div outdeg").alias("contrib")
             )
@@ -462,7 +490,8 @@ def kcore_nodes(edges: DataFrame, k: int, n_rounds: int = 4) -> DataFrame:
 
 
 def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
-                          n_iters: int = 5) -> DataFrame:
+                          n_iters: int = 5,
+                          broadcast_ranks: bool = False) -> DataFrame:
     """``edges(src, dst)`` + ``seeds(node)`` -> ``(node, rank_e12)``;
     BIGINT fixed-point PERSONALIZED PageRank (Page et al. 1999 §6 /
     Jeh & Widom WWW'03 topic-sensitive variant): the teleport mass
@@ -482,9 +511,13 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     division if the surviving seed set is empty (0 seeds = undefined
     teleport). Same plan shape per round as pagerank: one join + one
     map-side-combinable sum; the seed flag rides the node frame as a
-    column, costing nothing extra.
+    column, costing nothing extra. ``broadcast_ranks=True`` switches to
+    the zero-shuffle-round strategy exactly as in :func:`pagerank` (same
+    node-table-fits-broadcast contract; the per-round ``flagged``
+    left-join stays — it joins two node-sized frames).
     """
-    weighted = _weighted_edges(edges)  # clustered by src, cached (r6)
+    weighted = _weighted_edges(
+        edges, cluster="dst" if broadcast_ranks else "src")
     nodes = (
         weighted.select(F.col("src").alias("node"))
         .unionByName(weighted.select(F.col("dst").alias("node")))
@@ -504,8 +537,9 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
         F.expr(f"__s * ({SCALE}L div n_seeds)").alias("rank_e12"),
     )
     for _ in range(n_iters):
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
         in_mass = (
-            weighted.join(ranks, weighted.src == ranks.node)
+            weighted.join(rank_side, weighted.src == ranks.node)
             .select(
                 F.col("dst"), F.expr("rank_e12 div outdeg").alias("contrib")
             )

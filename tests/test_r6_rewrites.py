@@ -211,3 +211,35 @@ def test_ancestor_closure_dag_multiple_parents(spark):
         ("b", "d"), ("b", "e"), ("c", "d"), ("c", "e"), ("d", "e"),
     ])
     assert _rows(ontology.ancestor_closure(df, reflexive=False)) == expect
+
+
+def test_pagerank_broadcast_rounds_equivalence(spark):
+    # broadcast_ranks switches the physical strategy (dst-clustered edge
+    # cache + per-round broadcast hash join) but must not change a single
+    # rank; graph has a hub, a chain, a 2-cycle and a dangling-free
+    # symmetrized variant plus a node absent from src (dst-only)
+    from multilingual_wiki_event_pipeline_spark.operators import graph
+
+    raw = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "a"),
+           ("c", "e"), ("e", "e")]
+    edges = spark.createDataFrame(raw, "src string, dst string")
+    for sym in (False, True):
+        e = graph.symmetrize(edges) if sym else edges
+        for anr in ((False, True) if sym else (False,)):
+            ref = graph.pagerank(e, n_iters=4, all_nodes_receive=anr)
+            got = graph.pagerank(e, n_iters=4, all_nodes_receive=anr,
+                                 broadcast_ranks=True)
+            assert _rows(got) == _rows(ref), (sym, anr)
+
+
+def test_ppr_broadcast_rounds_equivalence(spark):
+    from multilingual_wiki_event_pipeline_spark.operators import graph
+
+    raw = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "b")]
+    edges = graph.symmetrize(
+        spark.createDataFrame(raw, "src string, dst string"))
+    seeds = spark.createDataFrame([("a",), ("d",), ("zzz",)], "node string")
+    ref = graph.personalized_pagerank(edges, seeds, n_iters=4)
+    got = graph.personalized_pagerank(edges, seeds, n_iters=4,
+                                      broadcast_ranks=True)
+    assert _rows(got) == _rows(ref)
