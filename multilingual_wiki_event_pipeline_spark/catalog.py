@@ -1675,12 +1675,17 @@ def graph_lpa(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # node ids stay STRINGS here: LPA's smallest-label tie-break orders
+    # label VALUES, so the BIGINT relabeling of graph_pagerank would
+    # change results. broadcast_labels is safe (placement, not values)
+    # and valid for the same dimension-bounded-nodes reason (r6).
     pairs = o.join(li, o.o_orderkey == li.l_orderkey).select(
         F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
     )
     return graph.label_propagation(graph.symmetrize(pairs), n_iters=3,
-                                    all_nodes_receive=True)
+                                    all_nodes_receive=True,
+                                    broadcast_labels=True)
 
 
 def graph_bfs(spark, sf_dir):
@@ -1692,13 +1697,13 @@ def graph_bfs(spark, sf_dir):
     contract)."""
     from .operators import graph
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = o.join(li, o.o_orderkey == li.l_orderkey).select(
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    )
-    return graph.bfs_distances(graph.symmetrize(pairs), ["c1"], max_depth=4)
+    # r6: BIGINT ids in-flight (hop counts are relabeling-invariant),
+    # zero-shuffle rounds (broadcast_frontier — reached set is bounded by
+    # the customer+supplier dimensions); "c1" encodes to node 2
+    dist = graph.bfs_distances(
+        graph.symmetrize(_cs_pairs_int(spark, sf_dir)), [2], max_depth=4,
+        broadcast_frontier=True)
+    return dist.select(_cs_node_str(F.col("node")).alias("node"), "dist")
 
 
 def graph_triangles(spark, sf_dir):
@@ -1730,13 +1735,15 @@ def graph_sssp(spark, sf_dir):
     graph, edge weight = min line quantity between the pair."""
     from .operators import graph
 
+    # r6: BIGINT ids + zero-shuffle rounds, as in graph_bfs (distances
+    # depend on weights and reachability only, not on id spelling)
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_quantity"
     )
     pairs = o.join(li, o.o_orderkey == li.l_orderkey).select(
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
         F.col("l_quantity").cast("long").alias("w"),
     )
     both = pairs.unionByName(
@@ -1744,7 +1751,9 @@ def graph_sssp(spark, sf_dir):
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
     )
-    return graph.sssp_distances(both, ["c1"], n_rounds=4)
+    dist = graph.sssp_distances(both, [2], n_rounds=4,
+                                broadcast_frontier=True)
+    return dist.select(_cs_node_str(F.col("node")).alias("node"), "dist")
 
 
 def _sparql_graph_store(spark, sf_dir):

@@ -191,7 +191,8 @@ def pagerank(edges: DataFrame, n_iters: int = 5,
 
 
 def label_propagation(edges: DataFrame, n_iters: int = 3,
-                      all_nodes_receive: bool = False) -> DataFrame:
+                      all_nodes_receive: bool = False,
+                      broadcast_labels: bool = False) -> DataFrame:
     """``edges(src, dst)`` -> ``(node, label)``: synchronous label
     propagation (community detection), the GraphFrames-style LPA the
     north-star names for entity-canonicalization neighborhoods.
@@ -219,8 +220,27 @@ def label_propagation(edges: DataFrame, n_iters: int = 3,
     two-level partial-agg count and a struct-min argmin, both map-side
     combinable. localCheckpoint truncates lineage per round exactly like
     pagerank/ontology closure.
+
+    ``broadcast_labels=True`` (r6) is LPA's sibling of pagerank's
+    ``broadcast_ranks``: it asserts the node-sized label frame fits the
+    broadcast cap, caches the deduped edge table clustered by hash(dst),
+    and runs each round as broadcast-join + two aggs that BOTH ride the
+    cache's partitioning (hash(dst) satisfies the (dst, label) count's
+    clustering requirement — grouping-key superset rule — and the argmin
+    groups by the same dst) — zero exchanges per round. Labels are
+    bit-identical (the argmin tie-break is value-based, not
+    placement-based); default stays the node-count-unbounded shape.
     """
-    edges = edges.select("src", "dst").distinct().localCheckpoint()
+    if broadcast_labels:
+        n = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        edges = (
+            edges.select("src", "dst")
+            .repartition(n, F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+            .persist()
+        )
+    else:
+        edges = edges.select("src", "dst").distinct().localCheckpoint()
     init = edges.select(F.col("src").alias("node"))
     if not all_nodes_receive:
         # dst-only nodes exist when the input is not symmetrized; they
@@ -232,8 +252,9 @@ def label_propagation(edges: DataFrame, n_iters: int = 3,
         .localCheckpoint()
     )
     for _ in range(n_iters):
+        lab_side = F.broadcast(labels) if broadcast_labels else labels
         counts = (
-            edges.join(labels, edges.src == labels.node)
+            edges.join(lab_side, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count("*").alias("cnt"))
         )
@@ -259,11 +280,18 @@ def label_propagation(edges: DataFrame, n_iters: int = 3,
             )
         # same lazy fusing as pagerank
         labels = labels.localCheckpoint(eager=False)
+    if broadcast_labels:
+        # same cache-hygiene close as pagerank: materialize while the edge
+        # cache is alive, then drop it so repeat invocations recompute
+        if n_iters > 0:
+            labels = labels.localCheckpoint()
+        edges.unpersist(blocking=True)
     return labels
 
 
 def bfs_distances(edges: DataFrame, sources: list[str],
-                  max_depth: int = 10) -> DataFrame:
+                  max_depth: int = 10,
+                  broadcast_frontier: bool = False) -> DataFrame:
     """``edges(src, dst)`` + source node ids -> ``(node, dist)``: shortest
     hop count from the nearest source, breadth-first (GraphFrames
     ``shortestPaths``-style landmark distances, the third of the graph
@@ -282,14 +310,28 @@ def bfs_distances(edges: DataFrame, sources: list[str],
     plus a map-side-combinable min agg; dist is node-sized, the small
     side once edges >> nodes. Lazy localCheckpoint per round fuses the
     rounds into one submitted job, as in pagerank/LPA.
+
+    ``broadcast_frontier=True`` (r6, the pagerank ``broadcast_ranks``
+    contract: the reached-node frame must fit the broadcast cap): the
+    "keep the old distance" term of the relaxation is folded into the
+    join itself by appending one zero-weight self-loop per node (min over
+    self ∪ in-neighbors ≡ the old union-then-min — the connected
+    components fold, applied to distances), so a round is broadcast-join
+    + one min agg riding the edge cache's hash(dst) clustering: zero
+    exchanges per round. Sources absent from the graph get self-loops
+    too, so they stay in the result exactly as in the union shape.
     """
     if not sources:
         raise ValueError("bfs_distances needs at least one source node")
-    edges = edges.select("src", "dst").distinct().localCheckpoint()
     spark = edges.sparkSession
+    ntype = dict(edges.dtypes)["src"]
     dist = spark.createDataFrame(
-        [(s, 0) for s in sources], "node string, dist long"
+        [(s, 0) for s in sources], f"node {ntype}, dist long"
     )
+    if broadcast_frontier:
+        return _relax_rounds_broadcast(edges, dist, F.lit(1).cast("long"),
+                                       max_depth)
+    edges = edges.select("src", "dst").distinct().localCheckpoint()
     for _ in range(max_depth):
         relaxed = (
             edges.join(dist, edges.src == dist.node)
@@ -307,8 +349,54 @@ def bfs_distances(edges: DataFrame, sources: list[str],
     return dist
 
 
+def _relax_rounds_broadcast(edges: DataFrame, dist: DataFrame, w,
+                            n_rounds: int) -> DataFrame:
+    """Shared zero-shuffle-round relaxation for BFS/SSSP (r6).
+
+    ``edges`` must carry src/dst (and, for SSSP, a ``w`` column the
+    caller folds into the ``w`` expression); ``w`` is the per-edge
+    distance increment expression (1 for BFS, ``F.col("w")`` for SSSP).
+    Appends a zero-weight self-loop for every node AND every source, so
+    ``min(dist(u) + w)`` over the looped in-neighborhood reproduces the
+    union-then-min relaxation exactly; the looped table is cached
+    clustered by hash(dst) and each round is broadcast-join + one min
+    agg riding that clustering — no exchange inside a round."""
+    n = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    weighted = edges.select("src", "dst", w.alias("_w"))
+    zero = F.lit(0).cast("long")
+    nodes = (
+        weighted.select(F.col("src").alias("v"))
+        .unionByName(weighted.select(F.col("dst").alias("v")))
+        .unionByName(dist.select(F.col("node").alias("v")))
+        .distinct()
+    )
+    looped = (
+        weighted.unionByName(
+            nodes.select(F.col("v").alias("src"), F.col("v").alias("dst"),
+                         zero.alias("_w"))
+        )
+        .repartition(n, F.col("dst"))
+        .dropDuplicates(["src", "dst", "_w"])
+        .persist()
+    )
+    for _ in range(n_rounds):
+        dist = (
+            looped.join(F.broadcast(dist), looped.src == dist.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("_w")).alias("dist"),
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    dist = dist.localCheckpoint()
+    looped.unpersist(blocking=True)
+    return dist
+
+
 def sssp_distances(edges: DataFrame, sources: list[str],
-                   n_rounds: int = 4) -> DataFrame:
+                   n_rounds: int = 4,
+                   broadcast_frontier: bool = False) -> DataFrame:
     """Single-source shortest path distances over ``edges(src, dst, w)``
     with non-negative BIGINT weights — the weighted sibling of
     :func:`bfs_distances`. Synchronous Bellman-Ford relaxation for a
@@ -320,18 +408,26 @@ def sssp_distances(edges: DataFrame, sources: list[str],
     shortest paths using ≤ k edges). Parallel edges collapse to their
     min weight up front. Same Spark shape as BFS: one shuffle join +
     map-side-combinable min agg per round, lazy localCheckpoint fuses
-    rounds into one job."""
+    rounds into one job. ``broadcast_frontier=True``: zero-shuffle
+    rounds via the shared self-loop fold (see
+    :func:`_relax_rounds_broadcast`; parallel edges then ride the
+    relaxation's min instead of a pre-collapse — same distances)."""
     if not sources:
         raise ValueError("sssp_distances needs at least one source node")
+    spark = edges.sparkSession
+    ntype = dict(edges.dtypes)["src"]
+    dist0 = spark.createDataFrame(
+        [(s, 0) for s in sources], f"node {ntype}, dist long"
+    )
+    if broadcast_frontier:
+        return _relax_rounds_broadcast(
+            edges, dist0, F.col("w").cast("long"), n_rounds)
     edges = (
         edges.select("src", "dst", F.col("w").cast("long").alias("w"))
         .groupBy("src", "dst").agg(F.min("w").alias("w"))
         .localCheckpoint()
     )
-    spark = edges.sparkSession
-    dist = spark.createDataFrame(
-        [(s, 0) for s in sources], "node string, dist long"
-    )
+    dist = dist0
     for _ in range(n_rounds):
         relaxed = (
             edges.join(dist, edges.src == dist.node)

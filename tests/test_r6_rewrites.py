@@ -243,3 +243,52 @@ def test_ppr_broadcast_rounds_equivalence(spark):
     got = graph.personalized_pagerank(edges, seeds, n_iters=4,
                                       broadcast_ranks=True)
     assert _rows(got) == _rows(ref)
+
+
+def test_lpa_broadcast_labels_equivalence(spark):
+    from multilingual_wiki_event_pipeline_spark.operators import graph
+
+    raw = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("d", "a"),
+           ("e", "e"), ("x", "y")]
+    edges = spark.createDataFrame(raw, "src string, dst string")
+    for sym in (False, True):
+        e = graph.symmetrize(edges) if sym else edges
+        for anr in ((False, True) if sym else (False,)):
+            ref = graph.label_propagation(e, n_iters=3,
+                                          all_nodes_receive=anr)
+            got = graph.label_propagation(e, n_iters=3,
+                                          all_nodes_receive=anr,
+                                          broadcast_labels=True)
+            assert _rows(got) == _rows(ref), (sym, anr)
+
+
+def test_bfs_broadcast_frontier_equivalence(spark):
+    # chain + branch + cycle + input self-loop + unreachable node + a
+    # source that is absent from the graph (must stay in the result)
+    from multilingual_wiki_event_pipeline_spark.operators import graph
+
+    raw = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("b", "e"),
+           ("e", "e"), ("p", "q")]
+    edges = spark.createDataFrame(raw, "src string, dst string")
+    for srcs in (["a"], ["a", "q"], ["ghost"], ["a", "ghost"]):
+        for depth in (0, 1, 3, 6):
+            ref = graph.bfs_distances(edges, srcs, max_depth=depth)
+            got = graph.bfs_distances(edges, srcs, max_depth=depth,
+                                      broadcast_frontier=True)
+            assert _rows(got) == _rows(ref), (srcs, depth)
+
+
+def test_sssp_broadcast_frontier_equivalence(spark):
+    # parallel edges with different weights (pre-collapse vs relax-min),
+    # zero-weight edge, input self-loop, absent source
+    from multilingual_wiki_event_pipeline_spark.operators import graph
+
+    raw = [("a", "b", 5), ("a", "b", 2), ("b", "c", 1), ("a", "c", 9),
+           ("c", "a", 0), ("c", "c", 3), ("p", "q", 7)]
+    edges = spark.createDataFrame(raw, "src string, dst string, w long")
+    for srcs in (["a"], ["a", "p"], ["ghost"]):
+        for rounds in (0, 1, 2, 4):
+            ref = graph.sssp_distances(edges, srcs, n_rounds=rounds)
+            got = graph.sssp_distances(edges, srcs, n_rounds=rounds,
+                                       broadcast_frontier=True)
+            assert _rows(got) == _rows(ref), (srcs, rounds)
