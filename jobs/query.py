@@ -60,6 +60,7 @@ def main(argv: list[str]) -> int:
     from pyspark.sql import SparkSession
 
     from multilingual_wiki_event_pipeline_spark.operators.sparql import (
+        SparqlSyntaxError,
         sparql_query,
         sparql_query_form,
         sparql_update,
@@ -80,7 +81,13 @@ def main(argv: list[str]) -> int:
         if args.output:
             ap.error("--explain prints a plan and writes nothing; drop "
                      "--output")
-        if sparql_query_form(text) == "ASK":
+        try:
+            form = sparql_query_form(text)
+        except SparqlSyntaxError as exc:
+            # malformed query surfaces as the clean argparse error path,
+            # not a raw traceback (ADVICE r5)
+            ap.error(f"--explain: {exc}")
+        if form == "ASK":
             ap.error("--explain is not supported with ASK (the probe "
                      "executes during compilation)")
 

@@ -43,6 +43,13 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     ``left_time`` (< if not ``allow_exact_matches``); ties on time broken
     by greatest ``tie_break``. Output = all ``left`` columns + ``asof``
     struct (null when no right row precedes)."""
+    # helper names would be silently clobbered by the withColumns below,
+    # corrupting output for inputs that happen to use them (ADVICE r5)
+    clash = {"_k", "_t", "_side", "_tie", "_payload", "asof"} & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: left columns collide with helper names {sorted(clash)}; "
+            "rename them before joining")
     payload = F.struct(*[F.col(c) for c in right_payload]).alias("_payload")
     r = right.select(
         F.col(key).alias("_k"),

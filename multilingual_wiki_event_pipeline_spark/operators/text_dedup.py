@@ -538,12 +538,17 @@ def remove_duplicate_spans(documents: DataFrame, n: int = 8,
         .withColumn(
             "k",
             F.when(
-                F.col("pos") < key_mult,
+                # doc_id bound mirrors the pos bound: doc_id*key_mult+pos
+                # must not overflow BIGINT, or the deterministic winner
+                # election would corrupt silently (ADVICE r5)
+                (F.col("pos") < key_mult)
+                & (F.col("doc_id") < F.lit((2**63 - key_mult) // key_mult)),
                 F.col("doc_id") * F.lit(key_mult) + F.col("pos"),
             ).otherwise(
                 F.raise_error(F.lit(
                     "remove_duplicate_spans: document exceeds key_mult "
-                    "tokens; raise key_mult"
+                    "tokens or doc_id would overflow doc_id*key_mult+pos; "
+                    "adjust key_mult"
                 ))
             ),
         )
