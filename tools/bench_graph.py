@@ -78,6 +78,20 @@ def main() -> None:
             sym, n_iters=3, all_nodes_receive=True
         ).count(),
         "bfs_4it": lambda: graph.bfs_distances(sym, ["h0"], max_depth=4).count(),
+        # r6 broadcast strategies, measured on the SAME node-heavy spoke
+        # fixture (nodes ~ edges/2) where they are EXPECTED to lose — the
+        # opt-in contract is nodes << edges; catalog-shaped wins are in
+        # BENCH/BASELINE.md (co-transaction graph, nodes bounded by
+        # dimensions)
+        "pagerank_5it_bcast": lambda: graph.pagerank(
+            sym, n_iters=5, all_nodes_receive=True, broadcast_ranks=True
+        ).count(),
+        "lpa_3it_bcast": lambda: graph.label_propagation(
+            sym, n_iters=3, all_nodes_receive=True, broadcast_labels=True
+        ).count(),
+        "bfs_4it_bcast": lambda: graph.bfs_distances(
+            sym, ["h0"], max_depth=4, broadcast_frontier=True
+        ).count(),
     }
     detail: dict[str, list[dict]] = {k: [] for k in algos}
     for name, fn in algos.items():  # untimed warm-up
