@@ -556,3 +556,30 @@ def test_streaming_hll_register_log_is_batching_invariant(
              for r in hll_estimate(
                  hll_registers(toks, "role", "token")).collect()}
     assert streamed == whole and whole
+
+
+def test_compaction_refuses_live_stream(spark, corpus_dir, tmp_path):
+    """r5 verdict #7: the quiescence contract is mechanical — compaction
+    raises while the output dir's ingest query is active (deterministic
+    interleaving: first batch fully processed, query still running), and
+    succeeds as soon as the stream stops."""
+    import pytest
+
+    t = CorpusTables(spark, corpus_dir)
+    stream_in = str(tmp_path / "in")
+    os.makedirs(stream_in)
+    shutil.copy(f"{corpus_dir}/transcripts.parquet", stream_in)
+    out = str(tmp_path / "out")
+    q = ingest.incremental_triples(
+        ingest.stream_transcripts(spark, stream_in), t, out,
+        str(tmp_path / "ckpt"), available_now=False,
+    )
+    try:
+        q.processAllAvailable()  # batch 0 fully written, query still live
+        assert q.isActive
+        with pytest.raises(RuntimeError, match="ingest stream .* is active"):
+            ingest.compact_streamed_triples(spark, out)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    assert ingest.compact_streamed_triples(spark, out) >= 0
