@@ -23,8 +23,12 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-from multilingual_wiki_event_pipeline_spark.catalog import QUERIES  # noqa: E402
+from multilingual_wiki_event_pipeline_spark.catalog import (  # noqa: E402
+    EXTRA_QUERIES, QUERIES,
+)
 from multilingual_wiki_event_pipeline_spark.session import get_spark  # noqa: E402
+
+ALL_QUERIES = {**EXTRA_QUERIES, **QUERIES}
 
 DEFAULT = [
     "dedup_simhash_pairs", "dedup_minhash_pairs", "canonicalize_components",
@@ -55,12 +59,12 @@ def main() -> None:
     best: dict[str, float] = {}
     for name in names:
         spark.sparkContext.setJobDescription(f"warmup:{name}")
-        run(QUERIES[name](spark, args.sf), args.action)  # untimed warm-up
+        run(ALL_QUERIES[name](spark, args.sf), args.action)  # untimed warm-up
         walls = []
         for rep in range(args.reps):
             spark.sparkContext.setJobDescription(f"{name}:rep{rep}")
             t0 = time.perf_counter()
-            run(QUERIES[name](spark, args.sf), args.action)
+            run(ALL_QUERIES[name](spark, args.sf), args.action)
             walls.append(round(time.perf_counter() - t0, 3))
         best[name] = min(walls)
         print(f"{name}: {walls}", file=sys.stderr)

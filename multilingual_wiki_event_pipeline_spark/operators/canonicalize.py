@@ -31,9 +31,15 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iter: int = 20, checkpoint_every: int = 3) -> DataFrame:
     """edges(src, dst) -> (vertex, component) with component = min vertex id
     (lexicographic) in the component. Undirected."""
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct()
+    # r6 session 3: both directions in ONE map-side explode instead of a
+    # self-union — Spark has no cross-branch CSE, so the union shape
+    # evaluated `edges` (here: the whole MinHash-candidates -> Jaccard
+    # verification pipeline) TWICE while materializing sym below.
+    both = F.explode(F.array(
+        F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+        F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+    ))
+    sym = edges.select(both.alias("e")).select("e.a", "e.b").distinct()
     # materialize the edge list ONCE before iterating: every round's join
     # references sym twice (neighbor_min + the labels lineage), so an
     # unmaterialized sym re-runs the whole upstream edge pipeline (e.g.

@@ -362,6 +362,12 @@ def _relax_rounds_broadcast(edges: DataFrame, dist: DataFrame, w,
     clustered by hash(dst) and each round is broadcast-join + one min
     agg riding that clustering — no exchange inside a round."""
     n = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # `weighted` is referenced three times below (nodes twice, looped
+    # once) and re-evaluated per reference (no cross-branch CSE) — an
+    # eager localCheckpoint here was A/B'd at sf1x and measured SLOWER
+    # (bfs 4.30 -> 4.88 s interleaved, BENCH/s3_symmetrize_ab.json): the
+    # duplicate branches run concurrently on idle cores while the
+    # checkpoint pays a serial 2x-edge-row materialization up front.
     weighted = edges.select("src", "dst", w.alias("_w"))
     zero = F.lit(0).cast("long")
     nodes = (
@@ -469,6 +475,13 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b")
         )
         .distinct()
+        # materialize ONCE (r6 session 3): `e` is referenced three times
+        # below (deg twice, ed once) and `o` three more (e1/e2/closing) —
+        # with no materialization the canonicalize+distinct subtree
+        # appeared 9x in the physical plan (214 Exchange references
+        # at sf0.1, plans/r06/graph_triangles_s3_before.txt) and the
+        # scan+exchange+dedup ran once per appearance
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("a").alias("n"))
@@ -489,7 +502,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("x"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("y"),
         F.when(fwd, F.col("dgb")).otherwise(F.col("dga")).alias("yd"),
-    )
+    ).localCheckpoint()  # referenced 3x below (e1, e2, closing)
     e1, e2 = o.alias("e1"), o.alias("e2")
     wedges = (
         e1.join(e2, "x")
@@ -515,7 +528,18 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
 def symmetrize(pairs: DataFrame) -> DataFrame:
     """``pairs(src, dst)`` -> both directions, for undirected-walk ranking
-    (also guarantees no dangling nodes: every node has an out-edge)."""
+    (also guarantees no dangling nodes: every node has an out-edge).
+
+    Shape note (r6 session 3, measured): Spark performs no cross-branch
+    CSE, so this union evaluates the (join-shaped, for every catalog
+    caller) child once PER DIRECTION. A map-side
+    ``explode(array(struct(src,dst), struct(dst,src)))`` rewrite that
+    evaluates the child once was A/B'd interleaved at sf1x
+    (BENCH/s3_symmetrize_ab.json): pagerank 5.59 -> 5.96 s, bfs 4.30 ->
+    4.88 s, ppr/lpa/sssp a wash — the union's duplicate branches run as
+    INDEPENDENT CONCURRENT stage DAGs that fill otherwise-idle cores
+    (guide §2.6), while the fused shape serializes the same bytes through
+    one chain. The union shape is kept deliberately."""
     return pairs.select("src", "dst").unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -560,13 +584,14 @@ def kcore_nodes(edges: DataFrame, k: int, n_rounds: int = 4) -> DataFrame:
         )
         .distinct()
     )
-    sym = (
-        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(
-            und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-        )
-        .localCheckpoint()
-    )
+    # both directions in one map-side explode (no cross-branch CSE in
+    # Spark: the union shape evaluated `und` — scan + exchange + dedup —
+    # twice while materializing the checkpoint; see symmetrize)
+    both = F.explode(F.array(
+        F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+        F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+    ))
+    sym = und.select(both.alias("e")).select("e.src", "e.dst").localCheckpoint()
     for _ in range(n_rounds):
         keep = (
             sym.groupBy("src")

@@ -14,7 +14,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from multilingual_wiki_event_pipeline_spark.catalog import QUERIES  # noqa: E402
+from multilingual_wiki_event_pipeline_spark.catalog import (  # noqa: E402
+    EXTRA_QUERIES, QUERIES,
+)
+
+ALL_QUERIES = {**EXTRA_QUERIES, **QUERIES}
 from multilingual_wiki_event_pipeline_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
@@ -36,7 +40,7 @@ def main() -> None:
     spark = get_spark(app_name="mwep-dump-plans")
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:
-        df = QUERIES[name](spark, sf_dir)
+        df = ALL_QUERIES[name](spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
