@@ -102,6 +102,8 @@ def main() -> None:
     # non-default sizes get their own file — a probe must not clobber
     # the committed baseline BASELINE.md cites
     suffix = "" if n_words == 1_000_000 else f"_n{n_words}"
+    if n_merges != 20:  # cost-model probes must not clobber the baseline
+        suffix += f"_m{n_merges}"
     with open(os.path.join(REPO, "BENCH",
                            f"bpe_scale{suffix}.json"), "w") as f:
         json.dump(out, f, indent=1)
